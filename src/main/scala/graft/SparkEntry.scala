@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets a `queries` entry
+  * (a DataFrame function over the sfDir parquet tables) and, where the
+  * semantics are ANSI-SQL-expressible, an `oracleSql` entry the driver
+  * runs in DuckDB over the same tables for a hash-exact compare.
+  *
+  * Output discipline (SURVEY §7.4): every oracle-checked query ends in a
+  * total-order `orderBy`, aliases every computed column identically on
+  * both sides, and avoids order-dependent floating-point aggregation
+  * (see [[graft.functions.Exact]]).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Cohorts.q1Cohort(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_cohort" -> (ops.Cohorts.q1Cohort _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_cohort" -> ops.Cohorts.q1OracleSql
+  )
 }
