@@ -15,18 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (see [[graft.functions.Exact]]).
   */
 object SparkEntry {
+
+  /** The full operator catalog, one [[ops.OpDef]] per SURVEY §2 row. */
+  private lazy val catalog: Seq[ops.OpDef] =
+    ops.Cohorts.defs ++
+      ops.Sources.defs ++
+      ops.Filters.defs ++
+      ops.Joins.defs ++
+      ops.Aggregates.defs ++
+      ops.Windows.defs ++
+      ops.SetSort.defs ++
+      ops.Scalars.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ops.Cohorts.q1Cohort(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_cohort" -> (ops.Cohorts.q1Cohort _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(op => op.name -> op.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_cohort" -> ops.Cohorts.q1OracleSql
-  )
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(op => op.oracle.map(op.name -> _)).toMap
 }

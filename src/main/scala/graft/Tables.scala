@@ -25,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read it as a raw nanos long (legacy conf) and convert to
+    * a microsecond timestamp with integer division (`div`, not `/` —
+    * double division would lose precision on ~1.7e18 nanos values).
+    * DuckDB truncates ns→µs the same way, so oracle parity holds. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Aggregations — SURVEY §2.4 (A1-A12).
+  *
+  * Every group-by here is a single hash-aggregate: partial (map-side)
+  * combine, one shuffle keyed on the group columns, final merge. Group
+  * cardinalities are small relative to input, so the shuffle carries
+  * aggregate states, not rows — the shape that survives a 100× scale-up.
+  */
+object Aggregates {
+
+  /** A1 — group-by + HAVING for duplicate detection (reference
+    * `pipeline.py:117-124` app_dupes). */
+  private def aggHaving(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 4)
+      .orderBy($"l_orderkey")
+  }
+
+  /** A2 — multi-key group-by with exact sums (TPC-H Q1 shape;
+    * reference `queries.sql:78-80`). */
+  private def aggGroupBy(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumExact($"l_quantity").as("sum_qty"),
+        sumExact($"l_extendedprice").as("sum_base_price"),
+        sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        avgExact($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A3/A4/A5 — global (no-key) aggregate over the whole table
+    * (reference `pipeline.py:393-421`). */
+  private def aggGlobal(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sumExact($"l_quantity").as("total_qty"),
+        min($"l_shipdate").as("first_ship"),
+        max($"l_shipdate").as("last_ship"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  /** A5 — SUM(flag::INT) failure tallies (reference `pipeline.py:396-419`). */
+  private def aggSumFlags(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(($"o_totalprice" > 100000.0).cast("int")).cast("long").as("n_large"),
+        sum(($"o_orderstatus" === "F").cast("int")).cast("long").as("n_finished"),
+        sum($"o_orderdate".isNull.cast("int")).cast("long").as("n_null_date"))
+  }
+
+  /** A6 — conditional aggregates (reference `queries.sql:43-49,171-197`). */
+  private def aggConditional(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countWhen($"l_discount" >= 0.05).as("n_discounted"),
+        countWhen($"l_quantity" >= 25.0).as("n_bulk"),
+        sumExactWhen($"l_discount" >= 0.05, $"l_extendedprice").as("discounted_value"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A7 — AVG over a no-ELSE CASE (NULLs skipped; reference
+    * `queries.sql:68-75`). */
+  private def aggAvgCase(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        roundHalfUp(avgExactWhen($"o_orderstatus" === "F", $"o_totalprice"), 2)
+          .as("avg_finished_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A8 — ratio-of-aggregates with NULLIF guard (reference
+    * `queries.sql:50-58,138-146`). */
+  private def aggRate(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("total_orders"),
+        countWhen($"o_orderstatus" === "F").as("finished_orders"),
+        roundHalfUp(rate(countWhen($"o_orderstatus" === "F"), count(lit(1))), 4)
+          .as("finish_rate"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A9 — SELECT DISTINCT (reference `pipeline.py:427,440`). */
+  private def distinctOp(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A10 — ordered list aggregate: `array_agg(x ORDER BY x)` ≡
+    * `array_sort(collect_list(x))` (reference `pipeline.py:484-485`). */
+  private def aggArrayCollect(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_sort(collect_list($"n_name")).as("nation_names"))
+      .orderBy($"n_regionkey")
+  }
+
+  /** A11 — scalar subquery as select-list item via 1-row cross join
+    * (reference `pipeline.py:484-485`). */
+  private def scalarSubquery(s: SparkSession, d: String) = {
+    import s.implicits._
+    val total = Tables.orders(s, d)
+      .agg(sumExact($"o_totalprice").as("total_value"))
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(sumExact($"o_totalprice").as("priority_value"))
+      .crossJoin(total)
+      .select(
+        $"o_orderpriority",
+        roundHalfUp($"priority_value", 2).as("priority_value"),
+        roundHalfUp($"priority_value" / $"total_value", 6).as("value_share"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Distinct-count per group (non-reference; Spark built-in). */
+  private def aggCountDistinct(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_suppliers"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("agg_having", aggHaving _,
+      """SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) > 4
+        |ORDER BY l_orderkey""".stripMargin),
+    OpDef("agg_groupby", aggGroupBy _,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    OpDef("agg_global", aggGlobal _,
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,
+        |  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin),
+    OpDef("agg_sum_flags", aggSumFlags _,
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM((o_totalprice > 100000.0)::INT) AS BIGINT) AS n_large,
+        |  CAST(SUM((o_orderstatus = 'F')::INT) AS BIGINT) AS n_finished,
+        |  CAST(SUM((o_orderdate IS NULL)::INT) AS BIGINT) AS n_null_date
+        |FROM orders""".stripMargin),
+    OpDef("agg_conditional", aggConditional _,
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        |  CAST(SUM(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+        |  CAST(SUM(CAST(CASE WHEN l_discount >= 0.05 THEN l_extendedprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS discounted_value
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    OpDef("agg_avg_case", aggAvgCase _,
+      """SELECT o_orderpriority,
+        |  CAST(FLOOR((CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE)
+        |    / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100 + 0.5) AS DOUBLE) / 100 AS avg_finished_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    OpDef("agg_rate", aggRate _,
+      """SELECT o_orderpriority, COUNT(*) AS total_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+        |  CAST(FLOOR((1.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS finish_rate
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    OpDef("distinct", distinctOp _,
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    OpDef("agg_array_collect", aggArrayCollect _,
+      """SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS nation_names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+    OpDef("scalar_subquery", scalarSubquery _,
+      """SELECT o_orderpriority,
+        |  CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) * 100 + 0.5) AS DOUBLE) / 100 AS priority_value,
+        |  CAST(FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+        |    / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) FROM orders)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS value_share
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    OpDef("agg_count_distinct", aggCountDistinct _,
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+}

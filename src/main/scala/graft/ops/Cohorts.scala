@@ -41,20 +41,22 @@ object Cohorts {
       .orderBy($"cohort_month", $"o_orderpriority")
   }
 
-  def q1OracleSql: String =
-    """WITH base AS (
-      |  SELECT date_trunc('month', o_orderdate) AS cohort_month,
-      |         o_orderpriority, o_orderstatus, o_totalprice
-      |  FROM orders WHERE o_orderdate IS NOT NULL
-      |)
-      |SELECT cohort_month, o_orderpriority,
-      |  COUNT(*) AS total_orders,
-      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
-      |  CAST(FLOOR((1.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS finish_rate,
-      |  CAST(FLOOR((CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100 AS finished_value,
-      |  CAST(FLOOR((CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE)
-      |        / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100 + 0.5) AS DOUBLE) / 100 AS avg_finished_value
-      |FROM base
-      |GROUP BY cohort_month, o_orderpriority
-      |ORDER BY cohort_month, o_orderpriority""".stripMargin
+  val defs: Seq[OpDef] = Seq(
+    OpDef("q1_cohort", q1Cohort _,
+      """WITH base AS (
+        |  SELECT date_trunc('month', o_orderdate) AS cohort_month,
+        |         o_orderpriority, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |)
+        |SELECT cohort_month, o_orderpriority,
+        |  COUNT(*) AS total_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+        |  CAST(FLOOR((1.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS finish_rate,
+        |  CAST(FLOOR((CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100 AS finished_value,
+        |  CAST(FLOOR((CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE)
+        |        / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100 + 0.5) AS DOUBLE) / 100 AS avg_finished_value
+        |FROM base
+        |GROUP BY cohort_month, o_orderpriority
+        |ORDER BY cohort_month, o_orderpriority""".stripMargin)
+  )
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Joins — SURVEY §2.3 (J1-J5).
+  *
+  * Scale strategy: dimension tables (region/nation/customer/supplier/
+  * part) are broadcast explicitly — at 100 TB the fact side never
+  * shuffles for a dim join. Fact-to-fact joins shuffle on the join key
+  * and rely on AQE for skew splitting. Semi/anti joins are expressed as
+  * `left_semi`/`left_anti` so Catalyst can plan broadcast variants
+  * instead of materializing an IN-list.
+  */
+object Joins {
+
+  /** J1 — left outer equi-join with collision renames and 1-to-many
+    * fan-out (reference `pipeline.py:338-384` loan_portfolio). */
+  private def joinLeft(s: SparkSession, d: String) = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select($"c_custkey", $"c_name", $"c_mktsegment",
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_orderkey")
+  }
+
+  /** Inner equi-join through a broadcast dimension, aggregated — the
+    * canonical fact⋈dim shape (non-reference; Spark built-in). */
+  private def joinInnerBroadcast(s: SparkSession, d: String) = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** J2 — cross join of 1-row aggregates (reference `pipeline.py:489-491`). */
+  private def joinCross(s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, d).agg(count(lit(1)).as("n_lineitems"))
+    val c = Tables.customer(s, d).agg(count(lit(1)).as("n_customers"))
+    o.crossJoin(l).crossJoin(c)
+  }
+
+  /** J3/P6 — left-semi join (`IN (SELECT …)`, reference `pipeline.py:150`). */
+  private def semiJoin(s: SparkSession, d: String) = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J4/P7 — left-anti join (`NOT IN (SELECT …)` with NOT NULL guard,
+    * reference `queries.sql:9-17`). */
+  private def antiJoin(s: SparkSession, d: String) = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Right and full outer joins (non-reference; engine completeness). */
+  private def joinFull(s: SparkSession, d: String) = {
+    import s.implicits._
+    // Suppliers and customers per nation, via outer join of two aggregates.
+    val cn = Tables.customer(s, d).groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sn = Tables.supplier(s, d).groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cn.join(sn, Seq("nationkey"), "full_outer")
+      .select($"nationkey", $"n_customers", $"n_suppliers")
+      .orderBy($"nationkey")
+  }
+
+  /** J5 — array → rows via explode (reference `queries.sql:12-14`
+    * `UNNEST(problematic_application_ids)`). */
+  private def unnestExplode(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_sort(collect_list($"n_name")).as("names"))
+      .select($"n_regionkey", explode($"names").as("n_name"))
+      .orderBy($"n_regionkey", $"n_name")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("join_left", joinLeft _,
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin),
+    OpDef("join_inner_broadcast", joinInnerBroadcast _,
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    OpDef("join_cross", joinCross _,
+      """SELECT * FROM
+        |  (SELECT COUNT(*) AS n_orders FROM orders)
+        |  CROSS JOIN (SELECT COUNT(*) AS n_lineitems FROM lineitem)
+        |  CROSS JOIN (SELECT COUNT(*) AS n_customers FROM customer)""".stripMargin),
+    OpDef("semi_join", semiJoin _,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin),
+    OpDef("anti_join", antiJoin _,
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin),
+    OpDef("join_full_outer", joinFull _,
+      """SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+        |  cn.n_customers, sn.n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) sn
+        |ON cn.nationkey = sn.nationkey
+        |ORDER BY nationkey""".stripMargin),
+    OpDef("unnest_explode", unnestExplode _,
+      """WITH a AS (
+        |  SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names
+        |  FROM nation GROUP BY n_regionkey
+        |)
+        |SELECT n_regionkey, UNNEST(names) AS n_name FROM a
+        |ORDER BY n_regionkey, n_name""".stripMargin)
+  )
+}

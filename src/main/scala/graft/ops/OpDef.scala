@@ -1,0 +1,22 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator demonstration: a named DataFrame query over the
+  * testdata tables plus (where expressible) the equivalent DuckDB SQL
+  * the driver uses as a correctness oracle.
+  *
+  * Conventions every def follows (SURVEY §7.4):
+  *   - deterministic total ordering (`orderBy` over a unique key set);
+  *   - computed columns aliased identically in Spark and oracle SQL;
+  *   - no order-dependent float aggregation ([[graft.functions.Exact]]).
+  */
+final case class OpDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object OpDef {
+  def apply(name: String, fn: (SparkSession, String) => DataFrame,
+            oracle: String): OpDef = OpDef(name, fn, Some(oracle))
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Scalar-function showcases — SURVEY §2.7 (F1-F19).
+  *
+  * Dialect-parity notes carried from SURVEY §7.4:
+  *  - F3: DuckDB `regexp_replace` is first-match unless flagged `'g'`;
+  *    the engine op is replace-all, so the oracle SQL carries `'g'`.
+  *  - F12: month-diff counts month-boundary crossings (DuckDB
+  *    `date_diff('month', …)`), NOT Spark's fractional `months_between`
+  *    — implemented as integer year*12+month arithmetic.
+  *  - Rounding uses [[graft.functions.Exact.roundHalfUp]] on both sides.
+  */
+object Scalars {
+
+  /** F1/F2 — lower/trim/upper string normalization
+    * (reference `pipeline.py:133,143`). */
+  private def fnString(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select(
+        $"c_custkey",
+        lower($"c_name").as("name_lower"),
+        upper($"c_mktsegment").as("segment_upper"),
+        trim(lit("  padded  ")).as("trimmed"),
+        concat($"c_name", lit("@"), $"c_mktsegment").as("joined"))
+      .orderBy($"c_custkey")
+  }
+
+  /** F3 — regex replace-all (reference `pipeline.py:133`, whitespace
+    * strip on email; dialect caveat above). */
+  private def fnRegexReplace(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select(
+        $"p_partkey",
+        regexp_replace($"p_name", "\\s+", "_").as("name_snake"),
+        regexp_replace($"p_type", "[AEIOU]", "").as("type_novowel"))
+      .orderBy($"p_partkey")
+  }
+
+  /** F5 — TRY_CAST lenient typing: malformed values → NULL, not error
+    * (reference `pipeline.py:136-141`). */
+  private def fnTryCast(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("priority_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+        expr("try_cast(o_orderpriority AS DOUBLE)").as("priority_dbl"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F6 — CAST family: number→string, timestamp→date, bool→int
+    * (reference `pipeline.py:396-419` flag::INT). */
+  private def fnCast(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        $"o_orderkey".cast("string").as("key_str"),
+        $"o_orderdate".cast("date").as("order_date"),
+        ($"o_totalprice" > 10000.0).cast("int").as("is_large"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F7 — fixed-point rounding (reference `queries.sql:50,59,68`). */
+  private def fnRound(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        roundHalfUp($"o_totalprice" / lit(3.0), 2).as("third_2dp"),
+        roundHalfUp($"o_totalprice" / lit(7.0), 4).as("seventh_4dp"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F8/F9 — date_trunc to month and second (reference
+    * `pipeline.py:202`, `queries.sql:29`). */
+  private def fnDateTrunc(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        $"event_id",
+        date_trunc("month", $"ts").as("ts_month"),
+        date_trunc("day", $"ts").as("ts_day"),
+        date_trunc("second", $"ts").as("ts_second"))
+      .orderBy($"event_id")
+  }
+
+  /** F12 — month-diff as boundary crossings, DuckDB `date_diff('month')`
+    * semantics (reference `pipeline.py:376-379`). */
+  private def fnDateDiffMonth(s: SparkSession, d: String) = {
+    import s.implicits._
+    val anchor = lit(1998 * 12 + 12)
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey", $"o_orderdate",
+        (anchor - (year($"o_orderdate") * lit(12) + month($"o_orderdate")))
+          .cast("long").as("months_to_anchor"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F13/F14 — JSON-serialized map of booleans, the reference's
+    * data_quality_flags pattern (reference `pipeline.py:179-200`). */
+  private def fnToJsonMap(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        to_json(map(
+          lit("large"), $"o_totalprice" > 100000.0,
+          lit("finished"), $"o_orderstatus" === "F",
+          lit("urgent"), $"o_orderpriority" === "1-URGENT"))
+          .as("quality_flags"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F17 — NULLIF / COALESCE guards (reference `queries.sql:56`). */
+  private def fnNullif(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        nullif($"l_discount", lit(0.0)).as("discount_or_null"),
+        coalesce(nullif($"l_discount", lit(0.0)), lit(-1.0)).as("discount_coalesced"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("fn_string", fnString _,
+      """SELECT c_custkey,
+        |  LOWER(c_name) AS name_lower,
+        |  UPPER(c_mktsegment) AS segment_upper,
+        |  TRIM('  padded  ') AS trimmed,
+        |  c_name || '@' || c_mktsegment AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+    OpDef("fn_regex_replace", fnRegexReplace _,
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+        |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_novowel
+        |FROM part ORDER BY p_partkey""".stripMargin),
+    OpDef("fn_try_cast", fnTryCast _,
+      """SELECT o_orderkey,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+        |  TRY_CAST(o_orderpriority AS DOUBLE) AS priority_dbl
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_cast", fnCast _,
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_totalprice > 10000.0 AS INT) AS is_large
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_round", fnRound _,
+      """SELECT o_orderkey,
+        |  CAST(FLOOR((o_totalprice / 3.0) * 100 + 0.5) AS DOUBLE) / 100 AS third_2dp,
+        |  CAST(FLOOR((o_totalprice / 7.0) * 10000 + 0.5) AS DOUBLE) / 10000 AS seventh_4dp
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_date_trunc", fnDateTrunc _,
+      """SELECT event_id,
+        |  date_trunc('month', ts) AS ts_month,
+        |  date_trunc('day', ts) AS ts_day,
+        |  date_trunc('second', ts) AS ts_second
+        |FROM events ORDER BY event_id""".stripMargin),
+    OpDef("fn_date_diff_month", fnDateDiffMonth _,
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(date_diff('month', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT) AS months_to_anchor
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_to_json_map", fnToJsonMap _,
+      """SELECT o_orderkey,
+        |  to_json(map(
+        |    ['large', 'finished', 'urgent'],
+        |    [o_totalprice > 100000.0, o_orderstatus = 'F', o_orderpriority = '1-URGENT']
+        |  )) AS quality_flags
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_nullif", fnNullif _,
+      """SELECT l_orderkey, l_linenumber,
+        |  NULLIF(l_discount, 0.0) AS discount_or_null,
+        |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS discount_coalesced
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.CsvIO
+
+/** Source/sink/staging demonstrations — SURVEY §2.1 (S1-S5).
+  *
+  * These ops exercise real IO: they round-trip engine tables through
+  * the CSV sink + robust scan, and through parquet stage
+  * materialization (the reference's CTAS-per-stage pattern,
+  * `pipeline.py:45,90,97,…`). Temp paths live under java.io.tmpdir and
+  * are overwritten idempotently (S4 `DROP TABLE IF EXISTS` analogue =
+  * `SaveMode.Overwrite`).
+  */
+object Sources {
+
+  private lazy val tmpRoot: String = {
+    val p = Files.createTempDirectory("graft_stages_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** S1+S5 — quoted CSV sink then permissive all-varchar scan; output
+    * is the string-typed round trip of `nation`. */
+  private def csvRoundtrip(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/nation_csv"
+    CsvIO.writeQuoted(Tables.nation(s, d), path, singleFile = true)
+    CsvIO.readRobust(s, path,
+        Seq("n_nationkey", "n_name", "n_regionkey"), overflowColumns = 0)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey".cast("int"))
+  }
+
+  /** S3/S4 — CTAS-style stage materialization: aggregate → parquet
+    * stage → read back → join to a dimension. At scale a materialized
+    * stage is a deliberate pipeline breaker reused by several
+    * consumers (the reference reads cleaned_applications 3×). */
+  private def ctasStage(s: SparkSession, d: String) = {
+    import s.implicits._
+    val stagePath = s"$tmpRoot/stage_cust_per_nation"
+    Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .write.mode(SaveMode.Overwrite).parquet(stagePath)
+    val stage = s.read.parquet(stagePath)
+    val nation = Tables.nation(s, d)
+    stage.join(broadcast(nation), stage("c_nationkey") === nation("n_nationkey"))
+      .select($"n_nationkey", $"n_name", $"n_customers")
+      .orderBy($"n_nationkey")
+  }
+
+  /** S2 — bare parquet scan with projection+predicate pushdown. */
+  private def scanParquet(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .filter($"s_acctbal" > 0.0)
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("scan_parquet", scanParquet _,
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0.0 ORDER BY s_suppkey""".stripMargin),
+    OpDef("csv_roundtrip", csvRoundtrip _,
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY CAST(n_nationkey AS INT)""".stripMargin),
+    OpDef("ctas_stage", ctasStage _,
+      """SELECT n_nationkey, n_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name
+        |ORDER BY n_nationkey""".stripMargin)
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+
+/** Window functions — SURVEY §2.5 (W1) plus ranking/lag/frame extras
+  * the reference lacks but any user of the engine expects.
+  *
+  * Scale note: a window partitioned by a key is one shuffle on that
+  * key; rows inside a partition sort in memory (spilling if needed).
+  * Never use a global (`partitionBy()`-less) window at scale — every
+  * query here partitions.
+  */
+object Windows {
+
+  /** W1 — share-of-partition via unbounded window aggregate
+    * (reference `queries.sql:206-245`, the monthly-volume-share query). */
+  private def windowShare(s: SparkSession, d: String) = {
+    import s.implicits._
+    val monthly = Tables.orders(s, d)
+      .filter($"o_orderdate".isNotNull)
+      .groupBy(
+        date_trunc("month", $"o_orderdate").as("cohort_month"),
+        $"o_orderpriority")
+      .agg(sumExactWhen($"o_orderstatus" === "F", $"o_totalprice")
+        .as("finished_volume"))
+    val w = Window.partitionBy($"cohort_month")
+    monthly
+      .select(
+        $"cohort_month", $"o_orderpriority",
+        roundHalfUp($"finished_volume", 2).as("finished_volume"),
+        roundHalfUp(
+          $"finished_volume" / nullif(sum($"finished_volume").over(w), lit(0.0)),
+          4).as("monthly_share"))
+      .orderBy($"cohort_month", $"o_orderpriority")
+  }
+
+  /** Ranking: top-3 orders per month by value, deterministic tie-break
+    * (non-reference extra; Spark `row_number`). */
+  private def windowRank(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window
+      .partitionBy(date_trunc("month", $"o_orderdate"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .filter($"o_orderdate".isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select(date_trunc("month", $"o_orderdate").as("cohort_month"),
+        $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"cohort_month", $"rn")
+  }
+
+  /** Lag: previous order value per customer (non-reference extra). */
+  private def windowLag(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_totalprice"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** Running total per customer with an explicit rows frame
+    * (non-reference extra; exact decimal accumulation keeps the prefix
+    * sums reproducible). */
+  private def windowRunning(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum($"o_totalprice".cast("decimal(27,6)")).over(w).cast("double")
+          .as("running_value"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("window_share", windowShare _,
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS cohort_month,
+        |    o_orderpriority,
+        |    CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS finished_volume
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_month, o_orderpriority,
+        |  CAST(FLOOR(finished_volume * 100 + 0.5) AS DOUBLE) / 100 AS finished_volume,
+        |  CAST(FLOOR((finished_volume / NULLIF(SUM(finished_volume) OVER (PARTITION BY cohort_month), 0.0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS monthly_share
+        |FROM monthly
+        |ORDER BY cohort_month, o_orderpriority""".stripMargin),
+    OpDef("window_rank", windowRank _,
+      """WITH ranked AS (
+        |  SELECT date_trunc('month', o_orderdate) AS cohort_month,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('month', o_orderdate)
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        |    o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |)
+        |SELECT cohort_month, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY cohort_month, rn""".stripMargin),
+    OpDef("window_lag", windowLag _,
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+    OpDef("window_running", windowRunning _,
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  )
+}

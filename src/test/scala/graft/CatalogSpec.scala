@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every catalog entry runs on sf0.001 and satisfies basic invariants.
+  * Value-level correctness is enforced by the DuckDB oracle gate
+  * (`tools/oracle_check.py` / the driver's CORRECTNESS run); these
+  * specs guard that each op executes, yields its declared schema, and
+  * that cross-op semantic relations hold.
+  */
+class CatalogSpec extends SparkSpecBase {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes and is non-degenerate") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      // Empty results are legal only for genuinely filtering ops; all
+      // current catalog entries yield rows at sf0.001.
+      assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("semi + anti join partition the left side") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).select($"o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("union_distinct result is within each input's distinct bound") {
+    import spark.implicits._
+    val n = SparkEntry.queries("union_distinct")(spark, sf).count()
+    val cDist = Tables.customer(spark, sf).select($"c_nationkey").distinct().count()
+    assert(n >= cDist && n <= 25)
+  }
+
+  test("window_share shares sum to 1 within each month (non-null months)") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("window_share")(spark, sf)
+      .groupBy($"cohort_month")
+      .agg(sum($"monthly_share").as("s"))
+      .filter($"s".isNotNull && abs($"s" - 1.0) > 0.01)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("agg_groupby totals reconcile with agg_global row count") {
+    import spark.implicits._
+    val byGroup = SparkEntry.queries("agg_groupby")(spark, sf)
+      .agg(sum($"count_order")).first().getLong(0)
+    val global = SparkEntry.queries("agg_global")(spark, sf)
+      .first().getAs[Long]("n_rows")
+    assert(byGroup === global)
+  }
+
+  test("limit_topk is the global descending head") {
+    import spark.implicits._
+    val top = SparkEntry.queries("limit_topk")(spark, sf)
+      .agg(min($"o_totalprice")).first().getDouble(0)
+    val above = Tables.orders(spark, sf).filter($"o_totalprice" > top).count()
+    assert(above < 100)
+  }
+}
