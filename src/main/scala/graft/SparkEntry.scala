@@ -25,7 +25,9 @@ object SparkEntry {
       ops.Aggregates.defs ++
       ops.Windows.defs ++
       ops.SetSort.defs ++
-      ops.Scalars.defs
+      ops.Scalars.defs ++
+      ops.Dedup.defs ++
+      ops.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
