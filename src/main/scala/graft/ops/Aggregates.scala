@@ -114,12 +114,18 @@ object Aggregates {
   }
 
   /** A10 — ordered list aggregate: `array_agg(x ORDER BY x)` ≡
-    * `array_sort(collect_list(x))` (reference `pipeline.py:484-485`). */
+    * `array_sort(collect_list(x))` (reference `pipeline.py:484-485`).
+    * The array is serialized with `array_join` for the compare: the
+    * driver's pandas-side canonicalization cannot sort/hash raw array
+    * cells (round-1 `agg_array_collect` failed on exactly that), and a
+    * delimiter-joined string carries identical information for a
+    * deterministic, sorted list. */
   private def aggArrayCollect(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.nation(s, d)
       .groupBy($"n_regionkey")
-      .agg(array_sort(collect_list($"n_name")).as("nation_names"))
+      .agg(array_join(array_sort(collect_list($"n_name")), "|")
+        .as("nation_names"))
       .orderBy($"n_regionkey")
   }
 
@@ -198,7 +204,8 @@ object Aggregates {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     OpDef("agg_array_collect", aggArrayCollect _,
-      """SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS nation_names
+      """SELECT n_regionkey,
+        |  array_to_string(array_agg(n_name ORDER BY n_name), '|') AS nation_names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
     OpDef("scalar_subquery", scalarSubquery _,
       """SELECT o_orderpriority,

@@ -4,35 +4,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.{GraftFunctions, MinHash}
 import graft.functions.Exact._
 import graft.functions.TextFns._
 
 /** [EXT] Deduplication operators over the `documents` table — the core
   * of a training-data pipeline. Each op is a `queries` entry with a
-  * full DuckDB oracle (all signatures are md5-derived, so both engines
-  * compute bit-identical integers — see [[graft.functions.TextFns]]).
+  * full DuckDB oracle (every signature is md5-derived, so both engines
+  * compute bit-identical integers — see [[graft.expressions.MinHash]]).
   *
   * Scale design:
   *  - exact dedup: one shuffle on the content hash; keeps min doc_id
   *    deterministically (never `dropDuplicates`, whose survivor is
   *    partition-order-dependent).
-  *  - minhash LSH: signatures are computed per-row with higher-order
-  *    functions (no explode of shingles for hashing — a doc with S
-  *    shingles costs S×H hash evals inside one row, not S exploded
-  *    rows × H). Only band signatures explode (B rows per doc), and
-  *    candidate generation is a self-join on (band, signature) — the
-  *    classic "bucket join" that scales as the bucket sizes, never as
-  *    N². Verification joins shingle sets only for candidate pairs.
-  *  - at 100 TB the band self-join shuffles on band signature;
-  *    hot buckets (boilerplate docs) are the skew risk — AQE skew-join
-  *    handles moderate cases, and the band width R tunes bucket size.
+  *  - minhash LSH (words) and n-gram LSH (chars) share one pipeline:
+  *    per-row signatures from the codegen'd
+  *    [[graft.expressions.MinHashSig]] (one md5 + 16 affine maps per
+  *    gram, single pass, no shuffle), band keys explode to B rows per
+  *    doc, and candidate generation is a self-join on (band, sig) —
+  *    the classic bucket join that scales with bucket sizes, never N².
+  *    Exact-Jaccard verification joins 60-bit gram hashes (long keys,
+  *    not gram strings) for candidate pairs only.
+  *  - simhash: 32 sign-sums per doc via explode + codegen'd
+  *    conditional aggregates (one shuffle carrying 32 longs per doc);
+  *    4×8-bit band join guarantees EXACT recall for hamming ≤ 3 by
+  *    pigeonhole, then `bit_count(xor)` verifies.
+  *  - at 100 TB the band self-join shuffles on band signature; hot
+  *    buckets (boilerplate docs) are the skew risk — AQE skew-join
+  *    handles moderate cases, and band width R tunes bucket size.
   */
 object Dedup {
 
-  private val MinhashH = 16 // hash family size
-  private val Bands = 4     // bands × rows-per-band = H
-  private val RowsPerBand = 4
-  private val JaccardThreshold = 0.8
+  private val Bands = 4
+  private val RowsPerBand = 4 // Bands × RowsPerBand = MinHash.H
+
+  // ---------------------------------------------------------------- exact
 
   /** Exact dedup by content hash; deterministic survivor = min doc_id. */
   private def dedupExact(s: SparkSession, d: String) = {
@@ -46,36 +52,27 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Documents with per-row minhash signatures and band keys. */
-  private def withSignatures(docs: DataFrame): DataFrame = {
-    val mh = (0 until MinhashH).map { h =>
-      array_min(expr(
-        s"transform(shingles, s -> ${lambdaHash60(h, "s")})")).as(s"mh$h")
-    }
-    val withMh = docs
-      .withColumn("words", tokens(col("text")))
-      .withColumn("shingles", wordShingles("words", 3))
-      .filter(size(col("shingles")) > 0)
-      .select(Seq(col("doc_id"), col("shingles")) ++ mh: _*)
+  // ------------------------------------------------- shared LSH pipeline
+
+  /** Minhash-LSH near-dup pairs over a (doc_id, grams) frame: band the
+    * [[MinHashSig]] signature, bucket-join for candidates, verify with
+    * exact Jaccard over 60-bit gram hashes. Used by both word-shingle
+    * and char-n-gram dedup. */
+  private def lshPairs(s: SparkSession, grams: DataFrame,
+                       threshold: Double): DataFrame = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val base = grams.cache()
+
+    val signed = base.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand)
-        .map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
+        .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
       struct(lit(b).as("band"),
         md5(concat_ws(",", parts: _*)).as("sig")).as(s"band$b")
     }
-    withMh.select(col("doc_id"), col("shingles"), array(bandCols: _*).as("bands"))
-  }
-
-  /** Spark-side Column-lambda-safe hash60 body for use inside `expr`. */
-  private def lambdaHash60(seed: Int, v: String): String =
-    s"cast(conv(substring(md5('$seed:' || $v), 1, 15), 16, 10) AS BIGINT)"
-
-  /** Near-dup pairs via minhash + LSH banding + exact-jaccard verify. */
-  private def dedupMinhash(s: SparkSession, d: String) = {
-    import s.implicits._
-    val signed = withSignatures(Tables.documents(s, d)).cache()
-
-    val banded = signed.select($"doc_id", explode($"bands").as("b"))
+    val banded = signed
+      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
     val l = banded.as("l")
     val r = banded.as("r")
@@ -85,14 +82,14 @@ object Dedup {
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
       .distinct()
 
-    val shingleSets = signed
-      .select($"doc_id", explode($"shingles").as("sh")).distinct().cache()
-    val sizes = shingleSets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val gset = base.select($"doc_id", explode($"grams").as("g"))
+      .select($"doc_id", hash60($"g").as("g_h")).distinct().cache()
+    val sizes = gset.groupBy($"doc_id").agg(count(lit(1)).as("n"))
 
-    val sa = shingleSets.select($"doc_id".as("doc_a"), $"sh")
-    val sb = shingleSets.select($"doc_id".as("doc_b"), $"sh")
+    val ga = gset.select($"doc_id".as("doc_a"), $"g_h")
+    val gb = gset.select($"doc_id".as("doc_b"), $"g_h")
     val inter = candidates
-      .join(sa, "doc_a").join(sb, Seq("doc_b", "sh"))
+      .join(ga, "doc_a").join(gb, Seq("doc_b", "g_h"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
 
     inter
@@ -101,33 +98,54 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         roundHalfUp(lit(1.0) * $"inter" / ($"na" + $"nb" - $"inter"), 6)
           .as("jaccard"))
-      .filter($"jaccard" >= JaccardThreshold)
+      .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Oracle twin of [[dedupMinhash]] — same hashes, bands, verify. */
-  private def minhashOracle: String = {
-    val mhExprs = (0 until MinhashH).map { h =>
-      s"list_min(list_transform(shingles, s -> ${hash60Sql(h, "s")})) AS mh$h"
-    }.mkString(",\n    ")
+  /** Word-3-shingle minhash near-dups (Jaccard ≥ 0.8). */
+  private def dedupMinhash(s: SparkSession, d: String) = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .withColumn("words", tokens(col("text")))
+      .withColumn("grams", wordShingles("words", 3))
+      .filter(size(col("grams")) > 0)
+      .select($"doc_id", $"grams")
+    lshPairs(s, grams, 0.8)
+  }
+
+  /** Char-4-gram Jaccard near-dups (Jaccard ≥ 0.7). */
+  private def dedupNgram(s: SparkSession, d: String) = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .withColumn("norm", normalizeText($"text"))
+      .withColumn("grams", charNgrams("norm", 4))
+      .filter(size(col("grams")) > 0)
+      .select($"doc_id", $"grams")
+    lshPairs(s, grams, 0.7)
+  }
+
+  /** Oracle twin of [[lshPairs]]: `gramCte` must define
+    * `grams AS (SELECT doc_id, ... AS grams ...)`. */
+  private def lshOracle(gramCte: String, threshold: Double): String = {
+    val members = (0 until MinHash.H)
+      .map(i => s"MIN(${MinHash.memberSql(i, "b")}) AS mh$i")
+      .mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
-      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM mh"
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH docs AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS words FROM documents
+    val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
+    s"""WITH $gramCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (
+       |  SELECT doc_id, ${MinHash.baseSql("g")} AS b, ${hash60Sql("g")} AS g_h
+       |  FROM gx
        |),
-       |sh0 AS (
+       |sigs AS (
        |  SELECT doc_id,
-       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS shingles
-       |  FROM docs
-       |  WHERE len(words) >= 3
-       |),
-       |mh AS (
-       |  SELECT doc_id, shingles,
-       |    $mhExprs
-       |  FROM sh0
+       |    $members
+       |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
        |  $bandRows
@@ -137,23 +155,117 @@ object Dedup {
        |  FROM banded l JOIN banded r
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |),
-       |shset AS (
-       |  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh0
-       |),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shset GROUP BY doc_id),
+       |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
-       |  JOIN shset a ON a.doc_id = c.doc_a
-       |  JOIN shset b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  JOIN gset a ON a.doc_id = c.doc_a
+       |  JOIN gset b ON b.doc_id = c.doc_b AND b.g_h = a.g_h
        |  GROUP BY c.doc_a, c.doc_b
        |)
        |SELECT i.doc_a, i.doc_b,
-       |  CAST(FLOOR((1.0 * i.inter / (sa.n + sb.n - i.inter)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS jaccard
+       |  ${roundHalfUpSql(jac, 6)} AS jaccard
        |FROM inter i
        |JOIN sizes sa ON sa.doc_id = i.doc_a
        |JOIN sizes sb ON sb.doc_id = i.doc_b
-       |WHERE CAST(FLOOR((1.0 * i.inter / (sa.n + sb.n - i.inter)) * 1000000 + 0.5) AS DOUBLE) / 1000000 >= $JaccardThreshold
+       |WHERE ${roundHalfUpSql(jac, 6)} >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val shingleCte: String =
+    s"""grams AS (
+       |  SELECT doc_id,
+       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS grams
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS words FROM documents)
+       |  WHERE len(words) >= 3
+       |)""".stripMargin
+
+  private val ngramCte: String =
+    s"""grams AS (
+       |  SELECT doc_id,
+       |    [norm[i:i+3] for i in range(1, len(norm) - 2)] AS grams
+       |  FROM (SELECT doc_id, ${normalizeTextSql("text")} AS norm FROM documents)
+       |  WHERE len(norm) >= 4
+       |)""".stripMargin
+
+  // -------------------------------------------------------------- simhash
+
+  private val SimBits = 32
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
+  private val MaxHamming = 3 // < SimBands ⇒ band join is exact by pigeonhole
+
+  /** 32-bit simhash near-dups with hamming ≤ 3 — EXACT result: with 4
+    * disjoint 8-bit bands, any pair within hamming 3 shares at least
+    * one identical band (pigeonhole), so the band join loses nothing. */
+  private def dedupSimhash(s: SparkSession, d: String) = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+      .select($"doc_id", hash60($"t").as("h"))
+    val bitSums = (0 until SimBits).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j")
+    }
+    val sim = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until SimBits)
+          .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val bandCols = (0 until SimBands).map { k =>
+      struct(lit(k).as("k"),
+        shiftright($"simhash", k * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("v")).as(s"b$k")
+    }
+    val banded = sim
+      .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.k".as("k"), $"b.v".as("v"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, $"l.k" === $"r.k" && $"l.v" === $"r.v" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"),
+        bit_count($"l.simhash".bitwiseXOR($"r.simhash")).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= MaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val simExpr = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandRows = (0 until SimBands).map { k =>
+      s"SELECT doc_id, simhash, $k AS k, (simhash >> ${k * SimBandBits}) & ${(1L << SimBandBits) - 1} AS v FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS g FROM documents
+       |),
+       |tok AS (
+       |  SELECT doc_id, ${hash60Sql("g")} AS h FROM tok0
+       |),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id
+       |),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+       |banded AS (
+       |  $bandRows
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+       |  FROM banded l JOIN banded r
+       |    ON l.k = r.k AND l.v = r.v AND l.doc_id < r.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -169,6 +281,8 @@ object Dedup {
         |)
         |SELECT doc_id, content_hash FROM hashed WHERE rn = 1
         |ORDER BY doc_id""".stripMargin),
-    OpDef("dedup_minhash", dedupMinhash _, minhashOracle)
+    OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
+    OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
+    OpDef("dedup_simhash", dedupSimhash _, simhashOracle)
   )
 }
