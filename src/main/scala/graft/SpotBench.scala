@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Local iteration tool: times the hot [EXT] queries at sf0.1 twice
+  * each (cold = plan+codegen+JIT, warm = steady state), clearing the
+  * cache between runs like the driver's Bench does. */
 object SpotBench {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
@@ -7,11 +11,16 @@ object SpotBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val hot = Seq("dedup_embedding", "dedup_minhash", "dedup_ngram", "dedup_simhash", "ann_bruteforce", "ann_lsh", "dedup_exact")
+    val hot = Seq("dedup_embedding", "dedup_minhash", "dedup_ngram",
+      "dedup_simhash", "ann_bruteforce", "ann_lsh", "dedup_exact")
     hot.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"$name%-18s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-18s cold ${times.head}%6.2f s  warm ${times.last}%6.2f s")
     }
     spark.stop()
   }

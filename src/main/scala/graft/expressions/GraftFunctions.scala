@@ -1,32 +1,49 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
 /** Registers the engine's native Catalyst expressions as SQL functions
   * on a session, making them usable from `expr(...)` / `spark.sql`
   * exactly like built-ins (SURVEY §2.9 — preference order: built-in >
   * native `Expression` > UDF).
   *
-  * Registration goes through the session's `FunctionRegistry`
-  * (`createOrReplaceTempFunction` is idempotent, so every operator can
-  * call [[ensure]] defensively regardless of which session the driver
-  * hands it). The equivalent cluster-deploy path is
-  * `SparkSessionExtensions.injectFunction` from a
+  * Registration goes through the session's `FunctionRegistry`; [[ensure]]
+  * is a no-op once the session has the functions, so every operator can
+  * call it defensively regardless of which session the driver hands it
+  * (and without re-registration warnings in the logs). The equivalent
+  * cluster-deploy path is `SparkSessionExtensions.injectFunction` from a
   * `spark.sql.extensions` class — same builders, applied at session
   * construction; [[GraftExtensions]] provides it.
   */
 object GraftFunctions {
 
-  val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "minhash_sig" -> (es => MinHashSig(es(0)))
-  )
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: gram width must be an INT literal, got $other")
+  }
+
+  /** (name, implementing class for ExpressionInfo, builder). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
+    ("vec_normalize", classOf[VecNormalize], es => VecNormalize(es(0))),
+    ("minhash_sig", classOf[MinHashSig], es => MinHashSig(es(0))),
+    ("char_ngrams", classOf[CharNgrams],
+      es => CharNgrams(es(0), intLit("char_ngrams", es(1)))),
+    ("word_shingles", classOf[WordShingles],
+      es => WordShingles(es(0), intLit("word_shingles", es(1)))),
+    ("hash60_set", classOf[Hash60Set], es => Hash60Set(es(0))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      es => SortedIntersectCount(es(0), es(1))))
 
   def ensure(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "built-in")
+    builders.foreach { case (name, _, b) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 }
@@ -35,11 +52,10 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, b) =>
+    GraftFunctions.builders.foreach { case (name, cls, b) =>
       ext.injectFunction((
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[VecDot].getName, name),
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
         b))
     }
 }

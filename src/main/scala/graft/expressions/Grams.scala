@@ -1,0 +1,201 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static gram builders called from both interpreted eval and generated
+  * code (the [[MinHashSig]] pattern).
+  *
+  * These exist because Spark's `transform(sequence(...), i -> ...)`
+  * higher-order formulation is CodegenFallback: every gram costs an
+  * interpreted lambda round-trip (~µs), which made gram construction —
+  * not hashing, not the joins — the dominant cost of the LSH dedup
+  * pipeline. A native expression emits the grams in one tight loop per
+  * row inside whole-stage codegen.
+  *
+  * Semantics are bit-identical to the higher-order originals (and thus
+  * to the committed DuckDB oracles): code-point substrings via
+  * `UTF8String.substringSQL`, space-joined word windows, and an empty
+  * (non-null) array when the input is shorter than one gram.
+  */
+object Grams {
+
+  /** All `n`-code-point substrings of `s`, in position order. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i < len - n + 1) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All `k`-element windows of `arr`, space-joined. Null elements are
+    * skipped by the join exactly like `array_join(..., ' ')`. */
+  def wordShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i < n - k + 1) {
+      out(i) = UTF8String.concatWs(sep,
+        java.util.Arrays.copyOfRange(words, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Set-shaped helpers for the exact-Jaccard verify stage: gram sets
+  * live as one sorted `array<bigint>` per document (built in a single
+  * codegen'd pass — no explode, no shuffle) and pairwise intersection
+  * is a merge walk per candidate pair. This replaces the
+  * explode→distinct→join→groupBy formulation whose row count was
+  * |candidate pairs| × grams-per-doc — the measured bottleneck once
+  * LSH banding produced a dense candidate graph. */
+object GramSets {
+
+  /** Sorted distinct [[MinHash.hash60]] values of a string array. */
+  def hash60Set(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var m = 0
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) { hs(m) = MinHash.hash60(s.getBytes); m += 1 }
+      j += 1
+    }
+    java.util.Arrays.sort(hs, 0, m)
+    // dedup in place
+    var out = 0
+    var i = 0
+    while (i < m) {
+      if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** |a ∩ b| of two ascending-sorted long arrays. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `hash60_set(arr) -> array<bigint>` — sorted distinct 60-bit hashes
+  * of the elements, one codegen'd pass per row. */
+case class Hash60Set(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "hash60_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramSets.hash60Set(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.GramSets.hash60Set($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Set =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(a, b) -> bigint` — merge-walk intersection
+  * size of two sorted bigint arrays. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  private val longArray = ArrayType(org.apache.spark.sql.types.LongType)
+
+  override def inputTypes = Seq(longArray, longArray)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GramSets.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.GramSets.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `char_ngrams(s, n) -> array<string>` — one loop per row, inside
+  * whole-stage codegen. `n` is fixed at plan time (a literal in the
+  * registered SQL function). */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Grams.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Grams.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** `word_shingles(tokens, k) -> array<string>` — space-joined k-word
+  * windows, inside whole-stage codegen. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Grams.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Grams.wordShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}

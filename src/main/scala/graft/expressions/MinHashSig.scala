@@ -11,8 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Minhash parameters shared by the Spark expression and the DuckDB
   * oracle-SQL generator — both must build the SAME hash family.
   *
-  * Design (vs round 1, which cost 23 s at sf0.1): one md5 per shingle
-  * instead of [[H]] of them. The shingle's 60-bit md5 prefix is reduced
+  * Design: one md5 per shingle instead of [[H]] of them (the md5 is
+  * the expensive part; profiling showed the rest of the LSH pipeline's
+  * cost lived in interpreted gram construction and the exact-Jaccard
+  * verify join, both since replaced by codegen'd expressions — see
+  * [[Grams]]). The shingle's 60-bit md5 prefix is reduced
   * mod the Mersenne prime [[P]] = 2^31-1 to a base value, and the H
   * family members are affine maps `(A(i)*base + B(i)) mod P` — the
   * classic universal-hash construction (Broder, "On the resemblance and
@@ -46,9 +49,10 @@ object MinHash {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** base(s) = (first 15 md5 hex digits as int) mod P, over raw UTF-8
-    * bytes (Spark's `md5` and DuckDB's hash the same byte sequence). */
-  def base(bytes: Array[Byte]): Long = {
+  /** Full 60-bit md5-prefix hash over raw UTF-8 bytes — the fast-path
+    * twin of [[graft.functions.TextFns.hash60]] (first 15 hex digits
+    * of md5, built directly from the digest bytes). */
+  def hash60(bytes: Array[Byte]): Long = {
     val digest = md5Local.get()
     digest.reset()
     val d = digest.digest(bytes)
@@ -56,9 +60,12 @@ object MinHash {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((d(7) & 0xf0L) >> 4)
-    v % P
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
+
+  /** base(s) = (first 15 md5 hex digits as int) mod P, over raw UTF-8
+    * bytes (Spark's `md5` and DuckDB's hash the same byte sequence). */
+  def base(bytes: Array[Byte]): Long = hash60(bytes) % P
 
   /** One-pass signature: mins of the affine family over all shingles.
     * Called from both interpreted eval and generated code. */

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product of two `array<double>` columns.
@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `list_reduce(list_prepend(0.0, list_transform(list_zip(a, b), ...)))`
   * formulation, while the scan runs at memory bandwidth.
   *
-  * Null handling: standard binary-expression null-in → null-out. Arrays
-  * of unequal length dot over the common prefix (the engine only feeds
-  * it fixed-dimension embedding columns).
+  * Null handling: standard binary-expression null-in → null-out, and
+  * unequal-length arrays are NULL too — the DuckDB oracle's `list_zip`
+  * NULL-pads the short side, which poisons its fold to NULL, so a
+  * dimension mismatch must surface identically in both engines rather
+  * than being silently masked as a prefix dot.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -32,12 +34,15 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,16 +58,62 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+object VecOps {
+  /** Unit-normalize: each element divided by the L2 norm, norm built by
+    * the same strict left fold as [[VecDot]] (`acc += x*x` in index
+    * order) so results stay bit-identical to the DuckDB oracle's
+    * `list_transform(ed, x -> x / sqrt(<dot>(ed, ed)))`. */
+  def normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `vec_normalize(array<double>) -> array<double>` — codegen'd unit
+  * normalization; the higher-order `transform` formulation it replaces
+  * was CodegenFallback (interpreted per element). */
+case class VecNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "vec_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VecOps.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalize =
+    copy(child = newChild)
 }

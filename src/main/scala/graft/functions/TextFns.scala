@@ -47,20 +47,18 @@ object TextFns {
   def tokensSql(e: String): String =
     s"string_split(${normalizeTextSql(e)}, ' ')"
 
-  /** `k`-word shingles (space-joined) over a token array column (by
-    * name — the lambda is built with `expr`). Spark `sequence(a, b)`
-    * DESCENDS when a > b, so the size guard is load-bearing for short
-    * documents. */
+  /** `k`-word shingles (space-joined) over a token array column, via
+    * the codegen'd [[graft.expressions.WordShingles]] (the equivalent
+    * `transform(sequence(...))` formulation is CodegenFallback — every
+    * shingle paid an interpreted-lambda round-trip, which dominated the
+    * LSH pipelines). Callers must have run `GraftFunctions.ensure` on
+    * the session. Short inputs yield an empty (non-null) array. */
   def wordShingles(tokensColName: String, k: Int): Column =
-    when(size(col(tokensColName)) < k, array().cast("array<string>"))
-      .otherwise(expr(
-        s"transform(sequence(1, size($tokensColName) - ${k - 1}), " +
-          s"i -> array_join(slice($tokensColName, i, $k), ' '))"))
+    expr(s"word_shingles($tokensColName, $k)")
 
-  /** Character `n`-grams of a (pre-normalized) string column by name. */
+  /** Character `n`-grams of a (pre-normalized) string column by name —
+    * codegen'd [[graft.expressions.CharNgrams]]; same notes as
+    * [[wordShingles]]. */
   def charNgrams(colName: String, n: Int): Column =
-    when(length(col(colName)) < n, array().cast("array<string>"))
-      .otherwise(expr(
-        s"transform(sequence(1, length($colName) - ${n - 1}), " +
-          s"i -> substring($colName, i, $n))"))
+    expr(s"char_ngrams($colName, $n)")
 }

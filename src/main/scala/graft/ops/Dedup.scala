@@ -54,15 +54,37 @@ object Dedup {
 
   // ------------------------------------------------- shared LSH pipeline
 
-  /** Minhash-LSH near-dup pairs over a (doc_id, grams) frame: band the
-    * [[MinHashSig]] signature, bucket-join for candidates, verify with
-    * exact Jaccard over 60-bit gram hashes. Used by both word-shingle
-    * and char-n-gram dedup. */
-  private def lshPairs(s: SparkSession, grams: DataFrame,
+  /** Minhash-LSH near-dup pairs: band the [[MinHashSig]] signature of
+    * `mkGrams(docs)`, bucket-join for candidates, verify with exact
+    * Jaccard over 60-bit gram hashes. Used by both word-shingle and
+    * char-n-gram dedup.
+    *
+    * The verify stage is scoped to CANDIDATE documents only: the
+    * candidate id set is broadcast-semi-joined against `docs` BEFORE
+    * gram computation, so the gram explode+distinct shuffle —
+    * amplification ≈ grams per doc — is proportional to the near-dup
+    * population, never the corpus. The full corpus is touched exactly
+    * once more than necessary-minimum: the signature pass (one
+    * codegen'd scan, shuffle width = 16 longs per doc). The broadcast
+    * holds one long per candidate doc; for corpora where even that
+    * outgrows executor memory, swap the hint for a shuffled semi-join
+    * on a pre-gram projection. Only the two candidate-bounded frames
+    * are cached; the harness clears the cache between queries.
+    */
+  private def lshPairs(s: SparkSession, docs: DataFrame,
+                       mkGrams: DataFrame => DataFrame,
                        threshold: Double): DataFrame = {
     GraftFunctions.ensure(s)
     import s.implicits._
-    val base = grams.cache()
+    // A production corpus arrives in many scan partitions; a tiny test
+    // file arrives in one, which would serialize the gram+signature
+    // compute on a single core. Spread only when under-partitioned —
+    // at scale this is a no-op (never a merge).
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val base = mkGrams(spread)
 
     val signed = base.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
     val bandCols = (0 until Bands).map { b =>
@@ -80,21 +102,25 @@ object Dedup {
         $"l.band" === $"r.band" && $"l.sig" === $"r.sig" &&
           $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
-      .distinct()
+      .distinct().cache()
 
-    val gset = base.select($"doc_id", explode($"grams").as("g"))
-      .select($"doc_id", hash60($"g").as("g_h")).distinct().cache()
-    val sizes = gset.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val candIds = candidates
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val candDocs = spread.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // Gram sets as ONE sorted hash array per candidate doc — built in a
+    // single codegen'd pass, no explode/distinct shuffle. Exact Jaccard
+    // per pair is then a merge-walk intersection, so verify cost is
+    // |candidate pairs| × grams-per-doc ALU work with just two hash
+    // joins shipping the arrays — no |pairs|×grams row explosion.
+    val gsets = mkGrams(candDocs)
+      .select($"doc_id", expr("hash60_set(grams)").as("gs")).cache()
 
-    val ga = gset.select($"doc_id".as("doc_a"), $"g_h")
-    val gb = gset.select($"doc_id".as("doc_b"), $"g_h")
-    val inter = candidates
-      .join(ga, "doc_a").join(gb, Seq("doc_b", "g_h"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+    candidates
+      .join(gsets.select($"doc_id".as("doc_a"), $"gs".as("ga")), "doc_a")
+      .join(gsets.select($"doc_id".as("doc_b"), $"gs".as("gb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("sorted_intersect_count(ga, gb)").as("inter"),
+        size($"ga").as("na"), size($"gb").as("nb"))
       .select($"doc_a", $"doc_b",
         roundHalfUp(lit(1.0) * $"inter" / ($"na" + $"nb" - $"inter"), 6)
           .as("jaccard"))
@@ -105,23 +131,21 @@ object Dedup {
   /** Word-3-shingle minhash near-dups (Jaccard ≥ 0.8). */
   private def dedupMinhash(s: SparkSession, d: String) = {
     import s.implicits._
-    val grams = Tables.documents(s, d)
+    lshPairs(s, Tables.documents(s, d), docs => docs
       .withColumn("words", tokens(col("text")))
       .withColumn("grams", wordShingles("words", 3))
       .filter(size(col("grams")) > 0)
-      .select($"doc_id", $"grams")
-    lshPairs(s, grams, 0.8)
+      .select($"doc_id", $"grams"), 0.8)
   }
 
   /** Char-4-gram Jaccard near-dups (Jaccard ≥ 0.7). */
   private def dedupNgram(s: SparkSession, d: String) = {
     import s.implicits._
-    val grams = Tables.documents(s, d)
+    lshPairs(s, Tables.documents(s, d), docs => docs
       .withColumn("norm", normalizeText($"text"))
       .withColumn("grams", charNgrams("norm", 4))
       .filter(size(col("grams")) > 0)
-      .select($"doc_id", $"grams")
-    lshPairs(s, grams, 0.7)
+      .select($"doc_id", $"grams"), 0.7)
   }
 
   /** Oracle twin of [[lshPairs]]: `gramCte` must define
