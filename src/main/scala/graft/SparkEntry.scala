@@ -27,7 +27,9 @@ object SparkEntry {
       ops.SetSort.defs ++
       ops.Scalars.defs ++
       ops.Dedup.defs ++
-      ops.Similarity.defs
+      ops.Similarity.defs ++
+      ops.TextAnalysis.defs ++
+      ops.Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

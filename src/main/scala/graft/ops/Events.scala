@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** [EXT] Event-time operators over the `events` table (SURVEY §2.8).
+  *
+  * The reference is pure batch, so parity needs no Structured
+  * Streaming — but the engine's event-time semantics are expressed
+  * with the SAME primitives a `readStream` pipeline would use:
+  * `window($"ts", …)` tumbling windows and per-key ordered state
+  * (sessionization), both of which lift verbatim onto a streaming
+  * DataFrame with a watermark. Running them on a batch frame keeps
+  * them DuckDB-oracle-checkable.
+  *
+  * Scale design: both ops shuffle once on their natural key (the
+  * window bucket / the user), with map-side partial aggregation for
+  * the tumbling window. No global sort before aggregation; output
+  * ordering is the final, post-aggregate orderBy.
+  */
+object Events {
+
+  private val SessionGapMicros = 1800L * 1000 * 1000 // 30 min
+
+  /** Hourly tumbling-window aggregate per event type: Spark's
+    * `window()` event-time bucketing, count + exact decimal sum. */
+  private def windowTumbling(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(27,6)")).cast("double").as("total_value"))
+      .select($"window.start".as("hour_start"), $"event_type",
+        $"n_events", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): mark session
+    * starts with a lag over (user, time), number sessions with a
+    * running sum, then aggregate each session's span. The batch
+    * analogue of `mapGroupsWithState` session state. */
+  private def eventSessions(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("is_new",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("window_tumbling", windowTumbling _,
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin),
+    OpDef("event_sessions", eventSessions _,
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+  )
+}

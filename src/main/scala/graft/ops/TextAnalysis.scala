@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.GraftFunctions
+import graft.functions.Exact._
+import graft.functions.TextFns._
+
+/** [EXT] Text analysis over the `documents` table (SURVEY §2.9): the
+  * per-document statistics, quality scores, language heuristics and
+  * fingerprints a training-data pipeline computes before filtering.
+  *
+  * Scale design: every op is one codegen'd scan plus at most one
+  * aggregation shuffle. Per-document measures (stats, quality,
+  * fingerprint) are computed row-local — token arrays never leave the
+  * row, so there is NO shuffle at all and the scan parallelizes
+  * embarrassingly. The corpus-wide ops (top-k terms, language ID)
+  * explode tokens but partial-aggregate map-side, so the shuffle
+  * carries per-(partition, key) rows, not per-token rows.
+  */
+object TextAnalysis {
+
+  // Tiny per-language stopword lists for the n-gram/stopword language
+  // heuristic. Overlapping entries (e.g. 'la', 'que') are fine — the
+  // argmax with a fixed tie-break keeps the result deterministic.
+  private val En = Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it")
+  private val De = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")
+  private val Fr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  private val Es = Seq("el", "los", "las", "y", "es", "este", "una", "en", "se", "por")
+
+  private def inListSql(c: String, ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(s"$c IN (", ", ", ")")
+
+  /** Per-document token/length statistics — row-local, no shuffle. */
+  private def textStats(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"),
+        length(normalizeText($"text")).cast("long").as("n_chars_norm"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        $"n_chars_norm",
+        roundHalfUp(
+          lit(1.0) * length(array_join($"w", "")) / size($"w"), 6)
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-wide top-20 terms by occurrence (deterministic tie-break
+    * on the term). Map-side partial aggregation keeps the shuffle at
+    * per-(partition, term) rows; the global top-k is a single-stage
+    * TakeOrdered, never a full sort. */
+  private def topkTerms(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy($"occurrences".desc, $"term".asc)
+      .limit(20)
+  }
+
+  /** Per-document quality scoring — character-class ratios and a
+    * boolean keep-flag, all row-local. */
+  private def textQuality(s: SparkSession, d: String) = {
+    import s.implicits._
+    val n = length($"norm")
+    def ratio(c: Column) = roundHalfUp(lit(1.0) * c / nullif(n, lit(0)), 6)
+    Tables.documents(s, d)
+      .select($"doc_id", normalizeText($"text").as("norm"),
+        tokens($"text").as("w"))
+      .select($"doc_id",
+        ratio(length(regexp_replace($"norm", "[^a-z]", ""))).as("alpha_ratio"),
+        ratio(length(regexp_replace($"norm", "[^0-9]", ""))).as("digit_ratio"),
+        roundHalfUp(lit(1.0) *
+          size(expr(s"filter(w, t -> ${En.map(w => s"t = '$w'").mkString(" OR ")})")) /
+          nullif(size($"w"), lit(0)), 6).as("stopword_ratio"),
+        (size($"w") >= 5 &&
+          length(regexp_replace($"norm", "[^a-z]", "")) * lit(10) >= n * lit(6))
+          .as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stopword-hit language identification: occurrence counts against
+    * four tiny stopword lists, argmax with fixed tie-break en>de>fr>es.
+    * One explode + one aggregation on doc_id (map-side combined). */
+  private def textLangid(s: SparkSession, d: String) = {
+    import s.implicits._
+    val hits = Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        countWhen($"w".isin(En: _*)).as("en_hits"),
+        countWhen($"w".isin(De: _*)).as("de_hits"),
+        countWhen($"w".isin(Fr: _*)).as("fr_hits"),
+        countWhen($"w".isin(Es: _*)).as("es_hits"))
+    hits.select($"doc_id", $"lang",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" &&
+          $"en_hits" >= $"es_hits", "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
+          .when($"fr_hits" >= $"es_hits", "fr")
+          .otherwise("es").as("pred_lang"),
+        $"en_hits", $"de_hits", $"fr_hits", $"es_hits")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-document fingerprint: minimum 60-bit hash of the char-8-gram
+    * set (a 1-member minhash — the standard document-sketch primitive)
+    * plus the distinct-gram count. Entirely row-local via the codegen'd
+    * `hash60_set`: the gram set never leaves the row. */
+  private def textFingerprint(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", normalizeText($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id", expr("hash60_set(char_ngrams(norm, 8))").as("gs"))
+      .select($"doc_id",
+        element_at($"gs", 1).as("fingerprint"),
+        size($"gs").cast("long").as("n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("text_stats", textStats _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS w,
+         |    len(${normalizeTextSql("text")}) AS n_chars_norm
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  n_chars_norm,
+         |  ${roundHalfUpSql("1.0 * len(array_to_string(w, '')) / len(w)", 6)} AS avg_token_len
+         |FROM toks
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("text_topk_terms", topkTerms _,
+      s"""SELECT term, COUNT(*) AS occurrences
+         |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)
+         |GROUP BY term
+         |ORDER BY occurrences DESC, term ASC
+         |LIMIT 20""".stripMargin),
+    OpDef("text_quality", textQuality _,
+      s"""WITH base AS (
+         |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+         |    ${tokensSql("text")} AS w
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  ${roundHalfUpSql("1.0 * len(regexp_replace(norm, '[^a-z]', '', 'g')) / NULLIF(len(norm), 0)", 6)} AS alpha_ratio,
+         |  ${roundHalfUpSql("1.0 * len(regexp_replace(norm, '[^0-9]', '', 'g')) / NULLIF(len(norm), 0)", 6)} AS digit_ratio,
+         |  ${roundHalfUpSql(s"1.0 * len(list_filter(w, t -> ${inListSql("t", En)})) / NULLIF(len(w), 0)", 6)} AS stopword_ratio,
+         |  (len(w) >= 5 AND
+         |   len(regexp_replace(norm, '[^a-z]', '', 'g')) * 10 >= len(norm) * 6) AS keep
+         |FROM base
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("text_langid", textLangid _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(${tokensSql("text")}) AS w
+         |  FROM documents
+         |),
+         |hits AS (
+         |  SELECT doc_id, lang,
+         |    CAST(SUM(CASE WHEN ${inListSql("w", En)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         |    CAST(SUM(CASE WHEN ${inListSql("w", De)} THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+         |    CAST(SUM(CASE WHEN ${inListSql("w", Fr)} THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits,
+         |    CAST(SUM(CASE WHEN ${inListSql("w", Es)} THEN 1 ELSE 0 END) AS BIGINT) AS es_hits
+         |  FROM toks GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang,
+         |  CASE
+         |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |    WHEN fr_hits >= es_hits THEN 'fr'
+         |    ELSE 'es'
+         |  END AS pred_lang,
+         |  en_hits, de_hits, fr_hits, es_hits
+         |FROM hits
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("text_fingerprint", textFingerprint _,
+      s"""WITH base AS (
+         |  SELECT doc_id, ${normalizeTextSql("text")} AS norm FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, unnest([norm[i:i+7] for i in range(1, len(norm) - 6)]) AS g
+         |  FROM base WHERE len(norm) >= 8
+         |)
+         |SELECT doc_id,
+         |  MIN(${hash60Sql("g")}) AS fingerprint,
+         |  COUNT(DISTINCT ${hash60Sql("g")}) AS n_grams
+         |FROM grams
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
+  )
+}

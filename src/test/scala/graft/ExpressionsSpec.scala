@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
+import graft.functions.TextFns
+
+/** Unit tests for the engine's native Catalyst expressions — the
+  * codegen'd hot-path replacements for higher-order-function
+  * formulations. Each test pins the exact semantics the DuckDB oracles
+  * rely on (code-point grams, sorted distinct hash sets, strict-fold
+  * dots, NULL on dimension mismatch).
+  */
+class ExpressionsSpec extends SparkSpecBase {
+
+  private def one(sql: String): Row = {
+    GraftFunctions.ensure(spark)
+    spark.sql(s"SELECT $sql AS v").first()
+  }
+
+  test("char_ngrams: positions, short input, code points") {
+    assert(one("char_ngrams('abcde', 4)").getSeq[String](0) == Seq("abcd", "bcde"))
+    assert(one("char_ngrams('abc', 4)").getSeq[String](0) == Seq.empty)
+    assert(one("char_ngrams('abcd', 4)").getSeq[String](0) == Seq("abcd"))
+    // multi-byte code points count as one character
+    assert(one("char_ngrams('äöüß', 3)").getSeq[String](0) == Seq("äöü", "öüß"))
+    assert(one("char_ngrams(CAST(NULL AS STRING), 3)").isNullAt(0))
+  }
+
+  test("word_shingles: windows, short input") {
+    assert(one("word_shingles(array('a','b','c','d'), 3)").getSeq[String](0)
+      == Seq("a b c", "b c d"))
+    assert(one("word_shingles(array('a','b'), 3)").getSeq[String](0) == Seq.empty)
+  }
+
+  test("char_ngrams/word_shingles match the higher-order formulation") {
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .withColumn("norm", TextFns.normalizeText($"text"))
+      .withColumn("words", TextFns.tokens($"text"))
+    val diff = docs.select(
+        expr("char_ngrams(norm, 4)").as("fast"),
+        expr("transform(sequence(1, greatest(length(norm) - 3, 0)), i -> substring(norm, i, 4))").as("slow"),
+        expr("word_shingles(words, 3)").as("wfast"),
+        expr("CASE WHEN size(words) < 3 THEN array() ELSE transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' ')) END").as("wslow"))
+      .filter($"fast" =!= $"slow" || $"wfast" =!= $"wslow")
+      .count()
+    assert(diff === 0)
+  }
+
+  test("hash60_set: sorted, distinct, matches md5-prefix hash") {
+    val got = one("hash60_set(array('x', 'y', 'x'))").getSeq[Long](0)
+    val expect = Seq("x", "y")
+      .map(s => graft.expressions.MinHash.hash60(s.getBytes("UTF-8"))).sorted
+    assert(got == expect)
+    assert(got == got.sorted && got.distinct == got)
+  }
+
+  test("sorted_intersect_count: merge walk") {
+    assert(one("sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,5L,9L))").getLong(0) == 2L)
+    assert(one("sorted_intersect_count(array(1L), array(2L))").getLong(0) == 0L)
+    assert(one("sorted_intersect_count(array(), array(1L))").getLong(0) == 0L)
+  }
+
+  test("vec_dot: strict fold; NULL on dimension mismatch") {
+    assert(one("vec_dot(array(1.0d,2.0d), array(3.0d,4.0d))").getDouble(0) == 11.0)
+    assert(one("vec_dot(array(1.0d,2.0d), array(3.0d))").isNullAt(0))
+    assert(one("vec_dot(CAST(NULL AS array<double>), array(1.0d))").isNullAt(0))
+  }
+
+  test("vec_normalize: unit norm, bit-identical to transform formulation") {
+    val r = one("vec_dot(vec_normalize(array(3.0d,4.0d)), vec_normalize(array(3.0d,4.0d)))")
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val diff = Tables.embeddings(spark, sf)
+      .select(expr("CAST(embedding AS array<double>)").as("ed"))
+      .withColumn("nrm", expr("sqrt(vec_dot(ed, ed))"))
+      .select(expr("vec_normalize(ed)").as("fast"),
+        expr("transform(ed, x -> x / nrm)").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diff === 0)
+  }
+}
