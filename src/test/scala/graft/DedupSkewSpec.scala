@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** The LSH band-join skew guard is enforced behavior, not a comment:
+  * buckets wider than the cap are excluded from candidate generation,
+  * so a boilerplate cluster cannot turn the bucket join quadratic.
+  */
+class DedupSkewSpec extends SparkSpecBase {
+
+  private def docsFrame(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def pairs(docs: org.apache.spark.sql.DataFrame, cap: Int) =
+    ops.Dedup.lshPairs(spark, docs, d => d
+      .withColumn("norm", TextFns.normalizeText(col("text")))
+      .withColumn("grams", TextFns.charNgrams("norm", 4))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams")), 0.7, maxBucket = cap)
+
+  private val boiler = "identical boilerplate header shared by the whole cluster"
+  private val rare = "a genuinely rare document that appears exactly twice here"
+
+  test("over-wide buckets are dropped; narrow buckets still pair") {
+    val docs = docsFrame(
+      (0L until 40L).map(i => i -> boiler) ++ Seq(100L -> rare, 101L -> rare))
+    val got = pairs(docs, cap = 16).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the 40-doc cluster (bucket width 40 > 16) contributes no pairs;
+    // the width-2 bucket survives
+    assert(got === Seq((100L, 101L)))
+  }
+
+  test("with a high cap the cluster pairs fully") {
+    val docs = docsFrame(
+      (0L until 10L).map(i => i -> boiler) ++ Seq(100L -> rare, 101L -> rare))
+    val n = pairs(docs, cap = 4096).count()
+    assert(n === 10L * 9 / 2 + 1)
+  }
+}
