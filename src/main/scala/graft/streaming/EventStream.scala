@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming lift of the engine's event-time operators
+  * (SURVEY §2.8). The reference is pure batch, so the DuckDB oracle
+  * gate covers the batch twins in [[graft.ops.Events]]; this module is
+  * the `readStream → transforms → writeStream` form of the same
+  * semantics, exercised in `StreamingSpec` by feeding the identical
+  * testdata through a MemoryStream and comparing against the batch
+  * results.
+  *
+  * Scale design: all three shapes keep state partitioned by their
+  * group key (window bucket / session key / event type), so state
+  * size tracks live keys, and the watermark bounds how long a window
+  * stays open — the knobs that keep a 100 TB/day stream's state from
+  * growing without bound.
+  */
+object EventStream {
+
+  /** One event row as fed by the streaming source. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Hourly tumbling counts per event type — watermarked, so the sink
+    * can run in append mode once windows close. Identical aggregation
+    * shape to the oracle-checked batch `window_tumbling`. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"))
+
+  /** Gap-based sessions via Spark's native `session_window` — the
+    * streaming counterpart of the batch `event_sessions` op (30-minute
+    * inactivity gap). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
+    * event counts, emitted every trigger (update mode). The state is
+    * one long per key — the minimal template for richer per-key
+    * accumulators (sketches, session carts, model features). */
+  def runningTypeCounts(events: Dataset[Event]): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          key -> total
+      }
+  }
+}
