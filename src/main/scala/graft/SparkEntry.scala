@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
-      ops.Events.defs
+      ops.Events.defs ++
+      ops.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.TextFns.{hash60, hash60Sql}
+
+/** [EXT] Multimodal columns: media as an opaque `binary` payload plus
+  * typed metadata, with the Spark-side plumbing — schema, partition
+  * parallelism, batch shape — real and oracle-checked, and the actual
+  * codec STUBBED behind a deterministic fake ([[MediaCodec.decode]]):
+  * this container ships no image/audio libraries, so the fake derives
+  * every "decoded" value from the payload bytes reproducibly.
+  *
+  * The media table is synthesized deterministically from `documents`
+  * (no binary testdata table exists): payload = 4-byte format magic ++
+  * UTF-8 text bytes; width/height metadata from md5-derived hashes.
+  * Both engines build bit-identical payloads, so the DuckDB oracle
+  * verifies the whole pipeline. DuckDB has no BLOB slicing/md5, so
+  * oracle-checked derivations work over `hex(payload)` — uppercase in
+  * both engines — while the frame keeps the true binary column.
+  *
+  * Scale design: payloads never leave their scan partition — every op
+  * is row-local compute (+ the final orderBy for the oracle); frame
+  * sampling explodes only frame INDEXES, slicing per frame, so a
+  * sampled frame costs one substring, not a payload copy per frame.
+  */
+object Multimodal {
+
+  private val Formats = Seq("png", "jpeg", "wav")
+  private val Magics = Seq("PNG0", "JPG0", "WAV0")
+  private val Pow60 = "1152921504606846976.0" // 2^60
+  private val FrameBytes = 256
+  private val SampleEvery = 2
+
+  /** documents → (doc_id, format, payload, width, height): the opaque
+    * media frame every op below consumes. */
+  def media(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = ($"doc_id" % 3).cast("int") + 1
+    Tables.documents(s, d).select(
+      $"doc_id",
+      element_at(array(Formats.map(lit): _*), idx).as("format"),
+      encode(concat(element_at(array(Magics.map(lit): _*), idx), $"text"),
+        "utf-8").as("payload"),
+      (hash60(concat(lit("w:"), $"doc_id".cast("string"))) % 1024 + 1)
+        .cast("int").as("width"),
+      (hash60(concat(lit("h:"), $"doc_id".cast("string"))) % 1024 + 1)
+        .cast("int").as("height"))
+  }
+
+  /** Shared oracle CTE mirroring [[media]] (payload kept as VARCHAR
+    * hex, the only BLOB projection DuckDB can slice). */
+  private val mediaSql: String = {
+    val fmts = Formats.map(f => s"'$f'").mkString("[", ", ", "]")
+    val mags = Magics.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""media AS (
+       |  SELECT doc_id,
+       |    ($fmts)[CAST(doc_id % 3 AS INT) + 1] AS format,
+       |    hex(encode(($mags)[CAST(doc_id % 3 AS INT) + 1] || text)) AS hexp,
+       |    CAST(${hash60Sql("'w:' || doc_id")} % 1024 + 1 AS INT) AS width,
+       |    CAST(${hash60Sql("'h:' || doc_id")} % 1024 + 1 AS INT) AS height
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** Typed metadata extraction from the opaque payload: byte size,
+    * magic bytes, declared dimensions, aspect ratio. */
+  private def mmMetadata(s: SparkSession, d: String) = {
+    import s.implicits._
+    media(s, d).select(
+        $"doc_id", $"format",
+        length($"payload").cast("long").as("n_bytes"),
+        substring(hex($"payload"), 1, 8).as("magic_hex"),
+        $"width", $"height",
+        roundHalfUp(lit(1.0) * $"width" / $"height", 6).as("aspect"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic fake feature extraction — the stand-in for a real
+    * decode+embed stage: 8 doubles in [0, 1) derived from the payload
+    * hash. A production build swaps the hash for a codec+model call;
+    * the schema, partitioning and batch shape stay identical. */
+  private def mmFeatures(s: SparkSession, d: String) = {
+    import s.implicits._
+    // payload hashed via its hex form: the oracle cannot md5 raw BLOBs
+    media(s, d)
+      .select($"doc_id", md5(hex($"payload")).as("pm"))
+      .select($"doc_id" +: (0 until 8).map(i =>
+        (hash60(concat(lit(s"f$i:"), $"pm")).cast("double") /
+          lit(Pow60.toDouble)).as(s"f$i")): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Frame sampling: fixed-size frames, every [[SampleEvery]]-th kept,
+    * identified by an md5 over the frame's hex slice (hex, because the
+    * oracle cannot hash raw BLOB bytes). Only frame indexes explode. */
+  private def mmFrameSample(s: SparkSession, d: String) = {
+    import s.implicits._
+    val hexFrame = FrameBytes * 2
+    media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp"),
+        length($"payload").cast("long").as("n_bytes"))
+      .withColumn("n_frames", expr(s"(n_bytes + ${FrameBytes - 1}) div $FrameBytes"))
+      .select($"doc_id", $"hexp",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_no"))
+      .filter($"frame_no" % SampleEvery === 0)
+      .select($"doc_id", $"frame_no",
+        md5(expr(s"substring(hexp, CAST(frame_no * $hexFrame + 1 AS INT), $hexFrame)"))
+          .as("frame_md5"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("mm_metadata", mmMetadata _,
+      s"""WITH $mediaSql
+         |SELECT doc_id, format,
+         |  len(hexp) // 2 AS n_bytes,
+         |  substring(hexp, 1, 8) AS magic_hex,
+         |  width, height,
+         |  ${roundHalfUpSql("1.0 * width / height", 6)} AS aspect
+         |FROM media
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("mm_features", mmFeatures _, {
+      val cols = (0 until 8)
+        .map(i => s"CAST(${hash60Sql(s"'f$i:' || md5(hexp)")} AS DOUBLE) / $Pow60 AS f$i")
+        .mkString(",\n  ")
+      s"""WITH $mediaSql
+         |SELECT doc_id,
+         |  $cols
+         |FROM media
+         |ORDER BY doc_id""".stripMargin
+    }),
+    OpDef("mm_frame_sample", mmFrameSample _,
+      s"""WITH $mediaSql,
+         |framed AS (
+         |  SELECT doc_id, hexp,
+         |    len(hexp) // 2 AS n_bytes
+         |  FROM media
+         |),
+         |idx AS (
+         |  SELECT doc_id, hexp,
+         |    unnest(range(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes)) AS frame_no
+         |  FROM framed
+         |)
+         |SELECT doc_id, frame_no,
+         |  md5(substring(hexp, CAST(frame_no * ${FrameBytes * 2} + 1 AS INT), ${FrameBytes * 2})) AS frame_md5
+         |FROM idx
+         |WHERE frame_no % $SampleEvery = 0
+         |ORDER BY doc_id, frame_no""".stripMargin)
+  )
+}
+
+/** The stubbed codec boundary: everything a real decoder would
+  * return, derived deterministically from the payload bytes (this
+  * container has no image/audio libraries). `decodeBatch` is the
+  * Scala analogue of a `mapInPandas` batch UDF — one iterator per
+  * partition, amortizing per-batch setup (a real codec would init
+  * native state once per partition here).
+  */
+object MediaCodec {
+
+  case class Decoded(doc_id: Long, format: String, width: Int, height: Int,
+                     mean_byte: Double, byte_hist: Array[Long])
+
+  /** STUB — deterministic fake of the native decode call. Real builds
+    * replace the body with a codec; the signature and everything
+    * downstream stay fixed. */
+  def decode(docId: Long, format: String, width: Int, height: Int,
+             payload: Array[Byte]): Decoded = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    Decoded(docId, format, width, height,
+      if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist)
+  }
+
+  /** Partition-batched decode over the media frame — per-partition
+    * iterator, no shuffle, codec state initializable once per task. */
+  def decodeBatch(media: DataFrame): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "format", "width", "height", "payload")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codecs would acquire native resources here, once
+        rows.map { case (id, f, w, h, p) => decode(id, f, w, h, p) }
+      }
+  }
+}
