@@ -82,6 +82,27 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // GPT-2-style pre-tokenizer shape: letter runs (case-split), digit
+  // runs, and single punctuation marks. Plain alternation only, so the
+  // pattern means the same thing to Java regex and DuckDB's RE2.
+  private val BpeIshPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting under two tokenizers — plain whitespace vs a
+    * BPE-ish pre-tokenizer regex — the standard "how many tokens will
+    * training see" estimate. Row-local, no shuffle. */
+  private def textTokensBpe(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"),
+        expr(s"regexp_extract_all(text, '${BpeIshPattern.replace("\\", "\\\\")}', 0)").as("bpe"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_ws_tokens"),
+        size($"bpe").cast("long").as("n_bpe_tokens"),
+        roundHalfUp(lit(1.0) * size($"bpe") / nullif(size($"ws"), lit(0)), 6)
+          .as("bpe_per_ws"))
+      .orderBy($"doc_id")
+  }
+
   /** Stopword-hit language identification: occurrence counts against
     * four tiny stopword lists, argmax with fixed tie-break en>de>fr>es.
     * One explode + one aggregation on doc_id (map-side combined). */
@@ -154,6 +175,18 @@ object TextAnalysis {
          |  (len(w) >= 5 AND
          |   len(regexp_replace(norm, '[^a-z]', '', 'g')) * 10 >= len(norm) * 6) AS keep
          |FROM base
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("text_tokens_bpe", textTokensBpe _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS ws,
+         |    regexp_extract_all(text, '$BpeIshPattern') AS bpe
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(ws) AS n_ws_tokens,
+         |  len(bpe) AS n_bpe_tokens,
+         |  ${roundHalfUpSql("1.0 * len(bpe) / NULLIF(len(ws), 0)", 6)} AS bpe_per_ws
+         |FROM toks
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_langid", textLangid _,
       s"""WITH toks AS (
