@@ -217,6 +217,62 @@ object Aggregates {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
         |  COUNT(DISTINCT l_partkey) AS n_parts
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    OpDef("agg_rollup", aggRollup _,
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+        |  CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        |ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    OpDef("agg_percentile", aggPercentile _,
+      """SELECT l_returnflag,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) AS DOUBLE) / 10000 AS p25,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) AS DOUBLE) / 10000 AS p50,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) AS DOUBLE) / 10000 AS p90
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
   )
+
+  /** Rollup (non-reference extra): per-(year, status) subtotals, year
+    * totals, and the grand total in one pass — Spark expands the
+    * grouping sets before the same single hash-aggregate shuffle.
+    * `grouping_id` disambiguates structural NULLs; ordering pins NULLS
+    * FIRST explicitly because the engines' defaults differ. */
+  private def aggRollup(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderdate".isNotNull)
+      .rollup(year($"o_orderdate").as("yr"), $"o_orderstatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(27,6)")).cast("double")
+          .as("total_value"))
+      .select($"yr".cast("int").as("yr"), $"o_orderstatus", $"gid",
+        $"n_orders", $"total_value")
+      .orderBy($"gid".asc, $"yr".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Exact interpolated percentiles (non-reference extra): Spark's
+    * `percentile` and DuckDB's `quantile_cont` both rank at (n-1)·p
+    * with linear interpolation; half-up rounding to 4dp absorbs any
+    * last-bit formula difference. */
+  private def aggPercentile(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("r25"),
+        expr("percentile(l_extendedprice, 0.5)").as("r50"),
+        expr("percentile(l_extendedprice, 0.9)").as("r90"))
+      .select($"l_returnflag",
+        roundHalfUp($"r25", 4).as("p25"),
+        roundHalfUp($"r50", 4).as("p50"),
+        roundHalfUp($"r90", 4).as("p90"))
+      .orderBy($"l_returnflag")
+  }
 }

