@@ -54,6 +54,25 @@ object Sources {
       .orderBy($"n_nationkey")
   }
 
+  /** JSONL sink + schema-on-read scan (non-reference extra): typed
+    * round trip through line-delimited JSON — doubles survive via
+    * shortest-round-trip rendering, dates via ISO strings parsed back
+    * by the explicit read schema. */
+  private def jsonRoundtrip(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/orders_json"
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderkey" % 100 === 0)
+      .write.mode(SaveMode.Overwrite).json(path)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate DATE")
+      .json(path)
+      .orderBy($"o_orderkey")
+  }
+
   /** S2 — bare parquet scan with projection+predicate pushdown. */
   private def scanParquet(s: SparkSession, d: String) = {
     import s.implicits._
@@ -75,6 +94,10 @@ object Sources {
       """SELECT n_nationkey, n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name
-        |ORDER BY n_nationkey""".stripMargin)
+        |ORDER BY n_nationkey""".stripMargin),
+    OpDef("json_roundtrip", jsonRoundtrip _,
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

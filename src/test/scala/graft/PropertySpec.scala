@@ -1,0 +1,87 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.Exact
+import graft.functions.Loan
+
+/** ScalaCheck properties for the semantics-sensitive points SURVEY
+  * §7.4 calls out — the places where DuckDB and Spark dialects (or
+  * floating point) could silently disagree. Each property drives the
+  * REAL column expressions through a tiny DataFrame so what's tested
+  * is the Catalyst evaluation, not a Scala re-implementation.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def check(p: Prop, tests: Int = 20): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("F3: engine regex replace-all removes every whitespace run") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { ss =>
+      val got = ss.toDF("v")
+        .select(regexp_replace(lower($"v"), "\\s+", "").as("r"))
+        .collect().map(_.getString(0)).toSeq
+      got == ss.map(_.toLowerCase.replaceAll("\\s+", ""))
+    }, tests = 10)
+  }
+
+  test("F12: monthDiff counts calendar-boundary crossings, not fractions") {
+    import spark.implicits._
+    val dates = for {
+      y <- Gen.choose(1990, 2035); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield LocalDate.of(y, m, d)
+    check(Prop.forAll(Gen.listOfN(25, Gen.zip(dates, dates))) { ps =>
+      val got = ps.map { case (a, b) =>
+        (java.sql.Date.valueOf(a), java.sql.Date.valueOf(b)) }
+        .toDF("a", "b").select(Loan.monthDiff($"a", $"b").as("r"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = ps.map { case (a, b) =>
+        (b.getYear * 12L + b.getMonthValue) - (a.getYear * 12L + a.getMonthValue) }
+      // day-of-month never matters (boundary-crossing semantics)
+      val gotShifted = ps.map { case (a, b) =>
+        (java.sql.Date.valueOf(a.withDayOfMonth(28)),
+          java.sql.Date.valueOf(b.withDayOfMonth(1))) }
+        .toDF("a", "b").select(Loan.monthDiff($"a", $"b").as("r"))
+        .collect().map(_.getLong(0)).toSeq
+      got == want && gotShifted == want
+    }, tests = 10)
+  }
+
+  test("O3: union + distinct has SQL UNION cardinality") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 30)),
+      Gen.listOf(Gen.choose(0, 30))) { (xs, ys) =>
+      xs.toDF("v").union(ys.toDF("v")).distinct().count() ==
+        (xs ++ ys).distinct.size.toLong
+    }, tests = 10)
+  }
+
+  test("A10: array_sort(collect_list) is deterministic under any row order") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(25, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.long) { (xs, seed) =>
+      def collected(seq: Seq[String]) =
+        seq.toDF("v").repartition(3)
+          .agg(array_sort(collect_list($"v")).as("r"))
+          .first().getSeq[String](0).toList
+      val shuffled = new scala.util.Random(seed).shuffle(xs)
+      collected(xs) == xs.sorted && collected(shuffled) == xs.sorted
+    }, tests = 10)
+  }
+
+  test("roundHalfUp: evaluates the plain IEEE floor formula exactly") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6))) { ds =>
+      val got = ds.toDF("v")
+        .select(Exact.roundHalfUp($"v", 2).as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+      got == ds.map(v => math.floor(v * 100 + 0.5) / 100)
+    }, tests = 10)
+  }
+}
