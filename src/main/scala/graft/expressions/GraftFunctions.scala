@@ -35,6 +35,8 @@ object GraftFunctions {
     ("word_shingles", classOf[WordShingles],
       es => WordShingles(es(0), intLit("word_shingles", es(1)))),
     ("hash60_set", classOf[Hash60Set], es => Hash60Set(es(0))),
+    ("vec_match_count", classOf[VecMatchCount],
+      es => VecMatchCount(es(0), es(1))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1))))
 

@@ -155,6 +155,60 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_match_count(a, b) -> bigint` — positions where two
+  * equal-length bigint arrays agree (minhash-signature agreement for
+  * sketch-estimated Jaccard). NULL on length mismatch. */
+case class VecMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  private val longArray = ArrayType(org.apache.spark.sql.types.LongType)
+
+  override def inputTypes = Seq(longArray, longArray)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "vec_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var c = 0L
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+      c
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $c = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  }
+         |  ${ev.value} = $c;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `char_ngrams(s, n) -> array<string>` — one loop per row, inside
   * whole-stage codegen. `n` is fixed at plan time (a literal in the
   * registered SQL function). */

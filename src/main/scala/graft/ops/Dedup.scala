@@ -67,6 +67,33 @@ object Dedup {
 
   // ------------------------------------------------- shared LSH pipeline
 
+  /** Candidate pairs from a (doc_id, sig) frame: band the signature
+    * ([[Bands]] × [[RowsPerBand]]), drop over-wide buckets (the
+    * enforced skew guard, see [[MaxBucket]]), and self-join on
+    * (band, band-sig). */
+  private def bandCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", parts: _*)).as("sig")).as(s"band$b")
+    }
+    val banded = signed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val kept = banded.join(
+      banded.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bw"))
+        .filter(col("bw") <= maxBucket)
+        .select(col("band"), col("sig")),
+      Seq("band", "sig"))
+    kept.as("l").join(kept.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Minhash-LSH near-dup pairs: band the [[MinHashSig]] signature of
     * `mkGrams(docs)`, bucket-join for candidates, verify with exact
     * Jaccard over 60-bit gram hashes. Used by both word-shingle and
@@ -99,31 +126,8 @@ object Dedup {
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
     val base = mkGrams(spread)
-
     val signed = base.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
-    val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", parts: _*)).as("sig")).as(s"band$b")
-    }
-    val banded = signed
-      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
-    // Enforced skew guard (see MaxBucket): candidate generation only
-    // joins buckets within the width cap.
-    val kept = banded.join(
-      banded.groupBy($"band", $"sig").agg(count(lit(1)).as("bw"))
-        .filter($"bw" <= maxBucket)
-        .select($"band", $"sig"),
-      Seq("band", "sig"))
-    val l = kept.as("l")
-    val r = kept.as("r")
-    val candidates = l.join(r,
-        $"l.band" === $"r.band" && $"l.sig" === $"r.sig" &&
-          $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
-      .distinct().cache()
+    val candidates = bandCandidates(signed, maxBucket).cache()
 
     val candIds = candidates
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
@@ -149,6 +153,64 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Sketch-only near-dup detection: same banded candidates, but
+    * "verified" by signature agreement (estimated Jaccard = matching
+    * positions / [[MinHash.H]]) instead of exact gram-set Jaccard —
+    * the constant-per-doc-size alternative for corpora where even
+    * candidate-scoped gram sets are too large to ship. Only the
+    * 16-long sketches are cached/joined; est values are dyadic
+    * (k/16), so the threshold compare is exact in both engines. */
+  private def dedupMinhashEst(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val signed = spread
+      .withColumn("words", tokens(col("text")))
+      .withColumn("grams", wordShingles("words", 3))
+      .filter(size(col("grams")) > 0)
+      .select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+      .cache()
+    bandCandidates(signed, MaxBucket)
+      .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (expr("vec_match_count(sa, sb)") / lit(MinHash.H.toDouble))
+          .as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.75)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def estOracle(gramCte: String, threshold: Double): String = {
+    val matches = (0 until MinHash.H)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $gramCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (
+       |  SELECT doc_id, ${MinHash.baseSql("g")} AS b FROM gx
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST($matches AS BIGINT) / ${MinHash.H}.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sigs a ON a.doc_id = c.doc_a
+       |JOIN sigs b ON b.doc_id = c.doc_b
+       |WHERE CAST($matches AS BIGINT) / ${MinHash.H}.0 >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Word-3-shingle minhash near-dups (Jaccard ≥ 0.8). */
   private def dedupMinhash(s: SparkSession, d: String) = {
     import s.implicits._
@@ -169,17 +231,37 @@ object Dedup {
       .select($"doc_id", $"grams"), 0.7)
   }
 
+  /** Shared oracle fragments: signature members, band rows, and the
+    * width-capped candidate CTEs — identical for the exact-verify and
+    * estimate-verify oracles. */
+  private def membersSql: String = (0 until MinHash.H)
+    .map(i => s"MIN(${MinHash.memberSql(i, "b")}) AS mh$i")
+    .mkString(",\n    ")
+
+  private def bandRowsSql: String = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand)
+      .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+    s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private def keptCandSql: String =
+    s"""kept AS (
+       |  SELECT b.doc_id, b.band, b.sig FROM banded b
+       |  JOIN (SELECT band, sig FROM banded GROUP BY band, sig
+       |        HAVING COUNT(*) <= $MaxBucket) w
+       |    ON b.band = w.band AND b.sig = w.sig
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |)""".stripMargin
+
   /** Oracle twin of [[lshPairs]]: `gramCte` must define
     * `grams AS (SELECT doc_id, ... AS grams ...)`. */
   private def lshOracle(gramCte: String, threshold: Double): String = {
-    val members = (0 until MinHash.H)
-      .map(i => s"MIN(${MinHash.memberSql(i, "b")}) AS mh$i")
-      .mkString(",\n    ")
-    val bandRows = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
-      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
+    val members = membersSql
+    val bandRows = bandRowsSql
     val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
     s"""WITH $gramCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
@@ -195,17 +277,7 @@ object Dedup {
        |banded AS (
        |  $bandRows
        |),
-       |kept AS (
-       |  SELECT b.doc_id, b.band, b.sig FROM banded b
-       |  JOIN (SELECT band, sig FROM banded GROUP BY band, sig
-       |        HAVING COUNT(*) <= $MaxBucket) w
-       |    ON b.band = w.band AND b.sig = w.sig
-       |),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM kept l JOIN kept r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |),
+       |$keptCandSql,
        |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
        |inter AS (
@@ -333,6 +405,7 @@ object Dedup {
         |SELECT doc_id, content_hash FROM hashed WHERE rn = 1
         |ORDER BY doc_id""".stripMargin),
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
+    OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle)
   )
