@@ -23,8 +23,10 @@ import graft.functions.TextFns._
   *    gram, single pass, no shuffle), band keys explode to B rows per
   *    doc, and candidate generation is a self-join on (band, sig) —
   *    the classic bucket join that scales with bucket sizes, never N².
-  *    Exact-Jaccard verification joins 60-bit gram hashes (long keys,
-  *    not gram strings) for candidate pairs only.
+  *    Exact-Jaccard verification is candidate-scoped and merge-walks
+  *    per-doc sorted 60-bit hash arrays (see [[lshPairs]]); the
+  *    estimate variant skips gram sets entirely and verifies by
+  *    signature agreement.
   *  - simhash: 32 sign-sums per doc via explode + codegen'd
   *    conditional aggregates (one shuffle carrying 32 longs per doc);
   *    4×8-bit band join guarantees EXACT recall for hamming ≤ 3 by
