@@ -1,0 +1,50 @@
+package graft
+
+/** Enforced plan hygiene: the properties `graft.PlanAudit` reports,
+  * pinned as tests so a plan regression (a lost pushdown, a surprise
+  * cartesian product, a missed group-limit) fails the build instead of
+  * shipping. Plans are built against sf0.001; physical planning does
+  * not depend on the scale factor here.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no catalog query plans a cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val p = plan(name)
+      spark.catalog.clearCache()
+      p.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = plan("scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal,0.0)"), p)
+  }
+
+  test("column pruning reaches the parquet scan") {
+    // 4-column projection over the 16-column lineitem table
+    val p = plan("project")
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length === 4, p)
+    assert(schema.contains("l_orderkey") && schema.contains("l_returnflag"), p)
+  }
+
+  test("rank-filter patterns use WindowGroupLimit (top-k below the shuffle)") {
+    assert(plan("window_rank").contains("WindowGroupLimit"))
+    assert(plan("ann_bruteforce").contains("WindowGroupLimit"))
+  }
+
+  test("global top-k plans as TakeOrdered, never a full sort") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast") {
+    assert(plan("join_inner_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("semi_join").contains("BroadcastHashJoin"))
+  }
+}
