@@ -103,15 +103,17 @@ object Dedup {
     *
     * The verify stage is scoped to CANDIDATE documents only: the
     * candidate id set is broadcast-semi-joined against `docs` BEFORE
-    * gram computation, so the gram explode+distinct shuffle —
-    * amplification ≈ grams per doc — is proportional to the near-dup
-    * population, never the corpus. The full corpus is touched exactly
-    * once more than necessary-minimum: the signature pass (one
-    * codegen'd scan, shuffle width = 16 longs per doc). The broadcast
-    * holds one long per candidate doc; for corpora where even that
-    * outgrows executor memory, swap the hint for a shuffled semi-join
-    * on a pre-gram projection. Only the two candidate-bounded frames
-    * are cached; the harness clears the cache between queries.
+    * gram computation, so gram-set construction is proportional to the
+    * near-dup population, never the corpus — and gram sets never
+    * explode at all: each candidate doc carries ONE sorted hash array
+    * (`hash60_set`, built row-local in codegen), and per-pair exact
+    * Jaccard is a merge-walk intersection. The corpus itself is
+    * touched only by the signature pass (one codegen'd scan, shuffle
+    * width = 16 longs per doc). The broadcast holds one long per
+    * candidate doc; for corpora where even that outgrows executor
+    * memory, swap the hint for a shuffled semi-join on a pre-gram
+    * projection. Only the two candidate-bounded frames are cached;
+    * the harness clears the cache between queries.
     */
   private[graft] def lshPairs(s: SparkSession, docs: DataFrame,
                               mkGrams: DataFrame => DataFrame,
