@@ -188,10 +188,13 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** `(matching positions)` between sig rows aliased `a` and `b`. */
+  private def sigMatchesSql: String = (0 until MinHash.H)
+    .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   private def estOracle(gramCte: String, threshold: Double): String = {
-    val matches = (0 until MinHash.H)
-      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val matches = sigMatchesSql
     s"""WITH $gramCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
        |gh AS (
@@ -316,6 +319,99 @@ object Dedup {
        |  WHERE len(norm) >= 4
        |)""".stripMargin
 
+  // ------------------------------------------------ composed prep pipeline
+
+  /** The training-data prep pipeline, composed from the ops above:
+    * quality filter (≥ 5 tokens, ≥ 60 % alphabetic) → exact dedup
+    * (content-hash, min-id survivor) → near-dup removal (banded
+    * minhash, sketch-estimate ≥ 0.75, drop the larger id of each
+    * pair). This is the end-to-end shape a 100 TB corpus-prep job
+    * runs: every stage is one scan or one keyed shuffle, the near-dup
+    * stage inherits the width-capped banding, and the survivors are
+    * deterministic for any partitioning. */
+  private def docPrep(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val quality = spread
+      .withColumn("norm", normalizeText($"text"))
+      .withColumn("w", tokens($"text"))
+      .filter(size($"w") >= 5 &&
+        length(regexp_replace($"norm", "[^a-z]", "")) * lit(10) >=
+          length($"norm") * lit(6))
+    val byHash = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
+    val exact = quality
+      .withColumn("content_hash", md5($"norm"))
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"content_hash", $"w")
+      .cache()
+    val signed = exact
+      .withColumn("grams", wordShingles("w", 3))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+      .cache()
+    val dropB = bandCandidates(signed, MaxBucket)
+      .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+      .filter(expr("vec_match_count(sa, sb)") / lit(MinHash.H.toDouble) >= 0.75)
+      .select($"doc_b".as("doc_id")).distinct()
+    exact.join(dropB, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"content_hash", size($"w").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private def docPrepOracle: String =
+    s"""WITH q0 AS (
+       |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |    ${tokensSql("text")} AS w
+       |  FROM documents
+       |),
+       |quality AS (
+       |  SELECT * FROM q0
+       |  WHERE len(w) >= 5
+       |    AND len(regexp_replace(norm, '[^a-z]', '', 'g')) * 10 >= len(norm) * 6
+       |),
+       |exact AS (
+       |  SELECT doc_id, md5(norm) AS content_hash, w FROM (
+       |    SELECT doc_id, norm, w,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id ASC) AS rn
+       |    FROM quality)
+       |  WHERE rn = 1
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS grams
+       |  FROM exact WHERE len(w) >= 3
+       |),
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (SELECT doc_id, ${MinHash.baseSql("g")} AS b FROM gx),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql,
+       |dropb AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b
+       |  WHERE CAST($sigMatchesSql AS BIGINT) / ${MinHash.H}.0 >= 0.75
+       |)
+       |SELECT e.doc_id, e.content_hash, len(e.w) AS n_tokens
+       |FROM exact e
+       |LEFT JOIN dropb x ON e.doc_id = x.doc_id
+       |WHERE x.doc_id IS NULL
+       |ORDER BY e.doc_id""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   private val SimBits = 32
@@ -411,6 +507,7 @@ object Dedup {
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
-    OpDef("dedup_simhash", dedupSimhash _, simhashOracle)
+    OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
+    OpDef("pipeline_docprep", docPrep _, docPrepOracle)
   )
 }
