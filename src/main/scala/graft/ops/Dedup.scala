@@ -456,7 +456,9 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def simhashOracle: String = {
+  /** All simhash CTEs up to `pairs` — shared by the pair op and the
+    * clustering op. */
+  private def simhashCtes: String = {
     val bitSums = (0 until SimBits)
       .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n    ")
@@ -466,7 +468,7 @@ object Dedup {
     val bandRows = (0 until SimBands).map { k =>
       s"SELECT doc_id, simhash, $k AS k, (simhash >> ${k * SimBandBits}) & ${(1L << SimBandBits) - 1} AS v FROM sim"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tok0 AS (
+    s"""tok0 AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS g FROM documents
        |),
        |tok AS (
@@ -486,10 +488,71 @@ object Dedup {
        |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
        |  FROM banded l JOIN banded r
        |    ON l.k = r.k AND l.v = r.v AND l.doc_id < r.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------- clustering
+
+  /** Propagation rounds for near-dup clustering. Both engines run the
+    * SAME bounded count, so results agree even on (pathological)
+    * components wider than the bound; real near-dup clusters are
+    * quasi-cliques of diameter ≤ 2, and every round is two shuffle
+    * stages, so the bound is also the latency knob. */
+  private val ClusterHops = 4
+
+  /** Near-dup CLUSTERS from the simhash pair graph: bounded min-label
+    * propagation (Pregel-style) — each round, every doc takes the
+    * minimum cluster id in its closed neighborhood. [[ClusterHops]]
+    * rounds of join + min-aggregate, each one shuffle on the edge key;
+    * the driver-side loop only chains DataFrames, all data movement is
+    * distributed. Output: doc → canonical (minimum) doc id of its
+    * cluster, the standard keep-one-per-cluster shape. */
+  private def dedupClusters(s: SparkSession, d: String) = {
+    import s.implicits._
+    val fwd = dedupSimhash(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    val closed = edges
+      .union(nodes.select($"doc_id".as("src"), $"doc_id".as("dst")))
+      .cache()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    for (_ <- 1 to ClusterHops) {
+      labels = closed.join(labels, closed("dst") === labels("doc_id"))
+        .groupBy($"src")
+        .agg(min($"cluster_id").as("cluster_id"))
+        .select($"src".as("doc_id"), $"cluster_id")
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  private def clustersOracle: String = {
+    val rounds = (1 to ClusterHops).map { i =>
+      s"""l$i AS (
+         |  SELECT e.src AS doc_id, MIN(l.cluster_id) AS cluster_id
+         |  FROM closed e JOIN l${i - 1} l ON e.dst = l.doc_id
+         |  GROUP BY e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashCtes,
+       |fwd AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE hamming <= $MaxHamming
+       |),
+       |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |closed AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT doc_id, doc_id FROM nodes
+       |),
+       |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM nodes),
+       |$rounds
+       |SELECT doc_id, cluster_id FROM l$ClusterHops
+       |ORDER BY doc_id""".stripMargin
   }
 
   val defs: Seq[OpDef] = Seq(
@@ -508,6 +571,7 @@ object Dedup {
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
+    OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle)
   )
 }
