@@ -421,8 +421,10 @@ object Dedup {
 
   /** 32-bit simhash near-dups with hamming ≤ 3 — EXACT result: with 4
     * disjoint 8-bit bands, any pair within hamming 3 shares at least
-    * one identical band (pigeonhole), so the band join loses nothing. */
-  private def dedupSimhash(s: SparkSession, d: String) = {
+    * one identical band (pigeonhole), so the band join loses nothing.
+    * Unordered — the pair op adds the output sort; graph consumers
+    * ([[dedupClusters]]) skip it. */
+  private def simhashPairs(s: SparkSession, d: String) = {
     import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("t"))
@@ -453,7 +455,11 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= MaxHamming)
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def dedupSimhash(s: SparkSession, d: String) = {
+    import s.implicits._
+    simhashPairs(s, d).orderBy($"doc_a", $"doc_b")
   }
 
   /** All simhash CTEs up to `pairs` — shared by the pair op and the
@@ -515,7 +521,7 @@ object Dedup {
     * cluster, the standard keep-one-per-cluster shape. */
   private def dedupClusters(s: SparkSession, d: String) = {
     import s.implicits._
-    val fwd = dedupSimhash(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val fwd = simhashPairs(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
     val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
     val nodes = edges.select($"src".as("doc_id")).distinct()
     val closed = edges
