@@ -65,6 +65,25 @@ class CatalogSpec extends SparkSpecBase {
     assert(byGroup === global)
   }
 
+  test("dedup_clusters labels exactly the docs of the simhash pair graph") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val inGraph = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct().count()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
+    assert(clusters.count() === inGraph)
+    // labels are canonical minimum ids: never larger than the member
+    assert(clusters.filter($"cluster_id" > $"doc_id").count() === 0)
+    // propagation is BOUNDED (4 rounds), so long chains may stay split
+    // — but the overwhelming majority of pairs (quasi-cliques of
+    // diameter <= 4) must be intra-cluster
+    val a = clusters.select($"doc_id".as("doc_a"), $"cluster_id".as("ca"))
+    val b = clusters.select($"doc_id".as("doc_b"), $"cluster_id".as("cb"))
+    val joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    val split = joined.filter($"ca" =!= $"cb").count()
+    assert(split * 20 <= joined.count(), s"$split split pairs")
+  }
+
   test("limit_topk is the global descending head") {
     import spark.implicits._
     val top = SparkEntry.queries("limit_topk")(spark, sf)
