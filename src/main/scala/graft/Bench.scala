@@ -17,6 +17,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Respect AQE's advisory partition size instead of maximizing
+      // parallelism: small shuffles coalesce to few tasks (the Spark
+      // docs' recommended setting; at scale the 64 MB advisory size
+      // governs, so this never under-partitions big data).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
