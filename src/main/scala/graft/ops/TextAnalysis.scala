@@ -143,7 +143,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic hash sampling: keep ~10 % of documents by a
+    * md5-derived bucket of the KEY (never `rand()` — reproducible on
+    * any cluster, any partitioning, any rerun, and mirrored exactly by
+    * the oracle). The standard curation primitive for subsetting a
+    * corpus. */
+  private def sampleHash(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(hash60(concat(lit("smp:"), $"doc_id".cast("string"))) % 100 < 10)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic 90/5/5 train/val/test split by key hash — the
+    * leakage-safe way to split: membership depends only on the key, so
+    * adding data or re-partitioning never moves a document across
+    * splits. */
+  private def sampleSplit(s: SparkSession, d: String) = {
+    import s.implicits._
+    val bucket = hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+    Tables.documents(s, d)
+      .select($"doc_id",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("sample_hash", sampleHash _,
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hash60Sql("'smp:' || doc_id")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("sample_split", sampleSplit _,
+      s"""SELECT doc_id,
+         |  CASE WHEN ${hash60Sql("'split:' || doc_id")} % 100 < 90 THEN 'train'
+         |       WHEN ${hash60Sql("'split:' || doc_id")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin),
     OpDef("text_stats", textStats _,
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql("text")} AS w,
