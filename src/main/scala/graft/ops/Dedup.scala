@@ -521,8 +521,15 @@ object Dedup {
     * cluster, the standard keep-one-per-cluster shape. */
   private def dedupClusters(s: SparkSession, d: String) = {
     import s.implicits._
-    val fwd = simhashPairs(s, d).select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    // cache the pair frame: everything below derives from it, and an
+    // uncached union would run the simhash pipeline once per branch
+    val fwd = simhashPairs(s, d)
+      .select($"doc_a".as("src"), $"doc_b".as("dst")).cache()
+    // symmetrize row-locally (explode), not by unioning two subtrees
+    val edges = fwd.select(explode(array(
+        struct($"src".as("s"), $"dst".as("t")),
+        struct($"dst".as("s"), $"src".as("t")))).as("e"))
+      .select($"e.s".as("src"), $"e.t".as("dst"))
     val nodes = edges.select($"src".as("doc_id")).distinct()
     val closed = edges
       .union(nodes.select($"doc_id".as("src"), $"doc_id".as("dst")))
