@@ -86,7 +86,46 @@ object Events {
       .orderBy($"user_id", $"error_id")
   }
 
+  /** Range join — interval containment of events in a generated table
+    * of 2-hour windows (every other 6-hour slot of January 2024, the
+    * deterministic stand-in for a maintenance-window dimension). A
+    * non-equi join plans as BroadcastNestedLoopJoin with the SMALL
+    * range table broadcast, so each event is tested against the
+    * windows in its partition — the correct shape when the range side
+    * is a dimension; a range-bucketing join (bucket both sides by
+    * coarse time, equi-join buckets, filter) is the documented path
+    * when BOTH sides are large. */
+  private def joinRange(s: SparkSession, d: String) = {
+    import s.implicits._
+    val windows = s.range(31).toDF("w")
+      .select($"w".cast("int").as("window_id"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long") +
+          $"w" * 6L * 3600).cast("timestamp").as("w_start"))
+      .withColumn("w_end", ($"w_start".cast("long") + 2L * 3600).cast("timestamp"))
+    Tables.events(s, d)
+      .join(broadcast(windows),
+        $"ts" >= $"w_start" && $"ts" < $"w_end")
+      .groupBy($"window_id", $"w_start")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_id")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("join_range", joinRange _,
+      """WITH windows AS (
+        |  SELECT CAST(w AS INT) AS window_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' AS w_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' + INTERVAL '2 hours' AS w_end
+        |  FROM range(31) t(w)
+        |)
+        |SELECT w.window_id, w.w_start,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN windows w
+        |  ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY w.window_id, w.w_start
+        |ORDER BY window_id""".stripMargin),
     OpDef("join_asof", joinAsof _,
       """WITH clicks AS (
         |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'

@@ -143,6 +143,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // Character-trigram profiles (space-padded, the classic Cavnar-
+  // Trenkle shape): high-frequency trigrams per language.
+  private val EnTri = Seq("the", "he ", " th", "ing", "and", "ed ", " an", "er ", "nt ", " of")
+  private val DeTri = Seq("der", "ein", "ich", "sch", "die", "und", "en ", "ch ", " de", "ung")
+  private val FrTri = Seq("les", " le", "ent", "ion", "es ", " la", "ait", "que", "eur", " pa")
+  private val EsTri = Seq("os ", "ión", "la ", "el ", " co", "as ", " es", "ado", "nte", " po")
+
+  /** Language ID by character-trigram profile hits — the n-gram
+    * heuristic variant of [[textLangid]]: occurrences of each
+    * language's high-frequency trigrams in the document's char-3-gram
+    * stream, argmax with the same fixed tie-break. Same shape: one
+    * explode + one map-side-combined aggregation on doc_id. */
+  private def textLangidNgram(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", normalizeText($"text").as("norm"))
+      .select($"doc_id", $"lang", explode(charNgrams("norm", 3)).as("g"))
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        countWhen($"g".isin(EnTri: _*)).as("en_hits"),
+        countWhen($"g".isin(DeTri: _*)).as("de_hits"),
+        countWhen($"g".isin(FrTri: _*)).as("fr_hits"),
+        countWhen($"g".isin(EsTri: _*)).as("es_hits"))
+      .select($"doc_id", $"lang",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" &&
+          $"en_hits" >= $"es_hits", "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
+          .when($"fr_hits" >= $"es_hits", "fr")
+          .otherwise("es").as("pred_lang"),
+        $"en_hits", $"de_hits", $"fr_hits", $"es_hits")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic hash sampling: keep ~10 % of documents by a
     * md5-derived bucket of the KEY (never `rand()` — reproducible on
     * any cluster, any partitioning, any rerun, and mirrored exactly by
@@ -249,6 +283,36 @@ object TextAnalysis {
          |  en_hits, de_hits, fr_hits, es_hits
          |FROM hits
          |ORDER BY doc_id""".stripMargin),
+    OpDef("text_langid_ngram", textLangidNgram _, {
+      def hits(ws: Seq[String], as: String) =
+        s"CAST(SUM(CASE WHEN ${inListSql("g", ws)} THEN 1 ELSE 0 END) AS BIGINT) AS $as"
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, ${normalizeTextSql("text")} AS norm FROM documents
+         |),
+         |tri AS (
+         |  SELECT doc_id, lang,
+         |    unnest([norm[i:i+2] for i in range(1, len(norm) - 1)]) AS g
+         |  FROM base WHERE len(norm) >= 3
+         |),
+         |hits AS (
+         |  SELECT doc_id, lang,
+         |    ${hits(EnTri, "en_hits")},
+         |    ${hits(DeTri, "de_hits")},
+         |    ${hits(FrTri, "fr_hits")},
+         |    ${hits(EsTri, "es_hits")}
+         |  FROM tri GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang,
+         |  CASE
+         |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |    WHEN fr_hits >= es_hits THEN 'fr'
+         |    ELSE 'es'
+         |  END AS pred_lang,
+         |  en_hits, de_hits, fr_hits, es_hits
+         |FROM hits
+         |ORDER BY doc_id""".stripMargin
+    }),
     OpDef("text_fingerprint", textFingerprint _,
       s"""WITH base AS (
          |  SELECT doc_id, ${normalizeTextSql("text")} AS norm FROM documents
