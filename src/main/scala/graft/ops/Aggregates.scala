@@ -226,6 +226,14 @@ object Aggregates {
         |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    OpDef("agg_salted", aggSalted _,
+      """SELECT l_orderkey,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING COUNT(*) >= 5
+        |ORDER BY l_orderkey""".stripMargin),
     OpDef("agg_percentile", aggPercentile _,
       """SELECT l_returnflag,
         |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) AS DOUBLE) / 10000 AS p25,
@@ -255,6 +263,27 @@ object Aggregates {
         $"n_orders", $"total_value")
       .orderBy($"gid".asc, $"yr".asc_nulls_first,
         $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Salted two-phase aggregation (non-reference extra): the skew
+    * pattern for hot keys — spread each key over 8 salt buckets,
+    * partial-aggregate per (key, salt), then merge per key. The salt
+    * only changes WHERE partial states live, never the result (decimal
+    * accumulation keeps the two-phase sum exactly equal to the direct
+    * one), so the oracle is the plain aggregation. Spark's own
+    * map-side combine handles moderate skew; explicit salting is the
+    * escape hatch when one key exceeds a single reducer. */
+  private def aggSalted(s: SparkSession, d: String) = {
+    import s.implicits._
+    val partial = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey", ($"l_linenumber" % 8).as("salt"))
+      .agg(count(lit(1)).as("c"),
+        sum($"l_quantity".cast("decimal(27,6)")).as("q"))
+    partial.groupBy($"l_orderkey")
+      .agg(sum($"c").cast("long").as("n_lines"),
+        sum($"q").cast("double").as("sum_qty"))
+      .filter($"n_lines" >= 5)
+      .orderBy($"l_orderkey")
   }
 
   /** Exact interpolated percentiles (non-reference extra): Spark's
