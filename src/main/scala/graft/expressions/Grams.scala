@@ -214,6 +214,7 @@ case class VecMatchCount(left: Expression, right: Expression)
   * registered SQL function). */
 case class CharNgrams(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  require(n > 0, s"char_ngrams width must be positive, got $n")
 
   override def inputTypes = Seq(StringType)
 
@@ -236,6 +237,7 @@ case class CharNgrams(child: Expression, n: Int)
   * windows, inside whole-stage codegen. */
 case class WordShingles(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0, s"word_shingles width must be positive, got $k")
 
   override def inputTypes = Seq(ArrayType(StringType))
 

@@ -99,7 +99,10 @@ object Events {
     import s.implicits._
     val windows = s.range(31).toDF("w")
       .select($"w".cast("int").as("window_id"),
-        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long") +
+        // to_timestamp binds in the session TZ (pinned UTC), never the
+        // JVM default zone — keeps the epoch identical to the oracle's
+        // naive TIMESTAMP literal under any host timezone
+        (to_timestamp(lit("2024-01-01 00:00:00")).cast("long") +
           $"w" * 6L * 3600).cast("timestamp").as("w_start"))
       .withColumn("w_end", ($"w_start".cast("long") + 2L * 3600).cast("timestamp"))
     Tables.events(s, d)
