@@ -226,6 +226,14 @@ object Aggregates {
         |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    OpDef("agg_histogram", aggHistogram _,
+      """SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo, n_orders
+        |FROM (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19.0) AS INT) AS bucket,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |ORDER BY bucket""".stripMargin),
     OpDef("agg_salted", aggSalted _,
       """SELECT l_orderkey,
         |  COUNT(*) AS n_lines,
@@ -263,6 +271,21 @@ object Aggregates {
         $"n_orders", $"total_value")
       .orderBy($"gid".asc, $"yr".asc_nulls_first,
         $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Fixed-width histogram (non-reference extra): 20 buckets of order
+    * value — one map-side-combined aggregation on the bucket id, the
+    * exact-count histogram shape (approximate sketches would replace
+    * the groupBy with a mergeable state at extreme cardinality). */
+  private def aggHistogram(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = 30000.0
+    Tables.orders(s, d)
+      .select(least(floor($"o_totalprice" / w), lit(19.0)).cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .select($"bucket", ($"bucket" * w).cast("double").as("lo"), $"n_orders")
+      .orderBy($"bucket")
   }
 
   /** Salted two-phase aggregation (non-reference extra): the skew
