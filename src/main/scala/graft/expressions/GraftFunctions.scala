@@ -10,9 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
   * native `Expression` > UDF).
   *
   * Registration goes through the session's `FunctionRegistry`; [[ensure]]
-  * is a no-op once the session has the functions, so every operator can
-  * call it defensively regardless of which session the driver hands it
-  * (and without re-registration warnings in the logs). The equivalent
+  * registers create-or-replace on its FIRST call per session (tracked by
+  * a weak per-session marker), so a pre-existing temp function that
+  * happens to share a name can never silently shadow the engine's
+  * expression, while the defensive `ensure` calls sprinkled through the
+  * operators stay free of re-registration work and warnings. The equivalent
   * cluster-deploy path is `SparkSessionExtensions.injectFunction` from a
   * `spark.sql.extensions` class — same builders, applied at session
   * construction; [[GraftExtensions]] provides it.
@@ -40,14 +42,19 @@ object GraftFunctions {
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1))))
 
-  def ensure(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    builders.foreach { case (name, _, b) =>
-      if (!registry.functionExists(FunctionIdentifier(name)))
+  /** Sessions already registered — weak keys so dropped sessions don't
+    * leak; synchronized because specs share sessions across threads. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensure(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      builders.foreach { case (name, _, b) =>
         registry.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
-  }
 }
 
 /** `spark.sql.extensions`-loadable variant for cluster deployments:

@@ -53,6 +53,15 @@ object Dedup {
     * widest bucket is 512, so testdata results are unaffected. */
   private val MaxBucket = 1024
 
+  /** Gate for broadcasting the candidate doc-id set in [[lshPairs]]:
+    * up to this many ids (8 B each ⇒ ≤ ~32 MB) the semi-join against
+    * the corpus broadcasts; past it — a dense candidate graph can
+    * approach the corpus itself (char-grams over boilerplate-heavy
+    * data reach ~27 % of all pairs on the synthetic corpus) — the
+    * engine falls back to a shuffled semi-join automatically instead
+    * of relying on a manual hint swap. */
+  private val BroadcastCandidateLimit = 4L * 1000 * 1000
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup by content hash; deterministic survivor = min doc_id. */
@@ -109,11 +118,12 @@ object Dedup {
     * (`hash60_set`, built row-local in codegen), and per-pair exact
     * Jaccard is a merge-walk intersection. The corpus itself is
     * touched only by the signature pass (one codegen'd scan, shuffle
-    * width = 16 longs per doc). The broadcast holds one long per
-    * candidate doc; for corpora where even that outgrows executor
-    * memory, swap the hint for a shuffled semi-join on a pre-gram
-    * projection. Only the two candidate-bounded frames are cached;
-    * the harness clears the cache between queries.
+    * width = 16 longs per doc). The semi-join broadcasts one long per
+    * candidate doc while the candidate count is under
+    * [[BroadcastCandidateLimit]], and automatically degrades to a
+    * shuffled semi-join past it — no manual hint swap when the
+    * candidate graph is dense. Only the two candidate-bounded frames
+    * are cached; the harness clears the cache between queries.
     */
   private[graft] def lshPairs(s: SparkSession, docs: DataFrame,
                               mkGrams: DataFrame => DataFrame,
@@ -135,7 +145,14 @@ object Dedup {
 
     val candIds = candidates
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val candDocs = spread.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // Size-gated broadcast (see [[BroadcastCandidateLimit]]): the count
+    // runs against the already-cached candidate frame, so the gate costs
+    // one cheap job, and the fallback path keeps the same semantics with
+    // a shuffle on doc_id instead of a driver-collected broadcast.
+    val gated =
+      if (candIds.count() <= BroadcastCandidateLimit) broadcast(candIds)
+      else candIds
+    val candDocs = spread.join(gated, Seq("doc_id"), "left_semi")
     // Gram sets as ONE sorted hash array per candidate doc — built in a
     // single codegen'd pass, no explode/distinct shuffle. Exact Jaccard
     // per pair is then a merge-walk intersection, so verify cost is

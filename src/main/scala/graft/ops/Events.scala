@@ -61,28 +61,39 @@ object Events {
 
   /** As-of join — an operator Spark lacks natively, composed from
     * existing ops (SURVEY §2.9 preference order (a)): for every
-    * 'error' event, the most recent 'click' of the same user strictly
-    * before it. Implementation: one sorted carry-forward window over
-    * the union of both sides — a single shuffle on the join key, no
-    * range-join explosion; DuckDB verifies with its native ASOF JOIN.
-    * (`(user_id, ts)` is unique in the testdata, so strict-before and
-    * at-or-before coincide; a production variant would pick one and
-    * tie-break explicitly.) */
+    * 'error' event, the most recent 'click' of the same user STRICTLY
+    * before it — the same predicate the DuckDB oracle's native
+    * `ASOF JOIN ... ON e.ts > c.ts` evaluates, so the two engines agree
+    * even when an error and a click share a timestamp. Implementation:
+    * one sorted carry-forward window over the union of both sides — a
+    * single shuffle on the join key, no range-join explosion. The
+    * strict bound is enforced with a RANGE frame ending at -1 µs, which
+    * excludes every same-timestamp row from the frame; clicks that tie
+    * on (user_id, ts) are first collapsed to the max event_id, making
+    * the carried value deterministic under any partitioning (mirrored
+    * in the oracle's clicks CTE). */
   private def joinAsof(s: SparkSession, d: String) = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val ev = Tables.events(s, d)
       .filter($"event_type".isin("click", "error"))
       .select($"user_id", $"event_id", $"ts", $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
+      .select($"user_id", $"event_id", $"ts", lit(true).as("is_click"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts", lit(false).as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    clicks.unionByName(errors)
+      .withColumn("tsu", unix_micros($"ts"))
       .withColumn("click_id",
-        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+        last(when($"is_click", $"event_id"), ignoreNulls = true).over(w))
       .withColumn("click_ts",
-        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
-      .filter($"event_type" === "error")
+        last(when($"is_click", $"ts"), ignoreNulls = true).over(w))
+      .filter(!$"is_click")
       .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"),
         $"click_id", $"click_ts",
-        (unix_micros($"ts") - unix_micros($"click_ts")).as("micros_since_click"))
+        ($"tsu" - unix_micros($"click_ts")).as("micros_since_click"))
       .orderBy($"user_id", $"error_id")
   }
 
@@ -131,7 +142,9 @@ object Events {
         |ORDER BY window_id""".stripMargin),
     OpDef("join_asof", joinAsof _,
       """WITH clicks AS (
-        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |  SELECT user_id, MAX(event_id) AS event_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, ts
         |),
         |errors AS (
         |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'

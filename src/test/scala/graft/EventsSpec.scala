@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Event-time operator semantics on hand-built fixtures.
+  *
+  * `join_asof` must use STRICT-before matching (the DuckDB oracle's
+  * `ASOF ... ON e.ts > c.ts`): a click sharing the error's timestamp is
+  * NOT a match, and clicks tying on (user_id, ts) collapse to the max
+  * event_id so the carried value is deterministic. The sf testdata has
+  * unique (user_id, ts), so only a tie fixture can pin this behavior.
+  */
+class EventsSpec extends SparkSpecBase {
+
+  test("join_asof is strict-before with max-event_id tie-break") {
+    val dir = Files.createTempDirectory("graft-events").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    def ns(sec: Long): Long = sec * 1000000000L
+    val rows = Seq(
+      // user 1: click@10s, then a click and an error tied at 20s — the
+      // error must resolve to the 10s click, never its same-ts click
+      Row(1L, 101L, ns(10), "click"),
+      Row(1L, 102L, ns(20), "click"),
+      Row(1L, 103L, ns(20), "error"),
+      // user 2: two clicks tied at 5s (max event_id carries), an error
+      // after them, and an error before any click (left join keeps it)
+      Row(2L, 201L, ns(5), "click"),
+      Row(2L, 202L, ns(5), "click"),
+      Row(2L, 203L, ns(6), "error"),
+      Row(2L, 204L, ns(4), "error"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("join_asof")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    assert(out === Seq((1L, 103L, 101L), (2L, 203L, 202L), (2L, 204L, -1L)))
+  }
+}
