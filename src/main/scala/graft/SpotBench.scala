@@ -1,18 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Local iteration tool: times the hot [EXT] queries at sf0.1 twice
-  * each (cold = plan+codegen+JIT, warm = steady state), clearing the
-  * cache between runs like the driver's Bench does. */
+/** Local iteration tool: times the given queries (default: the hot
+  * [EXT] set) at sf0.1 twice each (cold = plan+codegen+JIT, warm =
+  * steady state), clearing the cache between runs like the driver's
+  * Bench does. Pass query names as program args to focus. */
 object SpotBench {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val hot = Seq("dedup_embedding", "dedup_minhash", "dedup_ngram",
-      "dedup_simhash", "ann_bruteforce", "ann_lsh", "dedup_exact")
+    val hot = if (args.nonEmpty) args.toSeq
+      else Seq("dedup_embedding", "dedup_minhash", "dedup_ngram",
+        "dedup_simhash", "ann_bruteforce", "ann_lsh", "dedup_exact")
     hot.foreach { name =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()

@@ -40,7 +40,8 @@ object GraftFunctions {
     ("vec_match_count", classOf[VecMatchCount],
       es => VecMatchCount(es(0), es(1))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
-      es => SortedIntersectCount(es(0), es(1))))
+      es => SortedIntersectCount(es(0), es(1))),
+    ("simhash32", classOf[SimHash32], es => SimHash32(es(0))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak; synchronized because specs share sessions across threads. */

@@ -27,10 +27,11 @@ import graft.functions.TextFns._
   *    per-doc sorted 60-bit hash arrays (see [[lshPairs]]); the
   *    estimate variant skips gram sets entirely and verifies by
   *    signature agreement.
-  *  - simhash: 32 sign-sums per doc via explode + codegen'd
-  *    conditional aggregates (one shuffle carrying 32 longs per doc);
-  *    4×8-bit band join guarantees EXACT recall for hamming ≤ 3 by
-  *    pigeonhole, then `bit_count(xor)` verifies.
+  *  - simhash: the whole 32-bit signature is computed row-locally by
+  *    the codegen'd [[graft.expressions.SimHash32]] (no token explode,
+  *    no pre-band shuffle at all); 4×8-bit band join guarantees EXACT
+  *    recall for hamming ≤ 3 by pigeonhole, then `bit_count(xor)`
+  *    verifies.
   *  - at 100 TB the band self-join shuffles on band signature; hot
   *    buckets (boilerplate docs) are the skew risk — ENFORCED by the
   *    [[Dedup.MaxBucket]] width cap (over-wide buckets are excluded
@@ -439,22 +440,24 @@ object Dedup {
   /** 32-bit simhash near-dups with hamming ≤ 3 — EXACT result: with 4
     * disjoint 8-bit bands, any pair within hamming 3 shares at least
     * one identical band (pigeonhole), so the band join loses nothing.
+    * Signatures come from the row-local [[graft.expressions.SimHash32]]
+    * expression (one codegen'd pass per doc — no token explode, no
+    * 32-column aggregate, no shuffle before banding); empty token
+    * arrays are filtered to match the oracle's unnest semantics.
     * Unordered — the pair op adds the output sort; graph consumers
     * ([[dedupClusters]]) skip it. */
   private def simhashPairs(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(tokens($"text")).as("t"))
-      .select($"doc_id", hash60($"t").as("h"))
-    val bitSums = (0 until SimBits).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$j")
-    }
-    val sim = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id",
-        (0 until SimBits)
-          .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val sim = spread
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id", expr("simhash32(w)").as("simhash"))
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("k"),
         shiftright($"simhash", k * SimBandBits)

@@ -63,6 +63,33 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(one("sorted_intersect_count(array(), array(1L))").getLong(0) == 0L)
   }
 
+  test("simhash32: bit-identical to the explode+sign-sum aggregate") {
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).limit(100)
+      .select($"doc_id", TextFns.tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    val agg = toks
+      .select($"doc_id", explode($"w").as("t"))
+      .select($"doc_id", TextFns.hash60($"t").as("h"))
+      .groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id",
+        (0 until 32)
+          .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_ + _).as("slow"))
+    val diff = toks.select($"doc_id", expr("simhash32(w)").as("fast"))
+      .join(agg, "doc_id")
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diff === 0)
+    // empty array is total-vote-negative: all counters 0, no bit set
+    assert(one("simhash32(array())").getLong(0) == 0L)
+  }
+
   test("vec_dot: strict fold; NULL on dimension mismatch") {
     assert(one("vec_dot(array(1.0d,2.0d), array(3.0d,4.0d))").getDouble(0) == 11.0)
     assert(one("vec_dot(array(1.0d,2.0d), array(3.0d))").isNullAt(0))
