@@ -27,6 +27,18 @@ object GraftFunctions {
       s"$fn: gram width must be an INT literal, got $other")
   }
 
+  private def stringArrayLit(fn: String, e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+      elems.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: target set must be non-null string literals, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: target set must be an array(...) literal, got $other")
+  }
+
   /** (name, implementing class for ExpressionInfo, builder). */
   val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
@@ -41,7 +53,11 @@ object GraftFunctions {
       es => VecMatchCount(es(0), es(1))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1))),
-    ("simhash32", classOf[SimHash32], es => SimHash32(es(0))))
+    ("simhash32", classOf[SimHash32], es => SimHash32(es(0))),
+    ("array_count_in", classOf[ArrayCountIn],
+      es => ArrayCountIn(es(0), stringArrayLit("array_count_in", es(1)))),
+    ("str_count_any", classOf[StrCountAny],
+      es => StrCountAny(es(0), stringArrayLit("str_count_any", es(1)))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak; synchronized because specs share sessions across threads. */

@@ -105,6 +105,112 @@ object GramSets {
   }
 }
 
+/** Literal-set membership counting for the language-ID heuristics:
+  * the hit counts against a fixed stopword/trigram list are a per-row
+  * measure, so they never need the explode → doc-keyed aggregate
+  * round-trip (a shuffle of every token occurrence) — one hash-set
+  * probe per element inside whole-stage codegen replaces it. */
+object TextSets {
+
+  /** Occurrences (duplicates counted) of `arr` elements in `set`. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null && set.contains(s)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Total occurrences (overlapping; every start position counts) of
+    * the patterns in `s`, by direct byte search — no gram-array
+    * materialization at all. UTF-8 is self-synchronizing, so a byte
+    * match of a valid pattern encoding always lies on code-point
+    * boundaries: byte counting equals code-point-window counting. */
+  def strCountAny(s: UTF8String, pats: Array[Array[Byte]]): Long = {
+    val b = s.getBytes
+    var total = 0L
+    var p = 0
+    while (p < pats.length) {
+      val pat = pats(p)
+      if (pat.length > 0 && pat.length <= b.length) {
+        val last = b.length - pat.length
+        var i = 0
+        while (i <= last) {
+          var j = 0
+          while (j < pat.length && b(i + j) == pat(j)) j += 1
+          if (j == pat.length) total += 1
+          i += 1
+        }
+      }
+      p += 1
+    }
+    total
+  }
+}
+
+/** `array_count_in(arr, array('a','b',…)) -> bigint` — occurrences of
+  * the elements in a plan-time-literal string set. */
+case class ArrayCountIn(child: Expression, targets: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "array_count_in"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](targets.size * 2)
+    targets.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSets.countIn(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("targets", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextSets.countIn($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCountIn =
+    copy(child = newChild)
+}
+
+/** `str_count_any(s, array('p1','p2',…)) -> bigint` — total overlapping
+  * occurrences of the literal patterns in `s`. For distinct equal-width
+  * patterns this equals counting the n-gram stream's members in the
+  * pattern set — without building the gram array. */
+case class StrCountAny(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "str_count_any"
+
+  @transient private lazy val pats: Array[Array[Byte]] =
+    patterns.map(_.getBytes("UTF-8")).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSets.strCountAny(input.asInstanceOf[UTF8String], pats)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("patterns", pats, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextSets.strCountAny($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StrCountAny =
+    copy(child = newChild)
+}
+
 /** `hash60_set(arr) -> array<bigint>` — sorted distinct 60-bit hashes
   * of the elements, one codegen'd pass per row. */
 case class Hash60Set(child: Expression)

@@ -13,11 +13,11 @@ import graft.functions.TextFns._
   *
   * Scale design: every op is one codegen'd scan plus at most one
   * aggregation shuffle. Per-document measures (stats, quality,
-  * fingerprint) are computed row-local — token arrays never leave the
-  * row, so there is NO shuffle at all and the scan parallelizes
-  * embarrassingly. The corpus-wide ops (top-k terms, language ID)
-  * explode tokens but partial-aggregate map-side, so the shuffle
-  * carries per-(partition, key) rows, not per-token rows.
+  * fingerprint, language ID) are computed row-local — token arrays
+  * never leave the row, so there is NO shuffle at all and the scan
+  * parallelizes embarrassingly. The one corpus-wide op (top-k terms)
+  * explodes tokens but partial-aggregates map-side, so the shuffle
+  * carries per-(partition, term) rows, not per-token rows.
   */
 object TextAnalysis {
 
@@ -103,19 +103,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** `array_count_in` call against a fixed word list. */
+  private def hitsIn(arr: String, ws: Seq[String], as: String): Column =
+    expr(s"array_count_in($arr, array(${ws.map(w => s"'$w'").mkString(", ")}))")
+      .as(as)
+
   /** Stopword-hit language identification: occurrence counts against
     * four tiny stopword lists, argmax with fixed tie-break en>de>fr>es.
-    * One explode + one aggregation on doc_id (map-side combined). */
+    * Hit counts are per-row measures, so they are computed row-locally
+    * by the codegen'd `array_count_in` — NO explode, NO doc-keyed
+    * aggregation shuffle; the empty-token filter preserves the
+    * oracle's unnest semantics (tokenless docs drop out). */
   private def textLangid(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
     import s.implicits._
     val hits = Tables.documents(s, d)
-      .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
-      .groupBy($"doc_id", $"lang")
-      .agg(
-        countWhen($"w".isin(En: _*)).as("en_hits"),
-        countWhen($"w".isin(De: _*)).as("de_hits"),
-        countWhen($"w".isin(Fr: _*)).as("fr_hits"),
-        countWhen($"w".isin(Es: _*)).as("es_hits"))
+      .select($"doc_id", $"lang", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id", $"lang",
+        hitsIn("w", En, "en_hits"), hitsIn("w", De, "de_hits"),
+        hitsIn("w", Fr, "fr_hits"), hitsIn("w", Es, "es_hits"))
     hits.select($"doc_id", $"lang",
         when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" &&
           $"en_hits" >= $"es_hits", "en")
@@ -150,23 +157,29 @@ object TextAnalysis {
   private val FrTri = Seq("les", " le", "ent", "ion", "es ", " la", "ait", "que", "eur", " pa")
   private val EsTri = Seq("os ", "ión", "la ", "el ", " co", "as ", " es", "ado", "nte", " po")
 
+  /** `str_count_any` call against a fixed trigram profile. */
+  private def triHits(ws: Seq[String], as: String): Column =
+    expr(s"str_count_any(norm, array(${ws.map(w => s"'$w'").mkString(", ")}))")
+      .as(as)
+
   /** Language ID by character-trigram profile hits — the n-gram
     * heuristic variant of [[textLangid]]: occurrences of each
     * language's high-frequency trigrams in the document's char-3-gram
-    * stream, argmax with the same fixed tie-break. Same shape: one
-    * explode + one map-side-combined aggregation on doc_id. */
+    * stream, argmax with the same fixed tie-break. The codegen'd
+    * `str_count_any` counts pattern occurrences directly on the
+    * normalized string — the trigram stream is never materialized,
+    * let alone exploded or shuffled; distinct equal-width patterns
+    * make occurrence counting identical to gram-set membership
+    * counting (see [[graft.expressions.StrCountAny]]). */
   private def textLangidNgram(s: SparkSession, d: String) = {
     GraftFunctions.ensure(s)
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"lang", normalizeText($"text").as("norm"))
-      .select($"doc_id", $"lang", explode(charNgrams("norm", 3)).as("g"))
-      .groupBy($"doc_id", $"lang")
-      .agg(
-        countWhen($"g".isin(EnTri: _*)).as("en_hits"),
-        countWhen($"g".isin(DeTri: _*)).as("de_hits"),
-        countWhen($"g".isin(FrTri: _*)).as("fr_hits"),
-        countWhen($"g".isin(EsTri: _*)).as("es_hits"))
+      .filter(length($"norm") >= 3)
+      .select($"doc_id", $"lang",
+        triHits(EnTri, "en_hits"), triHits(DeTri, "de_hits"),
+        triHits(FrTri, "fr_hits"), triHits(EsTri, "es_hits"))
       .select($"doc_id", $"lang",
         when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" &&
           $"en_hits" >= $"es_hits", "en")

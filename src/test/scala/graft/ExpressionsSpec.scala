@@ -63,6 +63,32 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(one("sorted_intersect_count(array(), array(1L))").getLong(0) == 0L)
   }
 
+  test("array_count_in: occurrences against a literal set") {
+    assert(one("array_count_in(array('a','b','a','c'), array('a','c'))").getLong(0) == 3L)
+    assert(one("array_count_in(array(), array('a'))").getLong(0) == 0L)
+    assert(one("array_count_in(CAST(NULL AS array<string>), array('a'))").isNullAt(0))
+  }
+
+  test("str_count_any: overlapping occurrences, multi-byte, matches gram counting") {
+    // overlapping: 'ththt' holds 'tht' at positions 1 and 3
+    assert(one("str_count_any('ththt', array('tht'))").getLong(0) == 2L)
+    // multi-byte pattern in multi-byte text
+    assert(one("str_count_any('canción y acción', array('ión'))").getLong(0) == 2L)
+    assert(one("str_count_any('ab', array('abc'))").getLong(0) == 0L)
+    // equivalence with the explicit gram-stream formulation on real docs
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val diff = Tables.documents(spark, sf)
+      .select(TextFns.normalizeText($"text").as("norm"))
+      .filter(length($"norm") >= 3)
+      .select(
+        expr("str_count_any(norm, array('the','he ',' th','ing','ión'))").as("fast"),
+        expr("array_count_in(char_ngrams(norm, 3), array('the','he ',' th','ing','ión'))").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diff === 0)
+  }
+
   test("simhash32: bit-identical to the explode+sign-sum aggregate") {
     GraftFunctions.ensure(spark)
     import spark.implicits._
