@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Aggregates.defs ++
       ops.Windows.defs ++
       ops.SetSort.defs ++
+      ops.Reshape.defs ++
       ops.Scalars.defs ++
       ops.Dedup.defs ++
       ops.Similarity.defs ++
