@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming lift of the engine's event-time operators
   * (SURVEY §2.8). The reference is pure batch, so the DuckDB oracle
@@ -46,6 +46,39 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** One document row as fed to the streaming dedup stage. */
+  case class Doc(doc_id: Long, content_hash: String)
+
+  /** Streaming exact dedup — the corpus-prep pipeline's first stage
+    * ([[graft.ops.Dedup]] `dedup_exact`) lifted to a stream: one
+    * surviving document per content hash. Within a micro-batch the
+    * survivor is the min doc_id (the batch op's deterministic survivor
+    * rule); across batches it is first-seen — the only causally
+    * possible choice on an unbounded stream. State is one boolean per
+    * hash, partitioned by hash exactly like the batch shuffle; for
+    * bounded state on an infinite stream use
+    * [[dedupWithinWatermark]]. */
+  def dedupByHash(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+      }
+  }
+
+  /** Built-in bounded-state dedup: first document per content hash
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`).
+    * Duplicates arriving after the horizon re-emit — the standard
+    * tradeoff that keeps dedup state finite on an unbounded stream;
+    * the horizon is the dedupe-window knob. */
+  def dedupWithinWatermark(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
 
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
     * event counts, emitted every trigger (update mode). The state is

@@ -62,6 +62,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming exact dedup agrees with the batch survivor rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        md5(graft.functions.TextFns.normalizeText($"text")).as("content_hash"))
+      .as[EventStream.Doc].collect().toSeq
+
+    val src = MemoryStream[EventStream.Doc]
+    val q = EventStream.dedupByHash(src.toDS()).toDF()
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    // all docs in one batch, so min-doc_id survivors match the batch op
+    src.addData(docs: _*)
+    q.processAllAvailable()
+    val afterFirst = spark.table("streamdedup").count()
+    // the whole corpus AGAIN — every hash is in state, nothing may emit
+    src.addData(docs: _*)
+    q.processAllAvailable()
+    val afterSecond = spark.table("streamdedup").count()
+    q.stop()
+
+    val want = SparkEntry.queries("dedup_exact")(spark, sf)
+    assert(afterFirst === want.count())
+    assert(afterSecond === afterFirst)
+    val got = spark.table("streamdedup").select($"doc_id", $"content_hash")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("watermarked dedup keeps one row per hash within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    src.addData((1L, at(0), "h1"), (2L, at(1), "h1"), (3L, at(2), "h2"),
+      (4L, at(3), "h1"))
+    runToTable(
+      EventStream.dedupWithinWatermark(
+        src.toDF().toDF("doc_id", "ts", "content_hash")),
+      "wmdedup", "append")
+    val got = spark.table("wmdedup")
+    assert(got.count() === 2)
+    assert(got.groupBy($"content_hash").count().filter($"count" > 1).isEmpty)
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
