@@ -87,6 +87,37 @@ object Joins {
       .orderBy($"nationkey")
   }
 
+  /** Salted skew join (non-reference; the join-side twin of
+    * `agg_salted`): every customer row carries one of [[SaltBuckets]]
+    * deterministic salts, the nation dim is replicated once per salt,
+    * and the join key becomes (nationkey, salt) — a hot key's rows
+    * spread over `SaltBuckets` shuffle partitions instead of one. The
+    * low-cardinality key (25 nations over all customers) is exactly
+    * the hot-key shape; a `shuffle_hash` hint pins the shuffle plan
+    * the pattern exists for (first-line tools remain broadcast for
+    * broadcastable dims and AQE skew splitting — manual salting is for
+    * non-broadcastable dims with keys AQE can't split further, e.g.
+    * under outer-join constraints). Result is provably identical to
+    * the unsalted join, which is the oracle. */
+  private def joinSalted(s: SparkSession, d: String) = {
+    import s.implicits._
+    val fact = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        pmod($"c_custkey", lit(SaltBuckets)).as("salt"))
+    val dim = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name",
+        explode(array((0 until SaltBuckets).map(lit): _*)).as("salt"))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("c_nationkey") === dim("n_nationkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"c_acctbal".cast("decimal(27,6)")).cast("double").as("total_bal"))
+      .orderBy($"n_name")
+  }
+
+  private val SaltBuckets = 8
+
   /** J5 — array → rows via explode (reference `queries.sql:12-14`
     * `UNNEST(problematic_application_ids)`). */
   private def unnestExplode(s: SparkSession, d: String) = {
@@ -134,6 +165,11 @@ object Joins {
         |      FROM supplier GROUP BY 1) sn
         |ON cn.nationkey = sn.nationkey
         |ORDER BY nationkey""".stripMargin),
+    OpDef("join_salted", joinSalted _,
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
     OpDef("unnest_explode", unnestExplode _,
       """WITH a AS (
         |  SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names

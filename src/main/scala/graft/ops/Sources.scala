@@ -73,6 +73,36 @@ object Sources {
       .orderBy($"o_orderkey")
   }
 
+  /** Hive-style partitioned parquet sink + partition-PRUNED read-back
+    * (non-reference extra): orders staged partitioned by order month,
+    * then a one-quarter query against the stage. The month filter
+    * prunes at the DIRECTORY level (`PartitionFilters` in the scan,
+    * never touching other months' files) — the table layout that lets
+    * a 100 TB fact table serve a one-month query by listing one
+    * directory instead of scanning a year. The read-back declares its
+    * schema (partition column included) — no inference, so an empty
+    * stage reads as an empty frame and partition values never
+    * type-drift. */
+  private def sinkPartitioned(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/orders_by_month"
+    Tables.orders(s, d)
+      .withColumn("o_month",
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_month").parquet(path)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING, " +
+        "o_month INT")
+      .parquet(path)
+      .filter($"o_month".isin(199501, 199502, 199503))
+      .groupBy($"o_month", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(27,6)")).cast("double")
+          .as("total_price"))
+      .orderBy($"o_month", $"o_orderstatus")
+  }
+
   /** S2 — bare parquet scan with projection+predicate pushdown. */
   private def scanParquet(s: SparkSession, d: String) = {
     import s.implicits._
@@ -98,6 +128,15 @@ object Sources {
     OpDef("json_roundtrip", jsonRoundtrip _,
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 100 = 0
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+    OpDef("sink_partitioned", sinkPartitioned _,
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,
+        |  o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE year(o_orderdate) * 100 + month(o_orderdate) IN (199501, 199502, 199503)
+        |GROUP BY 1, 2
+        |ORDER BY o_month, o_orderstatus""".stripMargin)
   )
 }

@@ -47,4 +47,16 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("join_inner_broadcast").contains("BroadcastHashJoin"))
     assert(plan("semi_join").contains("BroadcastHashJoin"))
   }
+
+  test("partitioned stage read-back prunes at the partition level") {
+    val p = plan("sink_partitioned")
+    // the month filter must appear as a PartitionFilters entry on the
+    // stage scan — directory pruning, not a data filter
+    assert("PartitionFilters: \\[[^\\]]*o_month".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("salted join shuffles (the skew pattern it demonstrates)") {
+    val p = plan("join_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
