@@ -75,6 +75,43 @@ class PropertySpec extends SparkSpecBase {
     }, tests = 10)
   }
 
+  test("simhash32: matches a direct per-token vote tally on random docs") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensure(spark)
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(Gen.listOfN(8, Gen.listOfN(12, word))) { docs =>
+      val got = docs.map(ws => Tuple1(ws)).toDF("w")
+        .select(expr("simhash32(w)").as("r"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = docs.map { ws =>
+        val sums = new Array[Int](32)
+        for (w <- ws; b <- 0 until 32) {
+          val h = graft.expressions.MinHash.hash60(w.getBytes("UTF-8"))
+          if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        }
+        (0 until 32).map(b => if (sums(b) > 0) 1L << b else 0L).sum
+      }
+      got == want
+    }, tests = 10)
+  }
+
+  test("str_count_any: equals sliding-window membership counting") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensure(spark)
+    // alphabet of 3 symbols makes overlaps and repeats likely; include
+    // a multi-byte symbol to exercise UTF-8 alignment
+    val sym = Gen.oneOf("a", "b", "é")
+    val text = Gen.listOfN(30, sym).map(_.mkString)
+    val pat = Gen.listOfN(3, sym).map(_.mkString)
+    check(Prop.forAll(text, pat) { (t, p) =>
+      val got = Seq(t).toDF("v")
+        .select(expr(s"str_count_any(v, array('$p'))").as("r"))
+        .first().getLong(0)
+      val want = t.sliding(3).count(_ == p).toLong
+      got == want
+    }, tests = 30)
+  }
+
   test("roundHalfUp: evaluates the plain IEEE floor formula exactly") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6))) { ds =>
