@@ -226,6 +226,14 @@ object Aggregates {
         |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    OpDef("agg_cube", aggCube _,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
     OpDef("agg_histogram", aggHistogram _,
       """SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo, n_orders
         |FROM (
@@ -271,6 +279,23 @@ object Aggregates {
         $"n_orders", $"total_value")
       .orderBy($"gid".asc, $"yr".asc_nulls_first,
         $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Cube (non-reference extra): all four grouping sets of
+    * (returnflag, linestatus) in one pass — like [[aggRollup]] but the
+    * full lattice; same single hash-aggregate shuffle after grouping-
+    * set expansion, `grouping_id` disambiguation, NULLS FIRST pinned. */
+  private def aggCube(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast("decimal(27,6)")).cast("double").as("sum_qty"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"n_lines", $"sum_qty")
+      .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
   }
 
   /** Fixed-width histogram (non-reference extra): 20 buckets of order

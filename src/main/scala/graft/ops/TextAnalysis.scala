@@ -190,6 +190,67 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-document top-3 terms by TF-IDF — the canonical corpus
+    * weighting: tf = term count / doc length, idf = ln(N / df). Two
+    * map-side-combined aggregations (per-(doc, term) counts, then
+    * per-term doc frequencies), a shuffle join on the term (scale-safe
+    * for unbounded vocabularies — no broadcast assumption), and a
+    * per-doc top-k that plans as WindowGroupLimit. Scores are rounded
+    * half-up to 6 dp BEFORE ranking so the rank comparison — and with
+    * it the output — is identical in both engines; ties break on the
+    * term. N counts docs with ≥1 token, mirroring unnest semantics. */
+  private def textTfidf(s: SparkSession, d: String) = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+    val tf = toks
+      .select($"doc_id", size($"w").cast("long").as("len"),
+        explode($"w").as("term"))
+      .groupBy($"doc_id", $"len", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .select($"doc_id", $"term",
+        roundHalfUp(($"tf".cast("double") / $"len") *
+          log($"n".cast("double") / $"df"), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"tfidf", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private def tfidfOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |),
+       |base AS (
+       |  SELECT doc_id, len(w) AS len, unnest(w) AS term
+       |  FROM toks WHERE len(w) > 0
+       |),
+       |tf AS (
+       |  SELECT doc_id, len, term, COUNT(*) AS tf FROM base GROUP BY 1, 2, 3
+       |),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n FROM toks WHERE len(w) > 0),
+       |scored AS (
+       |  SELECT t.doc_id, t.term,
+       |    ${roundHalfUpSql("(CAST(t.tf AS DOUBLE) / t.len) * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS tfidf
+       |  FROM tf t JOIN df ON t.term = df.term CROSS JOIN n
+       |),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
   /** Deterministic hash sampling: keep ~10 % of documents by a
     * md5-derived bucket of the KEY (never `rand()` — reproducible on
     * any cluster, any partitioning, any rerun, and mirrored exactly by
@@ -241,6 +302,7 @@ object TextAnalysis {
          |  ${roundHalfUpSql("1.0 * len(array_to_string(w, '')) / len(w)", 6)} AS avg_token_len
          |FROM toks
          |ORDER BY doc_id""".stripMargin),
+    OpDef("text_tfidf", textTfidf _, tfidfOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences
          |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)

@@ -80,7 +80,27 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Quartile bucketing per market segment via `ntile(4)` over a
+    * TOTAL order (balance, then custkey) — without the unique
+    * tie-break, ntile's bucket boundaries would be partitioning-
+    * dependent on equal balances (non-reference extra). */
+  private def windowNtile(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_mktsegment", $"quartile", $"c_custkey")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_ntile", windowNtile _,
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
+        |FROM customer
+        |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin),
     OpDef("window_share", windowShare _,
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate) AS cohort_month,
