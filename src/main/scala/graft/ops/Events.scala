@@ -125,21 +125,62 @@ object Events {
       .orderBy($"window_id")
   }
 
+  /** Range-bucketed interval join — the LARGE⋈LARGE form of
+    * [[joinRange]] that SURVEY documents as the scale path when the
+    * range side is NOT a broadcastable dimension: both sides map to
+    * coarse 1-hour buckets (each 2-hour window explodes into the ≤ 2
+    * buckets it overlaps, each event into exactly one), the join is a
+    * plain shuffled equi-join on the bucket, and the precise
+    * containment predicate filters inside matched buckets. No
+    * BroadcastNestedLoopJoin anywhere — per-bucket work is bounded by
+    * bucket occupancy, the property that survives when both sides are
+    * 100 TB facts. The `shuffle_hash` hint pins the shuffled plan the
+    * pattern exists for (the tiny test dimension would otherwise
+    * auto-broadcast); result is provably identical to [[joinRange]],
+    * which is the oracle. */
+  private def joinRangeBucketed(s: SparkSession, d: String) = {
+    import s.implicits._
+    val bucketSecs = 3600L
+    val epoch = to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+    val windows = s.range(31).toDF("w")
+      .select($"w".cast("int").as("window_id"),
+        (epoch + $"w" * 6L * 3600).as("w_start_s"))
+      .withColumn("w_end_s", $"w_start_s" + 2L * 3600)
+      .select($"window_id", $"w_start_s", $"w_end_s",
+        explode(sequence(
+          floor($"w_start_s" / bucketSecs).cast("long"),
+          floor(($"w_end_s" - 1) / bucketSecs).cast("long"))).as("bucket"))
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("long").as("ts_s"),
+        floor($"ts".cast("long") / bucketSecs).cast("long").as("bucket"))
+    ev.join(windows.hint("shuffle_hash"), Seq("bucket"))
+      .filter($"ts_s" >= $"w_start_s" && $"ts_s" < $"w_end_s")
+      .groupBy($"window_id", $"w_start_s")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"window_id", $"w_start_s".cast("timestamp").as("w_start"),
+        $"n_events", $"n_users")
+      .orderBy($"window_id")
+  }
+
+  private val rangeOracle: String =
+    """WITH windows AS (
+      |  SELECT CAST(w AS INT) AS window_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' AS w_start,
+      |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' + INTERVAL '2 hours' AS w_end
+      |  FROM range(31) t(w)
+      |)
+      |SELECT w.window_id, w.w_start,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN windows w
+      |  ON e.ts >= w.w_start AND e.ts < w.w_end
+      |GROUP BY w.window_id, w.w_start
+      |ORDER BY window_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
-    OpDef("join_range", joinRange _,
-      """WITH windows AS (
-        |  SELECT CAST(w AS INT) AS window_id,
-        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' AS w_start,
-        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' + INTERVAL '2 hours' AS w_end
-        |  FROM range(31) t(w)
-        |)
-        |SELECT w.window_id, w.w_start,
-        |  COUNT(*) AS n_events,
-        |  COUNT(DISTINCT e.user_id) AS n_users
-        |FROM events e JOIN windows w
-        |  ON e.ts >= w.w_start AND e.ts < w.w_end
-        |GROUP BY w.window_id, w.w_start
-        |ORDER BY window_id""".stripMargin),
+    OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
+    OpDef("join_range", joinRange _, rangeOracle),
     OpDef("join_asof", joinAsof _,
       """WITH clicks AS (
         |  SELECT user_id, MAX(event_id) AS event_id, ts

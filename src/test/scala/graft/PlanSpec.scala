@@ -59,4 +59,10 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("bucketed range join is an equi-join, never a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
