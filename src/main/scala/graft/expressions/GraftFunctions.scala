@@ -30,8 +30,8 @@ object GraftFunctions {
   private def stringArrayLit(fn: String, e: Expression): Seq[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
       elems.map {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-          if v != null => v.toString
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          v, org.apache.spark.sql.types.StringType) if v != null => v.toString
         case other => throw new IllegalArgumentException(
           s"$fn: target set must be non-null string literals, got $other")
       }
