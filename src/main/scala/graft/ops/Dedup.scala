@@ -129,7 +129,8 @@ object Dedup {
   private[graft] def lshPairs(s: SparkSession, docs: DataFrame,
                               mkGrams: DataFrame => DataFrame,
                               threshold: Double,
-                              maxBucket: Int = MaxBucket): DataFrame = {
+                              maxBucket: Int = MaxBucket,
+                              broadcastLimit: Long = BroadcastCandidateLimit): DataFrame = {
     GraftFunctions.ensure(s)
     import s.implicits._
     // A production corpus arrives in many scan partitions; a tiny test
@@ -151,7 +152,7 @@ object Dedup {
     // one cheap job, and the fallback path keeps the same semantics with
     // a shuffle on doc_id instead of a driver-collected broadcast.
     val gated =
-      if (candIds.count() <= BroadcastCandidateLimit) broadcast(candIds)
+      if (candIds.count() <= broadcastLimit) broadcast(candIds)
       else candIds
     val candDocs = spread.join(gated, Seq("doc_id"), "left_semi")
     // Gram sets as ONE sorted hash array per candidate doc — built in a

@@ -40,4 +40,19 @@ class DedupSkewSpec extends SparkSpecBase {
     val n = pairs(docs, cap = 4096).count()
     assert(n === 10L * 9 / 2 + 1)
   }
+
+  test("broadcast gate fallback (shuffled semi-join) is result-identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def run(limit: Long) = ops.Dedup.lshPairs(spark, docs, d => d
+        .withColumn("norm", TextFns.normalizeText(col("text")))
+        .withColumn("grams", TextFns.charNgrams("norm", 4))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), col("grams")), 0.7, broadcastLimit = limit)
+      .collect().map(_.toSeq).toSeq
+    // limit 0 forces the shuffled path that a dense candidate graph
+    // takes at scale; it must produce byte-identical pairs and scores
+    assert(run(0L) === run(Long.MaxValue))
+    spark.catalog.clearCache()
+  }
 }
