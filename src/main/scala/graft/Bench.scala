@@ -22,6 +22,9 @@ object Bench {
       // docs' recommended setting; at scale the 64 MB advisory size
       // governs, so this never under-partitions big data).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // same TZ binding as Verify: event-time bucketing row counts must
+      // not depend on the host's default zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
