@@ -60,18 +60,24 @@ object GraftFunctions {
       es => StrCountAny(es(0), stringArrayLit("str_count_any", es(1)))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
-    * leak; synchronized because specs share sessions across threads. */
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    * leak. All access happens under the map's monitor: concurrent
+    * callers (spec suites share one session across threads) must not
+    * observe the marker before every builder is registered, and a
+    * failed registration must leave the marker UNSET so the next call
+    * retries instead of silently never registering. */
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
-  def ensure(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+  def ensure(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
       val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
       builders.foreach { case (name, _, b) =>
         registry.createOrReplaceTempFunction(name, b, "built-in")
       }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
+  }
 }
 
 /** `spark.sql.extensions`-loadable variant for cluster deployments:

@@ -292,7 +292,7 @@ object Aggregates {
       .agg(
         grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n_lines"),
-        sum($"l_quantity".cast("decimal(27,6)")).cast("double").as("sum_qty"))
+        sumExact($"l_quantity").as("sum_qty"))
       .select($"l_returnflag", $"l_linestatus", $"gid", $"n_lines", $"sum_qty")
       .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
         $"l_linestatus".asc_nulls_first)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Exact._
 
 /** [EXT] Event-time operators over the `events` table (SURVEY §2.8).
   *
@@ -31,7 +32,7 @@ object Events {
     Tables.events(s, d)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(27,6)")).cast("double").as("total_value"))
+        sumExact($"value").as("total_value"))
       .select($"window.start".as("hour_start"), $"event_type",
         $"n_events", $"total_value")
       .orderBy($"hour_start", $"event_type")

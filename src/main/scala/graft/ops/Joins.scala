@@ -112,7 +112,7 @@ object Joins {
           fact("salt") === dim("salt"))
       .groupBy($"n_name")
       .agg(count(lit(1)).as("n_customers"),
-        sum($"c_acctbal".cast("decimal(27,6)")).cast("double").as("total_bal"))
+        sumExact($"c_acctbal").as("total_bal"))
       .orderBy($"n_name")
   }
 

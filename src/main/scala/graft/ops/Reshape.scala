@@ -29,7 +29,7 @@ object Reshape {
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .pivot("o_orderstatus", Statuses)
-      .agg(sum($"o_totalprice".cast("decimal(27,6)")).cast("double"))
+      .agg(sumExact($"o_totalprice"))
       .orderBy($"o_orderpriority")
   }
 

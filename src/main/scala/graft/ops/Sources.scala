@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Exact._
 import graft.sources.CsvIO
 
 /** Source/sink/staging demonstrations — SURVEY §2.1 (S1-S5).
@@ -98,8 +99,7 @@ object Sources {
       .filter($"o_month".isin(199501, 199502, 199503))
       .groupBy($"o_month", $"o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast("decimal(27,6)")).cast("double")
-          .as("total_price"))
+        sumExact($"o_totalprice").as("total_price"))
       .orderBy($"o_month", $"o_orderstatus")
   }
 

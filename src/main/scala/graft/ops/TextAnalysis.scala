@@ -198,19 +198,25 @@ object TextAnalysis {
     * per-doc top-k that plans as WindowGroupLimit. Scores are rounded
     * half-up to 6 dp BEFORE ranking so the rank comparison — and with
     * it the output — is identical in both engines; ties break on the
-    * term. N counts docs with ≥1 token, mirroring unnest semantics. */
+    * term. N counts docs with ≥1 token (mirroring unnest semantics)
+    * and derives from the tf frame, so the corpus is scanned and
+    * tokenized exactly once. The `ln` inputs (n/df) are exact IEEE
+    * ratios of integers, identical in both engines; `ln` itself is the
+    * one transcendental in the oracle surface, where a ≤1-ulp libm
+    * divergence could in principle flip the 6th decimal on an exact
+    * rounding boundary — probability ~1e-11 per value, and validated
+    * empirically at sf0.01 and sf0.1. */
   private def textTfidf(s: SparkSession, d: String) = {
     import s.implicits._
-    val toks = Tables.documents(s, d)
+    val tf = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("w"))
       .filter(size($"w") > 0)
-    val tf = toks
       .select($"doc_id", size($"w").cast("long").as("len"),
         explode($"w").as("term"))
       .groupBy($"doc_id", $"len", $"term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = toks.agg(count(lit(1)).as("n"))
+    val n = tf.agg(countDistinct($"doc_id").as("n"))
     val scored = tf.join(df, "term").crossJoin(n)
       .select($"doc_id", $"term",
         roundHalfUp(($"tf".cast("double") / $"len") *
@@ -236,7 +242,7 @@ object TextAnalysis {
        |  SELECT doc_id, len, term, COUNT(*) AS tf FROM base GROUP BY 1, 2, 3
        |),
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |n AS (SELECT COUNT(*) AS n FROM toks WHERE len(w) > 0),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
        |scored AS (
        |  SELECT t.doc_id, t.term,
        |    ${roundHalfUpSql("(CAST(t.tf AS DOUBLE) / t.len) * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS tfidf
