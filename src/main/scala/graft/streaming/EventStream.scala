@@ -24,16 +24,20 @@ object EventStream {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  /** Hourly tumbling counts per event type — watermarked, so the sink
-    * can run in append mode once windows close. Identical aggregation
-    * shape to the oracle-checked batch `window_tumbling`. */
+  /** Hourly tumbling counts + exact decimal value sums per event type —
+    * watermarked, so the sink can run in append mode once windows
+    * close. Identical aggregation shape AND identical decimal-exact
+    * accumulation to the oracle-checked batch `window_tumbling`: the
+    * streaming state carries the decimal accumulator, so incremental
+    * merge order across micro-batches cannot perturb the total. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.sumExact(col("value")).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"))
+        col("n_events"), col("total_value"))
 
   /** Gap-based sessions via Spark's native `session_window` — the
     * streaming counterpart of the batch `event_sessions` op (30-minute

@@ -37,10 +37,12 @@ class StreamingSpec extends SparkSpecBase {
     src.addData(b: _*)
     runToTable(EventStream.tumblingCounts(src.toDF()), "tumbling", "complete")
 
+    // value sums must match EXACTLY (decimal-exact accumulation makes
+    // the incremental micro-batch merge equal the batch result)
     val got = spark.table("tumbling")
-      .select($"hour_start", $"event_type", $"n_events")
+      .select($"hour_start", $"event_type", $"n_events", $"total_value")
     val want = SparkEntry.queries("window_tumbling")(spark, sf)
-      .select($"hour_start", $"event_type", $"n_events")
+      .select($"hour_start", $"event_type", $"n_events", $"total_value")
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
