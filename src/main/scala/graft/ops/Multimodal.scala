@@ -93,6 +93,31 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  private val FitBox = 256
+
+  /** Resize planning + stubbed execution: fit each image into a
+    * [[FitBox]]² box preserving aspect ratio — target dimensions from
+    * pure integer math (identical in both engines, no float rounding
+    * ambiguity), and the "resized payload" stubbed as a deterministic
+    * identity over (payload, target dims), exactly where a real
+    * scaler's output bytes would flow. Row-local like every media op:
+    * payloads never leave their scan partition. */
+  private def mmResize(s: SparkSession, d: String) = {
+    import s.implicits._
+    media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp"), $"width", $"height",
+        greatest($"width", $"height").as("m"))
+      .select($"doc_id", $"width", $"height",
+        greatest(lit(1L), expr(s"(width * $FitBox) div m")).cast("int")
+          .as("out_w"),
+        greatest(lit(1L), expr(s"(height * $FitBox) div m")).cast("int")
+          .as("out_h"), $"hexp")
+      .select($"doc_id", $"width", $"height", $"out_w", $"out_h",
+        md5(concat($"hexp", lit(":"), $"out_w".cast("string"), lit("x"),
+          $"out_h".cast("string"))).as("resized_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Frame sampling: fixed-size frames, every [[SampleEvery]]-th kept,
     * identified by an md5 over the frame's hex slice (hex, because the
     * oracle cannot hash raw BLOB bytes). Only frame indexes explode. */
@@ -132,6 +157,22 @@ object Multimodal {
          |FROM media
          |ORDER BY doc_id""".stripMargin
     }),
+    OpDef("mm_resize", mmResize _,
+      s"""WITH $mediaSql,
+         |dims AS (
+         |  SELECT doc_id, hexp, width, height, GREATEST(width, height) AS m
+         |  FROM media
+         |),
+         |fit AS (
+         |  SELECT doc_id, hexp, width, height,
+         |    CAST(GREATEST(1, (width * $FitBox) // m) AS INT) AS out_w,
+         |    CAST(GREATEST(1, (height * $FitBox) // m) AS INT) AS out_h
+         |  FROM dims
+         |)
+         |SELECT doc_id, width, height, out_w, out_h,
+         |  md5(hexp || ':' || CAST(out_w AS VARCHAR) || 'x' || CAST(out_h AS VARCHAR)) AS resized_md5
+         |FROM fit
+         |ORDER BY doc_id""".stripMargin),
     OpDef("mm_frame_sample", mmFrameSample _,
       s"""WITH $mediaSql,
          |framed AS (
