@@ -31,7 +31,8 @@ object SparkEntry {
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
       ops.Events.defs ++
-      ops.Multimodal.defs
+      ops.Multimodal.defs ++
+      ops.RefSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
