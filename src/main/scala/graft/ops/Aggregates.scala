@@ -250,6 +250,16 @@ object Aggregates {
         |GROUP BY l_orderkey
         |HAVING COUNT(*) >= 5
         |ORDER BY l_orderkey""".stripMargin),
+    OpDef("agg_approx_distinct", aggApproxDistinct _,
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    OpDef("agg_approx_percentile", aggApproxPercentile _,
+      """SELECT l_returnflag,
+        |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) AS DOUBLE) / 10000 AS p50_exact,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     OpDef("agg_percentile", aggPercentile _,
       """SELECT l_returnflag,
         |  CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) AS DOUBLE) / 10000 AS p25,
@@ -337,7 +347,14 @@ object Aggregates {
   /** Exact interpolated percentiles (non-reference extra): Spark's
     * `percentile` and DuckDB's `quantile_cont` both rank at (n-1)·p
     * with linear interpolation; half-up rounding to 4dp absorbs any
-    * last-bit formula difference. */
+    * last-bit formula difference.
+    *
+    * SCALE BOUND — this is the bounded-group EXACT variant: `percentile`
+    * buffers every group's values in executor memory (N/groups doubles
+    * per group), which is fine while groups are bounded (3 return flags
+    * here) and an OOM when they are not. For unbounded groups at 100 TB
+    * reach for [[aggApproxPercentile]] — constant sketch memory per
+    * group, rank error ≤ 1/accuracy. */
   private def aggPercentile(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.lineitem(s, d)
@@ -350,6 +367,60 @@ object Aggregates {
         roundHalfUp($"r25", 4).as("p25"),
         roundHalfUp($"r50", 4).as("p50"),
         roundHalfUp($"r90", 4).as("p90"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Relative-error bound for the HLL distinct sketch: the sketch is
+    * built with rsd 0.02, and the oracle-checked claim is |approx −
+    * exact| ≤ 5 % · exact — ~2.5 standard deviations of slack, tight
+    * enough to be meaningful, loose enough to never flap. Sketch
+    * hashes differ across engines, so the APPROX VALUE itself cannot
+    * hash-match a DuckDB oracle; what can is the exact count plus the
+    * bounded-error CLAIM as a boolean — DuckDB asserts `TRUE`, and the
+    * row hash-matches iff Spark's sketch really landed in the bound. */
+  private val HllBound = 0.05
+
+  /** Value-relative bound for the percentile sketch: accuracy 10000
+    * caps RANK error at n/10000; on the testdata price distribution
+    * that is far below 0.5 % of the median VALUE (spec-asserted at
+    * sf0.01 and sf0.1). */
+  private val PctBound = 0.005
+
+  /** [EXT] Sketch distinct count — the operator a 100 TB pipeline
+    * reaches for FIRST: `approx_count_distinct` (HyperLogLog++) keeps a
+    * fixed ~KB register set per group instead of a hash set of every
+    * key, so memory is O(groups), not O(distinct keys). The exact twin
+    * is computed alongside purely as the oracle anchor (see
+    * [[HllBound]]); a production job would drop it. */
+  private def aggApproxDistinct(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts" * HllBound).as("within_bound"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** [EXT] Sketch percentile — the unbounded-group twin of
+    * [[aggPercentile]]: `approx_percentile` (a mergeable quantile
+    * sketch) holds O(accuracy) values per group regardless of group
+    * size. Oracle pattern as [[aggApproxDistinct]]: exact median +
+    * bounded-error claim (see [[PctBound]]). */
+  private def aggApproxPercentile(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx50"))
+      .select($"l_returnflag",
+        roundHalfUp($"exact50", 4).as("p50_exact"),
+        (abs($"approx50" - $"exact50") <=
+          abs($"exact50") * PctBound).as("within_bound"))
       .orderBy($"l_returnflag")
   }
 }

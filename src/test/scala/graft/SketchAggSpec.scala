@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The sketch aggregates' documented error bounds are measured, not
+  * assumed: at sf0.01 and sf0.1 the HLL distinct estimate must sit
+  * within 5 % of exact and the approx median within 0.5 % of the exact
+  * median — the same bounds the oracle rows encode as `within_bound`.
+  */
+class SketchAggSpec extends SparkSpecBase {
+
+  private val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  private def maxRel(d: String, exact: org.apache.spark.sql.Column,
+                     approx: org.apache.spark.sql.Column): Double =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(exact.as("e"), approx.as("a"))
+      .select(max(abs(col("a") - col("e")) / abs(col("e"))).as("m"))
+      .collect()(0).getDouble(0)
+
+  test("HLL distinct error ≤ 5% at sf0.01 and sf0.1") {
+    for (d <- sfs) {
+      val m = maxRel(d, countDistinct(col("l_partkey")),
+        approx_count_distinct(col("l_partkey"), 0.02))
+      assert(m <= 0.05, s"HLL rel error $m at $d")
+    }
+  }
+
+  test("approx median error ≤ 0.5% at sf0.01 and sf0.1") {
+    for (d <- sfs) {
+      val m = maxRel(d, expr("percentile(l_extendedprice, 0.5)"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+      assert(m <= 0.005, s"approx median rel error $m at $d")
+    }
+  }
+
+  test("catalog entries report within_bound = true everywhere") {
+    for (name <- Seq("agg_approx_distinct", "agg_approx_percentile")) {
+      val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      assert(out.filter(!col("within_bound")).count() === 0, name)
+    }
+  }
+}
