@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal corpus builder: expands the sf0.1 documents and
+  * embeddings tables by an integer factor so the dedup/similarity
+  * family can be measured beyond the largest driver-provided sf
+  * (BASELINE.md "scaling" section).
+  *
+  * Construction is deterministic and preserves the WITHIN-COPY
+  * structure that makes the family non-trivial:
+  *  - documents: copy k shifts doc_id by k·10⁷ and maps the vowels
+  *    through a copy-specific translate table — every in-copy near-dup
+  *    pair survives verbatim (translate is a bijection on the text),
+  *    while cross-copy shingle overlap collapses, so the candidate
+  *    graph grows ~linearly with the factor rather than quadratically.
+  *  - embeddings: copy k shifts vec_id by k·10⁷ and adds a small
+  *    constant bias (k·0.001) to every component — copies stay
+  *    near-parallel to their original (cosine ≈ 0.999…), deliberately
+  *    planting factor-sized near-identical clusters that exercise the
+  *    dedup_embedding width cap and the banded candidate path. Query
+  *    ids (vec_id < 20) exist only in copy 0, so Q stays fixed while N
+  *    grows — the pure N-scaling measurement.
+  *
+  * Usage: runMain graft.ScaleData <sfDir> <outDir> <factor>
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vowelTargets = "aeioubcdfghjklmnpqrstvwxyz"
+    val docs = Tables.documents(spark, sfDir)
+    val docCopies = (0 until factor).map { k =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+      if (k == 0) shifted
+      else shifted.withColumn("text",
+        translate(col("text"), "aeiou", vowelTargets.substring(k, k + 5)))
+    }.reduce(_ union _)
+    docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val embCopies = (0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x + ${k * 0.001} AS FLOAT))")
+          .as("embedding"))
+    }.reduce(_ union _)
+    embCopies.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[scale] $outDir: documents=$nd embeddings=$ne (factor $factor from $sfDir)")
+    spark.stop()
+  }
+}

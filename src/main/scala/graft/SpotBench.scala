@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Bench does. Pass query names as program args to focus. */
 object SpotBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
