@@ -32,6 +32,7 @@ object SparkEntry {
       ops.TextAnalysis.defs ++
       ops.Events.defs ++
       ops.Multimodal.defs ++
+      ops.Corpus.defs ++
       ops.RefSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

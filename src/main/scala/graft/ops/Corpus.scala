@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.GraftFunctions
+import graft.functions.Exact._
+import graft.functions.TextFns._
+
+/** [EXT] Corpus-curation operators — the pipeline stages between raw
+  * text and training batches that SURVEY's text family did not yet
+  * cover: chunking documents into model-window pieces, checking the
+  * corpus for benchmark contamination, and scrubbing PII-shaped spans.
+  *
+  * Scale design:
+  *  - `text_chunk` is scan + per-row explode of START OFFSETS only
+  *    (the token array is sliced per chunk, never shuffled); output
+  *    carries a 60-bit chunk hash, not the chunk text, so the shuffle
+  *    and sink stay narrow.
+  *  - `text_contamination` broadcasts the BENCHMARK side (eval sets
+  *    are small by construction — here the `doc_id < 20` probe set);
+  *    the corpus is touched by one scan whose exploded grams hash-join
+  *    against the broadcast probe grams, so nothing corpus-sized ever
+  *    shuffles. This is the standard decontamination shape: ship the
+  *    benchmark to the data, never the reverse.
+  *  - `text_pii_scrub` is pure row-local regex work (codegen'd), zero
+  *    shuffle; patterns use plain character-class regex that means the
+  *    same thing to Java regex and DuckDB's RE2.
+  */
+object Corpus {
+
+  // Model-window chunking: 32-token windows every 24 tokens (8-token
+  // overlap) — small enough that the synthetic docs produce several
+  // chunks each.
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** Overlapping token-window chunks per document: (chunk_id,
+    * start_token, n_tokens, chunk_hash). The hash identifies chunk
+    * content for downstream exact dedup at chunk granularity. */
+  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id", $"w",
+        explode(expr(s"sequence(0, size(w) - 1, $ChunkStride)")).as("start"))
+      .select($"doc_id",
+        expr(s"CAST(start div $ChunkStride AS BIGINT)").as("chunk_id"),
+        $"start".cast("long").as("start_token"),
+        expr(s"slice(w, start + 1, $ChunkLen)").as("cw"))
+      .select($"doc_id", $"chunk_id", $"start_token",
+        size($"cw").cast("long").as("n_tokens"),
+        hash60(concat_ws(" ", $"cw")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  // Contamination probe set: the first 20 documents stand in for a
+  // held-out benchmark; 5-word shingles are the overlap unit.
+  private val ProbeMaxId = 20
+  private val ContamMinOverlap = 3
+
+  /** Benchmark-contamination check: corpus documents sharing ≥
+    * [[ContamMinOverlap]] distinct 5-word shingles with any probe
+    * document, with the containment ratio (overlap / probe gram
+    * count). Probe grams are BROADCAST — the corpus never shuffles. */
+  private def textContamination(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    def gramSet(df: DataFrame): DataFrame = df
+      .withColumn("w", tokens($"text"))
+      .withColumn("g", wordShingles("w", 5))
+      .filter(size($"g") > 0)
+      .select($"doc_id", explode(array_distinct($"g")).as("gram"))
+      .select($"doc_id", hash60($"gram").as("gh"))
+    val docs = Tables.documents(s, d)
+    val probe = gramSet(docs.filter($"doc_id" < ProbeMaxId))
+      .select($"doc_id".as("probe_id"), $"gh")
+    val probeSizes = probe.groupBy($"probe_id")
+      .agg(count(lit(1)).as("n_probe"))
+    gramSet(docs.filter($"doc_id" >= ProbeMaxId))
+      .join(broadcast(probe), "gh")
+      .groupBy($"doc_id", $"probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter($"overlap" >= ContamMinOverlap)
+      .join(broadcast(probeSizes), "probe_id")
+      .select($"doc_id", $"probe_id", $"overlap",
+        roundHalfUp(lit(1.0) * $"overlap" / $"n_probe", 6).as("containment"))
+      .orderBy($"doc_id", $"probe_id")
+  }
+
+  // PII-shaped spans: money/decimal amounts, then long digit runs
+  // (ids). Plain character classes only — identical semantics in Java
+  // regex and RE2.
+  private val AmountPat = "[0-9]+\\.[0-9]+"
+  private val IdPat = "[0-9]{5,}"
+
+  /** PII scrubbing over support-note text constructed from customer
+    * fields (the testdata's only PII-shaped strings): amounts →
+    * `<AMT>`, long digit runs → `<ID>`, plus a match count and a
+    * changed flag. Row-local; at 100 TB this is a pure map stage. */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select($"c_custkey",
+        concat($"c_name", lit(" (segment "), $"c_mktsegment",
+          lit(") balance "), $"c_acctbal".cast("decimal(12,2)").cast("string"),
+          lit(" nation "), $"c_nationkey".cast("string")).as("note"))
+      .select($"c_custkey",
+        regexp_replace(regexp_replace($"note", AmountPat, "<AMT>"),
+          IdPat, "<ID>").as("scrubbed"),
+        size(expr(s"regexp_extract_all(note, '$IdPat', 0)"))
+          .cast("long").as("n_ids"))
+      .withColumn("changed", $"scrubbed".contains("<ID>") ||
+        $"scrubbed".contains("<AMT>"))
+      .orderBy($"c_custkey")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("text_chunk", textChunk _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start
+         |  FROM toks WHERE len(w) > 0
+         |)
+         |SELECT doc_id,
+         |  start // $ChunkStride AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_token,
+         |  CAST(len(w[start + 1 : start + $ChunkLen]) AS BIGINT) AS n_tokens,
+         |  ${hash60Sql(s"array_to_string(w[start + 1 : start + $ChunkLen], ' ')")} AS chunk_hash
+         |FROM st
+         |ORDER BY doc_id, chunk_id""".stripMargin),
+    OpDef("text_contamination", textContamination _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gs
+         |  FROM toks WHERE len(w) >= 5
+         |),
+         |gx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+         |ghx AS (SELECT doc_id, ${hash60Sql("gram")} AS gh FROM gx),
+         |probe AS (SELECT doc_id AS probe_id, gh FROM ghx WHERE doc_id < $ProbeMaxId),
+         |corpus AS (SELECT doc_id, gh FROM ghx WHERE doc_id >= $ProbeMaxId),
+         |sizes AS (SELECT probe_id, COUNT(*) AS n_probe FROM probe GROUP BY probe_id),
+         |ov AS (
+         |  SELECT c.doc_id, p.probe_id, COUNT(*) AS overlap
+         |  FROM corpus c JOIN probe p ON c.gh = p.gh
+         |  GROUP BY c.doc_id, p.probe_id
+         |)
+         |SELECT o.doc_id, o.probe_id, o.overlap,
+         |  ${roundHalfUpSql("1.0 * o.overlap / s.n_probe", 6)} AS containment
+         |FROM ov o JOIN sizes s ON s.probe_id = o.probe_id
+         |WHERE o.overlap >= $ContamMinOverlap
+         |ORDER BY o.doc_id, o.probe_id""".stripMargin),
+    OpDef("text_pii_scrub", piiScrub _,
+      s"""WITH notes AS (
+         |  SELECT c_custkey,
+         |    c_name || ' (segment ' || c_mktsegment || ') balance '
+         |      || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+         |      || ' nation ' || CAST(c_nationkey AS VARCHAR) AS note
+         |  FROM customer
+         |)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
+         |    '$IdPat', '<ID>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(note, '$IdPat')) AS BIGINT) AS n_ids,
+         |  (contains(regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
+         |    '$IdPat', '<ID>', 'g'), '<ID>')
+         |   OR contains(regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
+         |    '$IdPat', '<ID>', 'g'), '<AMT>')) AS changed
+         |FROM notes
+         |ORDER BY c_custkey""".stripMargin)
+  )
+}

@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpecBase {
     assert("PartitionFilters: \\[[^\\]]*o_month".r.findFirstIn(p).isDefined, p)
   }
 
+  test("contamination check broadcasts the probe side") {
+    // the benchmark/probe grams must ship to the corpus via broadcast —
+    // a shuffled join here would move the whole corpus's grams
+    assert(plan("text_contamination").contains("BroadcastHashJoin"))
+  }
+
   test("salted join shuffles (the skew pattern it demonstrates)") {
     val p = plan("join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
