@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -37,8 +37,9 @@ object Corpus {
 
   /** Overlapping token-window chunks per document: (chunk_id,
     * start_token, n_tokens, chunk_hash). The hash identifies chunk
-    * content for downstream exact dedup at chunk granularity. */
-  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    * content for downstream exact dedup at chunk granularity. Shared
+    * by [[textChunk]] and [[chunkDedup]]. */
+  private def chunks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("w"))
@@ -52,7 +53,65 @@ object Corpus {
       .select($"doc_id", $"chunk_id", $"start_token",
         size($"cw").cast("long").as("n_tokens"),
         hash60(concat_ws(" ", $"cw")).as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunks(s, d).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Chunk-granularity exact dedup (the boilerplate detector): chunks
+    * whose content hash appears in ≥ 2 distinct documents, with copy /
+    * document counts and the first (min-doc_id) holder. This is the
+    * sub-document twin of `dedup_exact` — headers, footers and license
+    * blocks that survive document-level dedup surface here. One
+    * shuffle on chunk_hash with map-side partial aggregation; nothing
+    * document-sized moves (the chunk text stays behind — only its
+    * 60-bit hash shuffles). */
+  private def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunks(s, d)
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"chunk_hash")
+  }
+
+  // Gopher-style repetition thresholds: drop documents whose word
+  // 2-gram / 3-gram duplicate fractions exceed these.
+  private val Dup2Max = 0.30
+  private val Dup3Max = 0.20
+
+  /** Fraction of grams that are repeats of an earlier gram in the same
+    * document, rounded half-up to 6dp on both engines. The `1.0 *`
+    * multiplicand is a DOUBLE on both sides so the arithmetic is
+    * IEEE-identical (see [[RefSql]]'s dialect notes). */
+  private def dupFrac(g: Column): Column =
+    roundHalfUp(when(size(g) > 0,
+      lit(1.0) - lit(1.0) * size(array_distinct(g)) / size(g))
+      .otherwise(lit(0.0)), 6)
+
+  /** Repetition-based quality signals (the Gopher/MassiveText rules'
+    * shape): per document, the duplicate fraction of word 2-grams and
+    * 3-grams plus a keep flag — heavily templated or looping text
+    * scores high and is dropped. Computed entirely row-local from the
+    * token array (codegen'd shingles + array_distinct): zero shuffle,
+    * a pure map stage at 100 TB. */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .withColumn("g2", wordShingles("w", 2))
+      .withColumn("g3", wordShingles("w", 3))
+      .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+        dupFrac($"g2").as("dup_2gram_frac"),
+        dupFrac($"g3").as("dup_3gram_frac"))
+      .withColumn("keep",
+        $"dup_2gram_frac" <= Dup2Max && $"dup_3gram_frac" <= Dup3Max)
+      .orderBy($"doc_id")
   }
 
   // Contamination probe set: the first 20 documents stand in for a
@@ -116,22 +175,61 @@ object Corpus {
       .orderBy($"c_custkey")
   }
 
+  /** Shared chunk CTE — the SQL twin of [[chunks]]. */
+  private val chunkCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |),
+       |st AS (
+       |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start
+       |  FROM toks WHERE len(w) > 0
+       |),
+       |ch AS (
+       |  SELECT doc_id,
+       |    start // $ChunkStride AS chunk_id,
+       |    CAST(start AS BIGINT) AS start_token,
+       |    CAST(len(w[start + 1 : start + $ChunkLen]) AS BIGINT) AS n_tokens,
+       |    ${hash60Sql(s"array_to_string(w[start + 1 : start + $ChunkLen], ' ')")} AS chunk_hash
+       |  FROM st
+       |)""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("text_chunk", textChunk _,
+      s"""$chunkCte
+         |SELECT doc_id, chunk_id, start_token, n_tokens, chunk_hash
+         |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin),
+    OpDef("chunk_dedup", chunkDedup _,
+      s"""$chunkCte
+         |SELECT chunk_hash, COUNT(*) AS n_copies,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  MIN(doc_id) AS first_doc
+         |FROM ch
+         |GROUP BY chunk_hash
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin),
+    OpDef("text_repetition", textRepetition _,
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
          |),
-         |st AS (
-         |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start
-         |  FROM toks WHERE len(w) > 0
+         |g AS (
+         |  SELECT doc_id, w,
+         |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS g2,
+         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g3
+         |  FROM toks
+         |),
+         |fr AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ${roundHalfUpSql(
+              "CASE WHEN len(g2) > 0 THEN 1.0 - CAST(1 AS DOUBLE) * len(list_distinct(g2)) / len(g2) ELSE CAST(0.0 AS DOUBLE) END", 6)} AS dup_2gram_frac,
+         |    ${roundHalfUpSql(
+              "CASE WHEN len(g3) > 0 THEN 1.0 - CAST(1 AS DOUBLE) * len(list_distinct(g3)) / len(g3) ELSE CAST(0.0 AS DOUBLE) END", 6)} AS dup_3gram_frac
+         |  FROM g
          |)
-         |SELECT doc_id,
-         |  start // $ChunkStride AS chunk_id,
-         |  CAST(start AS BIGINT) AS start_token,
-         |  CAST(len(w[start + 1 : start + $ChunkLen]) AS BIGINT) AS n_tokens,
-         |  ${hash60Sql(s"array_to_string(w[start + 1 : start + $ChunkLen], ' ')")} AS chunk_hash
-         |FROM st
-         |ORDER BY doc_id, chunk_id""".stripMargin),
+         |SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+         |  (dup_2gram_frac <= $Dup2Max AND dup_3gram_frac <= $Dup3Max) AS keep
+         |FROM fr
+         |ORDER BY doc_id""".stripMargin),
     OpDef("text_contamination", textContamination _,
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents

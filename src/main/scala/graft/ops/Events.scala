@@ -60,6 +60,37 @@ object Events {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** CDC latest-wins compaction: collapse the events changelog to one
+    * row per user — the most recent record by (ts, event_id) — plus
+    * the version count. Expressed as `max_by` over a unique ordering
+    * struct rather than a row_number window on purpose: the aggregate
+    * form gets map-side partial aggregation, so each input partition
+    * reduces to AT MOST ONE row per key before the shuffle, while the
+    * window form must shuffle every changelog row to its key's
+    * partition first. At 100 TB of CDC log with a bounded key space
+    * that is the difference between shuffling keys and shuffling the
+    * log. The (ts, event_id) tiebreak is total (event_id is unique),
+    * so the survivor is deterministic under any partitioning or
+    * combine order. */
+  private def cdcUpsert(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        expr("""max_by(
+          named_struct('ts', ts, 'event_id', event_id,
+                       'event_type', event_type, 'value', value),
+          named_struct('ts', ts, 'event_id', event_id))""").as("last"),
+        count(lit(1)).as("n_versions"))
+      .select($"user_id",
+        $"last.ts".as("last_ts"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_type"),
+        $"last.value".as("last_value"),
+        $"n_versions")
+      .orderBy($"user_id")
+  }
+
   /** As-of join — an operator Spark lacks natively, composed from
     * existing ops (SURVEY §2.9 preference order (a)): for every
     * 'error' event, the most recent 'click' of the same user STRICTLY
@@ -224,6 +255,18 @@ object Events {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sess
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin),
+    OpDef("cdc_upsert", cdcUpsert _,
+      """WITH versioned AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events
+        |)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value, n_versions
+        |FROM versioned WHERE rn = 1
+        |ORDER BY user_id""".stripMargin)
   )
 }

@@ -71,4 +71,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("cdc compaction aggregates map-side, never a window") {
+    // the latest-wins compaction must plan as partial-then-final
+    // max_by aggregation (partitions reduce to one row per key before
+    // the shuffle), not a row_number window over the whole changelog
+    val p = plan("cdc_upsert")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by") || p.contains("max_by"), p)
+  }
+
+  test("repetition scoring is row-local (only the output-sort exchange)") {
+    val p = plan("text_repetition")
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
 }
