@@ -85,4 +85,10 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("text_repetition")
     assert("Exchange".r.findAllIn(p).length === 1, p)
   }
+
+  test("PQ ADC scan broadcasts the query distance table to the codes") {
+    // the compressed-code side must never shuffle to meet the Q×M×K
+    // table — the table ships to the codes, not the reverse
+    assert(plan("ann_pq").contains("BroadcastHashJoin"), "no broadcast in ann_pq")
+  }
 }
