@@ -42,22 +42,24 @@ object Corpus {
   private def chunks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", $"source", tokens($"text").as("w"))
       .filter(size($"w") > 0)
-      .select($"doc_id", $"w",
+      .select($"doc_id", $"source", $"w",
         explode(expr(s"sequence(0, size(w) - 1, $ChunkStride)")).as("start"))
-      .select($"doc_id",
+      .select($"doc_id", $"source",
         expr(s"CAST(start div $ChunkStride AS BIGINT)").as("chunk_id"),
         $"start".cast("long").as("start_token"),
         expr(s"slice(w, start + 1, $ChunkLen)").as("cw"))
-      .select($"doc_id", $"chunk_id", $"start_token",
+      .select($"doc_id", $"source", $"chunk_id", $"start_token",
         size($"cw").cast("long").as("n_tokens"),
         hash60(concat_ws(" ", $"cw")).as("chunk_hash"))
   }
 
   private def textChunk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    chunks(s, d).orderBy($"doc_id", $"chunk_id")
+    chunks(s, d)
+      .select($"doc_id", $"chunk_id", $"start_token", $"n_tokens", $"chunk_hash")
+      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** Chunk-granularity exact dedup (the boilerplate detector): chunks
@@ -77,6 +79,35 @@ object Corpus {
         min($"doc_id").as("first_doc"))
       .filter($"n_docs" >= 2)
       .orderBy($"chunk_hash")
+  }
+
+  // Training-sequence length for contiguous packing (model-window
+  // tokens per packed sequence).
+  private val SeqLen = 256
+
+  /** Sequence packing: assign every chunk to a fixed-[[SeqLen]]-token
+    * training sequence by its START OFFSET in the concatenated token
+    * stream, streamed per source in (doc_id, chunk_id) order — the
+    * standard contiguous pack (chunks straddling a boundary are split
+    * downstream at materialization; assignment is by start offset).
+    * One shuffle on `source` plus an in-partition ordered window; the
+    * running sum is the only sequential state, so each source packs
+    * independently and in parallel. At 100 TB a single giant source
+    * key needs a second split key (e.g. crawl date) exactly like the
+    * salted-aggregation pattern — noted here, not needed at testdata
+    * skew. */
+  private def corpusPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id".asc, $"chunk_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks(s, d)
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"source", $"doc_id", $"chunk_id", $"n_tokens",
+        expr(s"(cum - n_tokens) div $SeqLen").as("seq_id"),
+        ($"cum" - $"n_tokens").as("seq_offset"))
+      .orderBy($"source", $"doc_id", $"chunk_id")
   }
 
   // Gopher-style repetition thresholds: drop documents whose word
@@ -178,14 +209,14 @@ object Corpus {
   /** Shared chunk CTE — the SQL twin of [[chunks]]. */
   private val chunkCte: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |  SELECT doc_id, source, ${tokensSql("text")} AS w FROM documents
        |),
        |st AS (
-       |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start
+       |  SELECT doc_id, source, w, unnest(range(0, len(w), $ChunkStride)) AS start
        |  FROM toks WHERE len(w) > 0
        |),
        |ch AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, source,
        |    start // $ChunkStride AS chunk_id,
        |    CAST(start AS BIGINT) AS start_token,
        |    CAST(len(w[start + 1 : start + $ChunkLen]) AS BIGINT) AS n_tokens,
@@ -208,6 +239,20 @@ object Corpus {
          |GROUP BY chunk_hash
          |HAVING COUNT(DISTINCT doc_id) >= 2
          |ORDER BY chunk_hash""".stripMargin),
+    OpDef("corpus_pack", corpusPack _,
+      s"""$chunkCte,
+         |cum AS (
+         |  SELECT source, doc_id, chunk_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id ASC, chunk_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM ch
+         |)
+         |SELECT source, doc_id, chunk_id, n_tokens,
+         |  (cum - n_tokens) // $SeqLen AS seq_id,
+         |  cum - n_tokens AS seq_offset
+         |FROM cum
+         |ORDER BY source, doc_id, chunk_id""".stripMargin),
     OpDef("text_repetition", textRepetition _,
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents

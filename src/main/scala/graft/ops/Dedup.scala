@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -79,11 +79,10 @@ object Dedup {
 
   // ------------------------------------------------- shared LSH pipeline
 
-  /** Candidate pairs from a (doc_id, sig) frame: band the signature
-    * ([[Bands]] × [[RowsPerBand]]), drop over-wide buckets (the
-    * enforced skew guard, see [[MaxBucket]]), and self-join on
-    * (band, band-sig). */
-  private def bandCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+  /** Width-capped band rows from a (doc_id, sig) frame: band the
+    * signature ([[Bands]] × [[RowsPerBand]]) and drop over-wide
+    * buckets (the enforced skew guard, see [[MaxBucket]]). */
+  private def keptBands(signed: DataFrame, maxBucket: Int): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
@@ -93,15 +92,42 @@ object Dedup {
     val banded = signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    val kept = banded.join(
+    banded.join(
       banded.groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("bw"))
         .filter(col("bw") <= maxBucket)
         .select(col("band"), col("sig")),
       Seq("band", "sig"))
+  }
+
+  /** Candidate pairs: [[keptBands]] self-joined on (band, band-sig). */
+  private def bandCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+    val kept = keptBands(signed, maxBucket)
     kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** New-batch membership: a deterministic ~10 % md5-hash slice of the
+    * corpus stands in for "today's crawl" (same idiom as
+    * `sample_hash`; a real pipeline has an ingest-batch column). */
+  private def isNewBatch(docId: Column): Column =
+    hash60(concat(lit("inc:"), docId)) % 10 === 0
+
+  /** Cross-batch candidate pairs for incremental dedup: the NEW side's
+    * band rows join only the EXISTING side's — no new×new or
+    * existing×existing pairs, so candidate work tracks the increment
+    * size, not corpus². doc_a = the new-batch doc, doc_b = the
+    * existing doc. The width cap counts the WHOLE bucket (both sides),
+    * so a boilerplate cluster is excluded no matter how its members
+    * split across batches. */
+  private def incrementalCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+    val kept = keptBands(signed, maxBucket)
+    kept.filter(isNewBatch(col("doc_id"))).as("l")
+      .join(kept.filter(!isNewBatch(col("doc_id"))).as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
   }
@@ -130,7 +156,8 @@ object Dedup {
                               mkGrams: DataFrame => DataFrame,
                               threshold: Double,
                               maxBucket: Int = MaxBucket,
-                              broadcastLimit: Long = BroadcastCandidateLimit): DataFrame = {
+                              broadcastLimit: Long = BroadcastCandidateLimit,
+                              candidatesOf: (DataFrame, Int) => DataFrame = bandCandidates): DataFrame = {
     GraftFunctions.ensure(s)
     import s.implicits._
     // A production corpus arrives in many scan partitions; a tiny test
@@ -143,7 +170,7 @@ object Dedup {
       else docs
     val base = mkGrams(spread)
     val signed = base.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
-    val candidates = bandCandidates(signed, maxBucket).cache()
+    val candidates = candidatesOf(signed, maxBucket).cache()
 
     val candIds = candidates
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
@@ -257,6 +284,25 @@ object Dedup {
       .select($"doc_id", $"grams"), 0.7)
   }
 
+  /** Incremental near-dup check: word-shingle near-dups of the NEW
+    * batch (the [[isNewBatch]] slice) against the EXISTING corpus —
+    * the production daily-ingest shape. Same signature/band/verify
+    * pipeline as `dedup_minhash`; only candidate generation changes
+    * ([[incrementalCandidates]]: cross-batch pairs exclusively), so
+    * per-ingest cost tracks the increment. In production the existing
+    * side's band rows are precomputed once and stored; here both sides
+    * are derived in-query so the oracle can mirror the whole flow.
+    * doc_a = new doc, doc_b = its existing near-duplicate. */
+  private def dedupIncremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    lshPairs(s, Tables.documents(s, d), docs => docs
+      .withColumn("words", tokens(col("text")))
+      .withColumn("grams", wordShingles("words", 3))
+      .filter(size(col("grams")) > 0)
+      .select($"doc_id", $"grams"), 0.8,
+      candidatesOf = incrementalCandidates)
+  }
+
   /** Shared oracle fragments: signature members, band rows, and the
     * width-capped candidate CTEs — identical for the exact-verify and
     * estimate-verify oracles. */
@@ -270,22 +316,38 @@ object Dedup {
     s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
-  private def keptCandSql: String =
+  private def keptSql: String =
     s"""kept AS (
        |  SELECT b.doc_id, b.band, b.sig FROM banded b
        |  JOIN (SELECT band, sig FROM banded GROUP BY band, sig
        |        HAVING COUNT(*) <= $MaxBucket) w
        |    ON b.band = w.band AND b.sig = w.sig
-       |),
+       |)""".stripMargin
+
+  private def keptCandSql: String =
+    s"""$keptSql,
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM kept l JOIN kept r
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |)""".stripMargin
 
+  /** Oracle twin of [[incrementalCandidates]]. */
+  private def keptIncCandSql: String =
+    s"""$keptSql,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.sig = r.sig
+       |  WHERE ${hash60Sql("'inc:' || l.doc_id")} % 10 = 0
+       |    AND ${hash60Sql("'inc:' || r.doc_id")} % 10 <> 0
+       |)""".stripMargin
+
   /** Oracle twin of [[lshPairs]]: `gramCte` must define
-    * `grams AS (SELECT doc_id, ... AS grams ...)`. */
-  private def lshOracle(gramCte: String, threshold: Double): String = {
+    * `grams AS (SELECT doc_id, ... AS grams ...)`; `candSql` picks the
+    * candidate CTE (self-join default, or cross-batch incremental). */
+  private def lshOracle(gramCte: String, threshold: Double,
+                        candSql: String = keptCandSql): String = {
     val members = membersSql
     val bandRows = bandRowsSql
     val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
@@ -303,7 +365,7 @@ object Dedup {
        |banded AS (
        |  $bandRows
        |),
-       |$keptCandSql,
+       |$candSql,
        |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
        |inter AS (
@@ -649,6 +711,8 @@ object Dedup {
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
+    OpDef("dedup_incremental", dedupIncremental _,
+      lshOracle(shingleCte, 0.8, keptIncCandSql)),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle)

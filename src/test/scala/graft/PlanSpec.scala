@@ -86,6 +86,10 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).length === 1, p)
   }
 
+  test("sequence packing needs no join (source threaded through the scan)") {
+    assert(!plan("corpus_pack").contains("Join"), "corpus_pack plans a join")
+  }
+
   test("PQ ADC scan broadcasts the query distance table to the codes") {
     // the compressed-code side must never shuffle to meet the Q×M×K
     // table — the table ships to the codes, not the reverse
