@@ -57,7 +57,9 @@ object GraftFunctions {
     ("array_count_in", classOf[ArrayCountIn],
       es => ArrayCountIn(es(0), stringArrayLit("array_count_in", es(1)))),
     ("str_count_any", classOf[StrCountAny],
-      es => StrCountAny(es(0), stringArrayLit("str_count_any", es(1)))))
+      es => StrCountAny(es(0), stringArrayLit("str_count_any", es(1)))),
+    ("pq_argmin", classOf[PqArgmin],
+      es => PqArgmin(es(0), es(1), es(2), es(3))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

@@ -136,4 +136,21 @@ class ExpressionsSpec extends SparkSpecBase {
       .count()
     assert(diff === 0)
   }
+
+  test("pq_argmin: strict min, ascending-cell tie-break, malformed NULL") {
+    // codebook: cells 3,7 with centroids (1,0) and (0,1); cvv = 1 each
+    val cb = "array(1.0D,0.0D,0.0D,1.0D), array(1.0D,1.0D), array(3L,7L)"
+    // sv=(1,0): scores 1-2= -1 vs 1-0 = 1 -> cell 3
+    assert(one(s"pq_argmin(array(1.0D,0.0D), $cb)").getLong(0) === 3L)
+    // sv=(0,1): -> cell 7
+    assert(one(s"pq_argmin(array(0.0D,1.0D), $cb)").getLong(0) === 7L)
+    // equidistant sv=(0.5,0.5): identical scores -> smallest cell (3)
+    assert(one(s"pq_argmin(array(0.5D,0.5D), $cb)").getLong(0) === 3L)
+    // malformed: flat length != k*dim -> NULL
+    assert(one("pq_argmin(array(1.0D,0.0D), array(1.0D,0.0D,0.0D), array(1.0D,1.0D), array(3L,7L))").isNullAt(0))
+    // empty codebook -> NULL
+    assert(one("pq_argmin(array(1.0D,0.0D), array(), array(), array())").isNullAt(0))
+    assert(one(s"pq_argmin(CAST(NULL AS ARRAY<DOUBLE>), $cb)").isNullAt(0))
+  }
+
 }
