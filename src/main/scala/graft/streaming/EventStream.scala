@@ -84,6 +84,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
 
+  /** Per-key survivor state for [[latestPerKey]]. */
+  case class Latest(ts: java.sql.Timestamp, event_id: Long,
+                    event_type: String, value: Double, n_versions: Long)
+
+  /** Streaming CDC latest-wins compaction — the batch `cdc_upsert`
+    * ([[graft.ops.Events]]) lifted to a stream: per user, the record
+    * with the greatest (ts, event_id) plus a version count, emitted
+    * every trigger (update mode). State is one small record per key —
+    * the materialized-view shape for a CDC topic. The survivor rule is
+    * the SAME total order as the batch op's max_by, so replaying a log
+    * through the stream converges to the batch answer regardless of
+    * how micro-batches slice it. */
+  def latestPerKey(events: Dataset[Event]): Dataset[(Long, Latest)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, (Long, Latest)](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[Latest]) =>
+          var cur = state.getOption
+          rows.foreach { e =>
+            val newer = cur.forall { c =>
+              val cmp = e.ts.compareTo(c.ts)
+              cmp > 0 || (cmp == 0 && e.event_id > c.event_id)
+            }
+            val n = cur.map(_.n_versions).getOrElse(0L) + 1
+            cur =
+              if (newer) Some(Latest(e.ts, e.event_id, e.event_type, e.value, n))
+              else Some(cur.get.copy(n_versions = n))
+          }
+          state.update(cur.get)
+          key -> cur.get
+      }
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
     * event counts, emitted every trigger (update mode). The state is
     * one long per key — the minimal template for richer per-key

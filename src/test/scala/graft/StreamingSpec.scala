@@ -128,4 +128,31 @@ class StreamingSpec extends SparkSpecBase {
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
     assert(finalCounts.exceptAll(want).isEmpty && want.exceptAll(finalCounts).isEmpty)
   }
+
+  test("streaming latest-wins compaction converges to the batch cdc_upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // three chunks so survivors must be carried and beaten across batches
+    val third = eventRows.size / 3
+    src.addData(eventRows.take(third): _*)
+    src.addData(eventRows.slice(third, 2 * third): _*)
+    src.addData(eventRows.drop(2 * third): _*)
+    runToTable(
+      EventStream.latestPerKey(src.toDS())
+        .map { case (k, l) => (k, l.ts, l.event_id, l.event_type, l.value, l.n_versions) }
+        .toDF("user_id", "last_ts", "last_event_id", "last_type", "last_value",
+          "n_versions"),
+      "latest", "update")
+
+    // update mode re-emits per trigger; the final state per key is the
+    // row with the greatest version count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_versions".desc)
+    val got = spark.table("latest")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val want = SparkEntry.queries("cdc_upsert")(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
