@@ -62,6 +62,19 @@ class PqSpec extends SparkSpecBase {
     assert(mae < 0.25, f"ADC mean abs error $mae%.3f")
   }
 
+  test("IVF-ADC agrees with the full ADC scan on shared pairs") {
+    // same codebooks, same distance table — wherever the pruned search
+    // and the full scan return the same (query, candidate) pair, the
+    // ADC distance must be identical to the last rounded digit
+    val full = SparkEntry.queries("ann_pq")(spark, sf)
+      .select(col("query_id"), col("cand_id"), col("adist").as("full_adist"))
+    val pruned = SparkEntry.queries("ann_ivfpq")(spark, sf)
+    assert(pruned.count() === 60)
+    val disagree = pruned.join(full, Seq("query_id", "cand_id"))
+      .filter(col("adist") =!= col("full_adist"))
+    assert(disagree.count() === 0)
+  }
+
   test("testdata recall floor vs the exact scan") {
     val exact = SparkEntry.queries("ann_bruteforce")(spark, sf)
       .select("query_id", "cand_id")
