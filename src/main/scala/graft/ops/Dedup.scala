@@ -123,7 +123,7 @@ object Dedup {
     * existing doc. The width cap counts the WHOLE bucket (both sides),
     * so a boilerplate cluster is excluded no matter how its members
     * split across batches. */
-  private def incrementalCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def incrementalCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
     val kept = keptBands(signed, maxBucket)
     kept.filter(isNewBatch(col("doc_id"))).as("l")
       .join(kept.filter(!isNewBatch(col("doc_id"))).as("r"),

@@ -41,6 +41,33 @@ class DedupSkewSpec extends SparkSpecBase {
     assert(n === 10L * 9 / 2 + 1)
   }
 
+  test("incremental candidates honor the width cap across the batch split") {
+    import spark.implicits._
+    // batch membership is a pure hash of doc_id — recompute it here to
+    // pick one new-batch and one existing id for the surviving pair
+    val flags = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"), (TextFns.hash60(concat(lit("inc:"), col("doc_id"))) % 10 === 0).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val newId = (100L until 200L).find(flags).get
+    val oldId = (100L until 200L).find(i => !flags(i)).get
+    // the boilerplate cluster must span both batches for the cap to matter
+    assert((0L until 40L).exists(flags) && (0L until 40L).exists(i => !flags(i)))
+    val docs = docsFrame(
+      (0L until 40L).map(i => i -> boiler) ++ Seq(newId -> rare, oldId -> rare))
+    val got = ops.Dedup.lshPairs(spark, docs, d => d
+        .withColumn("norm", TextFns.normalizeText(col("text")))
+        .withColumn("grams", TextFns.charNgrams("norm", 4))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), col("grams")), 0.7, maxBucket = 16,
+        candidatesOf = ops.Dedup.incrementalCandidates)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the 40-doc cluster exceeds the cap (counted over BOTH batches) →
+    // no cross-batch pairs from it; the width-2 cross-batch pair
+    // survives, oriented (new, old)
+    assert(got === Seq((newId, oldId)))
+  }
+
   test("broadcast gate fallback (shuffled semi-join) is result-identical") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
