@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * structure that makes the family non-trivial:
   *  - documents: copy k shifts doc_id by k·10⁷ and maps the vowels
   *    through a copy-specific translate table — every in-copy near-dup
-  *    pair survives verbatim (translate is a bijection on the text),
-  *    while cross-copy shingle overlap collapses, so the candidate
-  *    graph grows ~linearly with the factor rather than quadratically.
+  *    pair survives (both members of a pair pass through the SAME
+  *    vowel map, so their shingle overlap is preserved; the map can
+  *    merge a vowel into an existing consonant, which only ever ADDs
+  *    cross-copy collisions, never removes in-copy ones), while most
+  *    cross-copy shingle overlap collapses, so the candidate graph
+  *    grows ~linearly with the factor rather than quadratically. The
+  *    vowel-target window limits factor to ≤ 21 (guarded below).
   *  - embeddings: copy k shifts vec_id by k·10⁷ and adds a small
   *    constant bias (k·0.001) to every component — copies stay
   *    near-parallel to their original (cosine ≈ 0.999…), deliberately
@@ -29,6 +33,9 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, factorStr) = args
     val factor = factorStr.toInt
+    require(factor >= 1 && factor <= 21,
+      s"factor must be in [1, 21] (copy k reads a 5-char window at offset k " +
+        s"of the 26-char vowel-target table); got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *  - null inputs, an empty codebook, or a `flat` length that is not
   *    K·dim(sv) yield NULL (a malformed codebook must surface, not
   *    silently assign cell 0).
+  *  - a degenerate all-NaN score vector returns `ids[0]` — the
+  *    smallest cell id — so the result is always a valid cell.
   */
 case class PqArgmin(first: Expression, second: Expression,
                     third: Expression, fourth: Expression)
@@ -54,7 +56,10 @@ case class PqArgmin(first: Expression, second: Expression,
     val k = cvvs.numElements()
     if (k == 0 || ids.numElements() != k || flat.numElements() != k * dim)
       return null
-    var best = 0L
+    // Init to the first (smallest) cell id so a degenerate all-NaN score
+    // vector still yields a VALID cell, not the sentinel 0L (which need
+    // not be a cell id at all).
+    var best = ids.getLong(0)
     var bestScore = Double.PositiveInfinity
     var j = 0
     while (j < k) {
@@ -86,7 +91,7 @@ case class PqArgmin(first: Expression, second: Expression,
          |if ($k == 0 || $ids.numElements() != $k || $flat.numElements() != $k * $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long $best = 0L;
+         |  long $best = $ids.getLong(0);
          |  double $bestScore = Double.POSITIVE_INFINITY;
          |  for (int $j = 0; $j < $k; $j++) {
          |    double $dot = 0.0;

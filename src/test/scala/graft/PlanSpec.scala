@@ -95,4 +95,21 @@ class PlanSpec extends SparkSpecBase {
     // table — the table ships to the codes, not the reverse
     assert(plan("ann_pq").contains("BroadcastHashJoin"), "no broadcast in ann_pq")
   }
+
+  test("IVF coarse assignment is a map stage: no window, no shuffle") {
+    // the N-side nearest-centroid assignment must be the row-local
+    // pq_argmin over the packed broadcast codebook — a crossJoin×K +
+    // row_number regression would reintroduce a per-vector window
+    // shuffle on the corpus-sized side
+    import org.apache.spark.sql.functions.col
+    val e = ops.Similarity.normalize(spark,
+      Tables.embeddings(spark, sf))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("ne").as("cv"))
+    val p = ops.Similarity.assignCells(e.select(col("vec_id"), col("ne")), cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("pq_argmin"), p)
+  }
 }
