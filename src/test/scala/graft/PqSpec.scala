@@ -75,6 +75,32 @@ class PqSpec extends SparkSpecBase {
     assert(disagree.count() === 0)
   }
 
+  test("trained-coarse IVFPQ keeps the planted partner at rank 1") {
+    // the real promise of the trained composition: where unambiguous
+    // neighbors exist, the k-means prune keeps them and ADC ranks them
+    // first. (A trained-vs-id-init recall comparison on TESTDATA would
+    // be chance — its embeddings are isotropic noise, so which
+    // arbitrary cell geometry probes better is a coin flip; measured
+    // 25 vs 31 of 60 one way at sf0.001, within binomial noise.)
+    val res = ops.Similarity.ivfPqKmeansSearch(spark,
+      ops.Similarity.normalize(spark, planted)).collect()
+    val top1 = res.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 10).foreach { i =>
+      assert(top1.get(i.toLong) === Some(1000L + i),
+        s"query $i top-1: ${top1.get(i.toLong)}")
+    }
+  }
+
+  test("trained-coarse IVFPQ holds the testdata recall floor") {
+    val exact = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .select("query_id", "cand_id")
+    val hits = SparkEntry.queries("ann_ivfpq_kmeans")(spark, sf)
+      .select("query_id", "cand_id")
+      .join(exact, Seq("query_id", "cand_id")).count()
+    assert(hits >= 20, s"trained-ivfpq∩exact = $hits of 60")
+  }
+
   test("testdata recall floor vs the exact scan") {
     val exact = SparkEntry.queries("ann_bruteforce")(spark, sf)
       .select("query_id", "cand_id")
