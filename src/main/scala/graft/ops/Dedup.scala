@@ -113,7 +113,7 @@ object Dedup {
   /** New-batch membership: a deterministic ~10 % md5-hash slice of the
     * corpus stands in for "today's crawl" (same idiom as
     * `sample_hash`; a real pipeline has an ingest-batch column). */
-  private def isNewBatch(docId: Column): Column =
+  private[graft] def isNewBatch(docId: Column): Column =
     hash60(concat(lit("inc:"), docId)) % 10 === 0
 
   /** Cross-batch candidate pairs for incremental dedup: the NEW side's
@@ -171,7 +171,19 @@ object Dedup {
     val base = mkGrams(spread)
     val signed = base.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
     val candidates = candidatesOf(signed, maxBucket).cache()
+    verifyPairs(s, spread, mkGrams, candidates, threshold, broadcastLimit)
+  }
 
+  /** Exact-Jaccard verify stage over a candidate-pair frame — the
+    * tail every LSH variant shares. Candidate-scoped: docs are
+    * semi-joined to the candidate id set BEFORE gram construction
+    * (size-gated broadcast), gram sets are one sorted hash array per
+    * doc, and per-pair Jaccard is a merge-walk intersection. */
+  private def verifyPairs(s: SparkSession, docs: DataFrame,
+                          mkGrams: DataFrame => DataFrame,
+                          candidates: DataFrame, threshold: Double,
+                          broadcastLimit: Long): DataFrame = {
+    import s.implicits._
     val candIds = candidates
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     // Size-gated broadcast (see [[BroadcastCandidateLimit]]): the count
@@ -181,7 +193,7 @@ object Dedup {
     val gated =
       if (candIds.count() <= broadcastLimit) broadcast(candIds)
       else candIds
-    val candDocs = spread.join(gated, Seq("doc_id"), "left_semi")
+    val candDocs = docs.join(gated, Seq("doc_id"), "left_semi")
     // Gram sets as ONE sorted hash array per candidate doc — built in a
     // single codegen'd pass, no explode/distinct shuffle. Exact Jaccard
     // per pair is then a merge-walk intersection, so verify cost is
@@ -265,14 +277,16 @@ object Dedup {
   }
 
   /** Word-3-shingle minhash near-dups (Jaccard ≥ 0.8). */
-  private def dedupMinhash(s: SparkSession, d: String) = {
-    import s.implicits._
-    lshPairs(s, Tables.documents(s, d), docs => docs
-      .withColumn("words", tokens(col("text")))
-      .withColumn("grams", wordShingles("words", 3))
-      .filter(size(col("grams")) > 0)
-      .select($"doc_id", $"grams"), 0.8)
-  }
+  private def dedupMinhash(s: SparkSession, d: String) =
+    lshPairs(s, Tables.documents(s, d), wordGrams, 0.8)
+
+  /** The word-3-shingle gram stage `dedup_minhash` and the incremental
+    * family share. */
+  private[graft] val wordGrams: DataFrame => DataFrame = docs => docs
+    .withColumn("words", tokens(col("text")))
+    .withColumn("grams", wordShingles("words", 3))
+    .filter(size(col("grams")) > 0)
+    .select(col("doc_id"), col("grams"))
 
   /** Char-4-gram Jaccard near-dups (Jaccard ≥ 0.7). */
   private def dedupNgram(s: SparkSession, d: String) = {
@@ -289,18 +303,54 @@ object Dedup {
     * the production daily-ingest shape. Same signature/band/verify
     * pipeline as `dedup_minhash`; only candidate generation changes
     * ([[incrementalCandidates]]: cross-batch pairs exclusively), so
-    * per-ingest cost tracks the increment. In production the existing
-    * side's band rows are precomputed once and stored; here both sides
-    * are derived in-query so the oracle can mirror the whole flow.
+    * per-ingest cost tracks the increment. In this catalog entry both
+    * sides are derived in-query so the oracle can mirror the whole
+    * flow; the PRODUCTION path that persists the existing side's
+    * signatures and re-signs only the increment is
+    * [[incrementalFromStore]] (spec-proven pair-identical).
     * doc_a = new doc, doc_b = its existing near-duplicate. */
-  private def dedupIncremental(s: SparkSession, d: String) = {
-    import s.implicits._
-    lshPairs(s, Tables.documents(s, d), docs => docs
-      .withColumn("words", tokens(col("text")))
-      .withColumn("grams", wordShingles("words", 3))
-      .filter(size(col("grams")) > 0)
-      .select($"doc_id", $"grams"), 0.8,
+  private def dedupIncremental(s: SparkSession, d: String) =
+    lshPairs(s, Tables.documents(s, d), wordGrams, 0.8,
       candidatesOf = incrementalCandidates)
+
+  /** The signature pass alone: the `(doc_id, sig)` frame the
+    * incremental pipeline PERSISTS between ingests (a parquet
+    * "signature store" — 16 longs per doc, ~128 B, vs re-reading and
+    * re-shingling the full corpus text every run). Deterministic
+    * (md5-derived minhash), so a stored signature is bit-identical to
+    * a recomputed one. */
+  private[graft] def signatureStore(s: SparkSession, docs: DataFrame,
+                                    mkGrams: DataFrame => DataFrame): DataFrame = {
+    GraftFunctions.ensure(s)
+    mkGrams(docs).select(col("doc_id"), expr("minhash_sig(grams)").as("sig"))
+  }
+
+  /** Incremental near-dup pairs against a PERSISTED signature store —
+    * the production daily-ingest shape [[dedupIncremental]] stands in
+    * for: `storeSigs` (read from parquet, covering the existing
+    * corpus) joins the increment's freshly-computed signatures, so the
+    * signature pass runs over the NEW BATCH ONLY — the corpus text is
+    * touched exclusively by the candidate-scoped verify stage (a
+    * semi-join point-lookup per candidate doc). At 100 TB this is the
+    * difference between re-shingling the whole corpus per ingest and
+    * an increment-sized map job plus a band join against stored rows.
+    * `newBatch` must be exactly the docs NOT covered by the store. */
+  private[graft] def incrementalFromStore(s: SparkSession, docs: DataFrame,
+                                          newBatch: DataFrame => DataFrame,
+                                          storeSigs: DataFrame,
+                                          mkGrams: DataFrame => DataFrame,
+                                          threshold: Double,
+                                          maxBucket: Int = MaxBucket,
+                                          broadcastLimit: Long = BroadcastCandidateLimit): DataFrame = {
+    GraftFunctions.ensure(s)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val newSigned = signatureStore(s, newBatch(spread), mkGrams)
+    val signed = newSigned.unionByName(storeSigs)
+    val candidates = incrementalCandidates(signed, maxBucket).cache()
+    verifyPairs(s, spread, mkGrams, candidates, threshold, broadcastLimit)
   }
 
   /** Shared oracle fragments: signature members, band rows, and the
