@@ -179,30 +179,55 @@ object Corpus {
       .orderBy($"doc_id", $"probe_id")
   }
 
-  // PII-shaped spans: money/decimal amounts, then long digit runs
-  // (ids). Plain character classes only — identical semantics in Java
-  // regex and RE2.
+  // PII-shaped spans: email addresses, NN-NNN-NNN-NNNN phone numbers,
+  // IBAN-shaped account ids (2 letters + 22 digits), and money/decimal
+  // amounts. Plain character classes and bounded repetition only —
+  // identical semantics in Java regex and RE2.
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+  private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IbanPat = "[A-Z][A-Z][0-9]{20}"
   private val AmountPat = "[0-9]+\\.[0-9]+"
-  private val IdPat = "[0-9]{5,}"
 
-  /** PII scrubbing over support-note text constructed from customer
-    * fields (the testdata's only PII-shaped strings): amounts →
-    * `<AMT>`, long digit runs → `<ID>`, plus a match count and a
-    * changed flag. Row-local; at 100 TB this is a pure map stage. */
+  /** PII scrubbing over support-note text synthesized deterministically
+    * from customer fields (the testdata carries no real PII, so the
+    * note plants the shapes): email → `<EMAIL>`, phone → `<PHONE>`,
+    * IBAN → `<IBAN>`, amount → `<AMT>`, with a per-kind match count
+    * and a changed flag. Phone and IBAN spans are present only for a
+    * custkey-dependent subset, so the counts are non-constant and the
+    * zero case is exercised. Replacement order (email, IBAN, phone,
+    * amount) is fixed and mirrored in the oracle; counts are taken on
+    * the pre-redaction note. Row-local codegen'd regex work — zero
+    * shuffle, a pure map stage at 100 TB. */
   private def piiScrub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val phone = concat((lit(10) + $"c_nationkey").cast("string"), lit("-"),
+      lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((($"c_custkey" * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((($"c_custkey" * 31) % 10000).cast("string"), 4, "0"))
+    val iban = concat(lit("DE"),
+      lpad((($"c_custkey" * 9973) % 97).cast("string"), 2, "0"),
+      lpad($"c_custkey".cast("string"), 18, "0"))
     Tables.customer(s, d)
+      .withColumn("note", concat(
+        $"c_name", lit(" <user"), $"c_custkey".cast("string"),
+        lit("@example.com>"),
+        when($"c_custkey" % 3 =!= 0, concat(lit(" phone "), phone))
+          .otherwise(lit("")),
+        when($"c_custkey" % 5 =!= 2, concat(lit(" iban "), iban))
+          .otherwise(lit("")),
+        lit(" (segment "), $"c_mktsegment", lit(") balance "),
+        $"c_acctbal".cast("decimal(12,2)").cast("string"),
+        lit(" nation "), $"c_nationkey".cast("string")))
       .select($"c_custkey",
-        concat($"c_name", lit(" (segment "), $"c_mktsegment",
-          lit(") balance "), $"c_acctbal".cast("decimal(12,2)").cast("string"),
-          lit(" nation "), $"c_nationkey".cast("string")).as("note"))
-      .select($"c_custkey",
-        regexp_replace(regexp_replace($"note", AmountPat, "<AMT>"),
-          IdPat, "<ID>").as("scrubbed"),
-        size(expr(s"regexp_extract_all(note, '$IdPat', 0)"))
-          .cast("long").as("n_ids"))
-      .withColumn("changed", $"scrubbed".contains("<ID>") ||
-        $"scrubbed".contains("<AMT>"))
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          $"note", EmailPat, "<EMAIL>"), IbanPat, "<IBAN>"),
+          PhonePat, "<PHONE>"), AmountPat, "<AMT>").as("scrubbed"),
+        regexp_count($"note", lit(EmailPat)).cast("long").as("n_email"),
+        regexp_count($"note", lit(PhonePat)).cast("long").as("n_phone"),
+        regexp_count($"note", lit(IbanPat)).cast("long").as("n_iban"),
+        regexp_count($"note", lit(AmountPat)).cast("long").as("n_amount"))
+      .withColumn("changed",
+        $"n_email" + $"n_phone" + $"n_iban" + $"n_amount" > 0)
       .orderBy($"c_custkey")
   }
 
@@ -302,20 +327,36 @@ object Corpus {
     OpDef("text_pii_scrub", piiScrub _,
       s"""WITH notes AS (
          |  SELECT c_custkey,
-         |    c_name || ' (segment ' || c_mktsegment || ') balance '
+         |    c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>'
+         |      || CASE WHEN c_custkey % 3 <> 0 THEN ' phone '
+         |           || CAST(10 + c_nationkey AS VARCHAR) || '-'
+         |           || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+         |           || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+         |           || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END
+         |      || CASE WHEN c_custkey % 5 <> 2 THEN ' iban DE'
+         |           || lpad(CAST((c_custkey * 9973) % 97 AS VARCHAR), 2, '0')
+         |           || lpad(CAST(c_custkey AS VARCHAR), 18, '0')
+         |         ELSE '' END
+         |      || ' (segment ' || c_mktsegment || ') balance '
          |      || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
          |      || ' nation ' || CAST(c_nationkey AS VARCHAR) AS note
          |  FROM customer
+         |),
+         |counted AS (
+         |  SELECT c_custkey,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      note, '$EmailPat', '<EMAIL>', 'g'), '$IbanPat', '<IBAN>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g'), '$AmountPat', '<AMT>', 'g') AS scrubbed,
+         |    CAST(len(regexp_extract_all(note, '$EmailPat')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(note, '$PhonePat')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(note, '$IbanPat')) AS BIGINT) AS n_iban,
+         |    CAST(len(regexp_extract_all(note, '$AmountPat')) AS BIGINT) AS n_amount
+         |  FROM notes
          |)
-         |SELECT c_custkey,
-         |  regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
-         |    '$IdPat', '<ID>', 'g') AS scrubbed,
-         |  CAST(len(regexp_extract_all(note, '$IdPat')) AS BIGINT) AS n_ids,
-         |  (contains(regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
-         |    '$IdPat', '<ID>', 'g'), '<ID>')
-         |   OR contains(regexp_replace(regexp_replace(note, '$AmountPat', '<AMT>', 'g'),
-         |    '$IdPat', '<ID>', 'g'), '<AMT>')) AS changed
-         |FROM notes
+         |SELECT c_custkey, scrubbed, n_email, n_phone, n_iban, n_amount,
+         |  (n_email + n_phone + n_iban + n_amount > 0) AS changed
+         |FROM counted
          |ORDER BY c_custkey""".stripMargin)
   )
 }

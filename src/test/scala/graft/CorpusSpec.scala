@@ -42,4 +42,30 @@ class CorpusSpec extends SparkSpecBase {
       .filter(col("nd") >= 2).count()
     assert(SparkEntry.queries("chunk_dedup")(spark, sf).count() === want)
   }
+
+  test("pii scrub leaves no residual PII-shaped span") {
+    val p = SparkEntry.queries("text_pii_scrub")(spark, sf).cache()
+    val residual = p.filter(
+      col("scrubbed").rlike("[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+") ||
+        col("scrubbed").rlike("[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}") ||
+        col("scrubbed").rlike("[A-Z][A-Z][0-9]{20}") ||
+        col("scrubbed").rlike("[0-9]+\\.[0-9]+"))
+    assert(residual.count() === 0)
+    p.unpersist()
+  }
+
+  test("pii per-kind counts follow the planted-span schedule") {
+    val p = SparkEntry.queries("text_pii_scrub")(spark, sf).cache()
+    // every note plants exactly one email and one balance amount
+    assert(p.filter(col("n_email") =!= 1 || col("n_amount") =!= 1).count() === 0)
+    // phone is absent exactly when custkey % 3 == 0, iban when % 5 == 2
+    assert(p.filter(col("n_phone") =!=
+      when(col("c_custkey") % 3 === 0, 0L).otherwise(1L)).count() === 0)
+    assert(p.filter(col("n_iban") =!=
+      when(col("c_custkey") % 5 === 2, 0L).otherwise(1L)).count() === 0)
+    // the zero cases actually occur in the testdata
+    assert(p.filter(col("n_phone") === 0).count() > 0)
+    assert(p.filter(col("n_iban") === 0).count() > 0)
+    p.unpersist()
+  }
 }
