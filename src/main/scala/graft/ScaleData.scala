@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-rehearsal corpus builder: expands the sf0.1 documents and
-  * embeddings tables by an integer factor so the dedup/similarity
-  * family can be measured beyond the largest driver-provided sf
-  * (BASELINE.md "scaling" section).
+/** Scale-rehearsal corpus builder: expands the sf0.1 documents,
+  * embeddings, events, and lineitem tables by an integer factor so the
+  * dedup/similarity AND relational/event families can be measured
+  * beyond the largest driver-provided sf (BASELINE.md "scaling"
+  * section).
   *
   * Construction is deterministic and preserves the WITHIN-COPY
-  * structure that makes the family non-trivial:
+  * structure that makes each family non-trivial:
   *  - documents: copy k shifts doc_id by k·10⁷ and maps the vowels
   *    through a copy-specific translate table — every in-copy near-dup
   *    pair survives (both members of a pair pass through the SAME
@@ -26,6 +27,18 @@ import org.apache.spark.sql.functions._
   *    dedup_embedding width cap and the banded candidate path. Query
   *    ids (vec_id < 20) exist only in copy 0, so Q stays fixed while N
   *    grows — the pure N-scaling measurement.
+  *  - events: copy k shifts event_id AND user_id by k·10⁷; timestamps,
+  *    types, and values are untouched. Per-user ordering, session
+  *    structure, and CDC version chains replicate exactly (new users,
+  *    same histories), so `event_sessions`/`cdc_upsert` output grows
+  *    linearly while per-key work is constant; the time axis does NOT
+  *    stretch, so `window_tumbling` and the range joins keep a fixed
+  *    bucket count with factor× occupancy per bucket — the realistic
+  *    "same retention window, more traffic" shape.
+  *  - lineitem: copy k shifts l_orderkey by k·10⁷ — per-order line
+  *    groups replicate exactly, so `agg_salted`'s group count grows
+  *    linearly at constant group width while its two-stage salted
+  *    shuffle carries factor× rows.
   *
   * Usage: runMain graft.ScaleData <sfDir> <outDir> <factor>
   */
@@ -61,9 +74,25 @@ object ScaleData {
     }.reduce(_ union _)
     embCopies.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"[scale] $outDir: documents=$nd embeddings=$ne (factor $factor from $sfDir)")
+    // write ts back as the raw nanos long the loader expects, so the
+    // scaled dir round-trips through Tables.events like the driver's
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    val evCopies = (0 until factor).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    evCopies.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val li = Tables.lineitem(spark, sfDir)
+    val liCopies = (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val counts = Seq("documents", "embeddings", "events", "lineitem")
+      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
+    println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor from $sfDir)")
     spark.stop()
   }
 }
