@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Events.defs ++
       ops.Multimodal.defs ++
       ops.Corpus.defs ++
+      ops.Curation.defs ++
       ops.RefSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

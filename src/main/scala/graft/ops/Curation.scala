@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.TextFns._
+
+/** [EXT] Training-data curation operators — the corpus-assembly stages
+  * between a filtered document pool and a training run, beyond what
+  * `TextAnalysis`/`Corpus` already cover: source-weighted mixing,
+  * per-source quality gating, per-domain caps, and the deterministic
+  * global shuffle that fixes a training order.
+  *
+  * Scale design (each op is one codegen'd scan plus at most one keyed
+  * shuffle):
+  *  - `sample_weighted` is a pure row-local hash-threshold filter —
+  *    membership depends only on (doc_id, source), so it is stable
+  *    under reruns, repartitioning, and incremental ingest, and the
+  *    filter sits directly on the scan (zero shuffle).
+  *  - `quality_gate` and `domain_cap` shuffle once on `source` for a
+  *    per-source ordered window; rank arithmetic is integer-only, so
+  *    both engines agree bit-for-bit. A pathological mega-source at
+  *    100 TB takes the same salting treatment as `agg_salted` (cap
+  *    per (source, salt) then merge) — noted, not needed at testdata
+  *    skew.
+  *  - `corpus_shuffle` is the epoch-order primitive: shard by key
+  *    hash, order within shard by the same hash — one shuffle on the
+  *    shard id, and every shard's file is written independently, so a
+  *    1000-executor cluster materializes the whole epoch in parallel.
+  *    A new epoch order is a new seed string, not a new algorithm.
+  */
+object Curation {
+
+  // Source-mixing schedule: permille of each source kept when
+  // assembling the training pool. Deterministic stand-in for the
+  // usual "web down-weighted, curated sources kept whole" config;
+  // sources not named get the catch-all default rate.
+  private val MixPermille: Seq[(String, Int)] =
+    (0 to 9).map(i => s"src$i" -> (1000 - i * 75))
+  private val DefaultPermille = 500
+
+  /** Source-weighted corpus mixing: keep each document with its
+    * source's configured probability, decided by a keyed hash
+    * threshold rather than `rand()` — the data-mixing primitive for
+    * hitting target domain proportions. Sources outside the schedule
+    * take [[DefaultPermille]]. */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val permille = MixPermille.foldLeft(lit(DefaultPermille)) {
+      case (acc, (src, pm)) => when($"source" === src, pm).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("mix_permille", permille.cast("long"))
+      .filter(hash60(concat(lit("mix:"), $"doc_id".cast("string"))) % 1000 <
+        $"mix_permille")
+      .select($"doc_id", $"source", $"mix_permille")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source quality gate: drop the bottom quartile of each source
+    * by quality score (the alpha-character ratio `text_quality` also
+    * uses), ranked with a deterministic doc_id tie-break. Rank-based
+    * rather than quantile-threshold-based ON PURPOSE: the cut is
+    * integer arithmetic on ranks, immune to the engine-specific
+    * floating-point interpolation a `percentile`-threshold comparison
+    * would ride on. One shuffle on source. */
+  private def qualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byScore = Window.partitionBy($"source")
+      .orderBy($"quality".asc, $"doc_id".asc)
+    val bySource = Window.partitionBy($"source")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", normalizeText($"text").as("norm"))
+      // coalesce the empty-document NULL to 0 (worst): Spark sorts
+      // NULLS FIRST on ASC, DuckDB NULLS LAST — a NULL would de-sync
+      // the two engines' ranks
+      .select($"doc_id", $"source",
+        coalesce(roundHalfUp(lit(1.0) *
+          length(regexp_replace($"norm", "[^a-z]", "")) /
+          nullif(length($"norm"), lit(0)), 6), lit(0.0)).as("quality"))
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .filter(expr("rn > n div 4"))
+      .select($"doc_id", $"source", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  // Per-domain document cap (the CommonCrawl-style guard against one
+  // domain flooding the corpus).
+  private val DomainCap = 100
+
+  /** Per-domain cap: keep at most [[DomainCap]] documents per source,
+    * chosen by a keyed priority hash (so the kept subset is stable
+    * across reruns and ingest order, unlike a LIMIT). Output carries
+    * the priority rank for downstream tightening of the cap without
+    * recomputation. */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pri = hash60(concat(lit("cap:"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"source").orderBy(pri.asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source")
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter($"cap_rank" <= DomainCap)
+      .orderBy($"doc_id")
+  }
+
+  // Epoch-shuffle fan-out: number of independent output shards. 32
+  // here to match the test parallelism; at 100 TB this is the writer
+  // parallelism knob (thousands), not a semantic choice.
+  private val ShuffleShards = 32
+
+  /** Deterministic global shuffle: assign every document a (shard,
+    * position) in a pseudo-random but fully reproducible training
+    * order keyed on doc_id. The order is identical on any cluster and
+    * any rerun; the next epoch changes the seed string. */
+  private def corpusShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = hash60(concat(lit("shuf:e0:"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"doc_id", h.as("h"))
+      .withColumn("shard", ($"h" % ShuffleShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("sample_weighted", sampleWeighted _,
+      s"""WITH rated AS (
+         |  SELECT doc_id, source,
+         |    CASE ${MixPermille.map { case (src, pm) =>
+             s"WHEN source = '$src' THEN $pm" }.mkString(" ")}
+         |      ELSE $DefaultPermille END AS mix_permille
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, CAST(mix_permille AS BIGINT) AS mix_permille
+         |FROM rated
+         |WHERE ${hash60Sql("'mix:' || doc_id")} % 1000 < mix_permille
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("quality_gate", qualityGate _,
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    COALESCE(${roundHalfUpSql(
+              s"1.0 * len(regexp_replace(${normalizeTextSql("text")}, '[^a-z]', '', 'g')) " +
+              s"/ nullif(len(${normalizeTextSql("text")}), 0)", 6)}, 0.0) AS quality
+         |  FROM documents
+         |),
+         |ranked AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM scored
+         |)
+         |SELECT doc_id, source, quality FROM ranked
+         |WHERE rn > n // 4
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("domain_cap", domainCap _,
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${hash60Sql("'cap:' || doc_id")} ASC, doc_id ASC)
+         |      AS BIGINT) AS cap_rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, cap_rank FROM ranked
+         |WHERE cap_rank <= $DomainCap
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("corpus_shuffle", corpusShuffle _,
+      s"""WITH hashed AS (
+         |  SELECT doc_id, ${hash60Sql("'shuf:e0:' || doc_id")} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, h % $ShuffleShards AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+         |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM hashed
+         |ORDER BY shard, pos""".stripMargin)
+  )
+}

