@@ -59,7 +59,9 @@ object GraftFunctions {
     ("str_count_any", classOf[StrCountAny],
       es => StrCountAny(es(0), stringArrayLit("str_count_any", es(1)))),
     ("pq_argmin", classOf[PqArgmin],
-      es => PqArgmin(es(0), es(1), es(2), es(3))))
+      es => PqArgmin(es(0), es(1), es(2), es(3))),
+    ("sq8_codes", classOf[Sq8Codes], es => Sq8Codes(es(0), es(1), es(2))),
+    ("sq8_adc", classOf[Sq8Adc], es => Sq8Adc(es(0), es(1), es(2), es(3))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

@@ -20,6 +20,14 @@ class AnnRecallSpec extends SparkSpecBase {
     run(name).select("query_id", "cand_id")
       .join(exactTop3, Seq("query_id", "cand_id")).count()
 
+  test("sq8 top-3 ≈ exact top-3 (8-bit quantization error is sub-rank)") {
+    // SQ8 scans every candidate (no pruning), so the only error source
+    // is quantization — at 8 bits per dim that error is far below the
+    // inter-candidate cosine gaps; require ≥ 90% overlap with exact.
+    val r = recall("ann_sq8")
+    assert(r >= 54, s"sq8 recall $r of 60")
+  }
+
   test("multi-probe recall ≥ single-probe recall vs exact top-3") {
     val single = recall("ann_lsh")
     val multi = recall("ann_lsh_multiprobe")

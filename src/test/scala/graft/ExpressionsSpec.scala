@@ -153,4 +153,45 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(one(s"pq_argmin(CAST(NULL AS ARRAY<DOUBLE>), $cb)").isNullAt(0))
   }
 
+  test("sq8_codes: linear bucketing, clamps, zero-step, mismatch NULL") {
+    // dim stats: min=0, step=(1-0)/255 — value 1.0 lands exactly on 255
+    val st = "array(0.0D), array(1.0D / 255.0D)"
+    assert(one(s"sq8_codes(array(0.0D), $st)").getSeq[Int](0) === Seq(0))
+    assert(one(s"sq8_codes(array(1.0D), $st)").getSeq[Int](0) === Seq(255))
+    assert(one(s"sq8_codes(array(0.5D), $st)").getSeq[Int](0) === Seq(127))
+    // out-of-corpus reuse: below min / above max clamp to the edges
+    assert(one(s"sq8_codes(array(-1.0D), $st)").getSeq[Int](0) === Seq(0))
+    assert(one(s"sq8_codes(array(9.0D), $st)").getSeq[Int](0) === Seq(255))
+    // constant dimension (step 0) encodes as 0
+    assert(one("sq8_codes(array(5.0D), array(5.0D), array(0.0D))")
+      .getSeq[Int](0) === Seq(0))
+    // dimension mismatch must surface as NULL
+    assert(one("sq8_codes(array(1.0D, 2.0D), array(0.0D), array(1.0D))")
+      .isNullAt(0))
+    assert(one(s"sq8_codes(CAST(NULL AS ARRAY<DOUBLE>), $st)").isNullAt(0))
+  }
+
+  test("sq8_adc: mid-rise reconstruction dot, mismatch NULL") {
+    // codes (0, 255) over min=0 step=1/255 reconstruct to (0.5/255,
+    // 255.5/255); q=(1,1) -> dot = 256/255
+    val got = one(
+      "sq8_adc(array(1.0D, 1.0D), array(0, 255), " +
+        "array(0.0D, 0.0D), array(1.0D / 255.0D, 1.0D / 255.0D))").getDouble(0)
+    assert(math.abs(got - 256.0 / 255.0) < 1e-12)
+    assert(one("sq8_adc(array(1.0D), array(0, 1), array(0.0D), array(1.0D))")
+      .isNullAt(0))
+  }
+
+  test("sq8: encode+adc of a corpus vector approximates the exact dot") {
+    // quantization error per dim ≤ step/2 = (max-min)/510 — a planted
+    // 2-dim check that the fused ADC tracks the exact dot within the
+    // analytic bound |err| ≤ Σ |q_i|·step_i/2
+    val q = "array(0.6D, 0.8D)"
+    val v = "array(0.31D, 0.77D)"
+    val st = "array(0.0D, 0.0D), array(1.0D / 255.0D, 1.0D / 255.0D)"
+    val got = one(s"sq8_adc($q, sq8_codes($v, $st), $st)").getDouble(0)
+    val exact = 0.6 * 0.31 + 0.8 * 0.77
+    assert(math.abs(got - exact) <= (0.6 + 0.8) / 510.0 + 1e-12)
+  }
+
 }
