@@ -61,6 +61,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // Inverted index: bound the emitted posting chunk and drop the
+  // hapax/noise tail so the output is the index HEAD a retrieval layer
+  // would actually serve.
+  private val IdxDfMin = 5
+  private val IdxPostings = 8
+
+  /** Inverted index (term → document postings): the retrieval-side twin
+    * of top-k terms. One explode plus ONE shuffle on the term key;
+    * distinctness, document frequency, and the (sorted, capped) posting
+    * chunk all resolve inside the same hash aggregate, map-side
+    * partial-aggregated. At 100 TB the index is doc-sharded (each shard
+    * builds postings for its doc range — the Lucene segment model), so
+    * no global per-term list ever materializes; this op is one shard's
+    * build. Postings are capped at [[IdxPostings]] smallest doc_ids
+    * (chunked-postings realism) and terms below [[IdxDfMin]] df are
+    * dropped (hapax noise). */
+  private def invertedIndex(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count_distinct($"doc_id").as("df"),
+        expr(s"slice(array_sort(collect_set(doc_id)), 1, $IdxPostings)")
+          .as("postings"))
+      .filter($"df" >= IdxDfMin)
+      .orderBy($"term")
+  }
+
+  /** Adjacent-token-pair frequencies — the merge-candidate statistic at
+    * the core of BPE/WordPiece vocabulary training (each BPE round
+    * merges the current top pair). Pairs come from the codegen'd
+    * 2-shingle expression (row-local, token arrays never leave the
+    * row); the count is a map-side-combined aggregate on the pair key
+    * and the top-30 a TakeOrdered, never a full sort — the exact shape
+    * a vocab-training round runs per iteration at corpus scale. */
+  private def bpePairStats(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(tokens($"text").as("w"))
+      .select(explode(wordShingles("w", 2)).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy($"occurrences".desc, $"pair".asc)
+      .limit(30)
+  }
+
   /** Per-document quality scoring — character-class ratios and a
     * boolean keep-flag, all row-local. */
   private def textQuality(s: SparkSession, d: String) = {
@@ -315,6 +362,25 @@ object TextAnalysis {
          |GROUP BY term
          |ORDER BY occurrences DESC, term ASC
          |LIMIT 20""".stripMargin),
+    OpDef("inverted_index", invertedIndex _,
+      s"""SELECT term, COUNT(DISTINCT doc_id) AS df,
+         |  list_sort(list(DISTINCT doc_id))[1:$IdxPostings] AS postings
+         |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+         |GROUP BY term
+         |HAVING COUNT(DISTINCT doc_id) >= $IdxDfMin
+         |ORDER BY term""".stripMargin),
+    OpDef("bpe_pair_stats", bpePairStats _,
+      s"""WITH pairs AS (
+         |  SELECT unnest([array_to_string(words[i:i+1], ' ')
+         |                 for i in range(1, len(words))]) AS pair
+         |  FROM (SELECT ${tokensSql("text")} AS words FROM documents)
+         |  WHERE len(words) >= 2
+         |)
+         |SELECT pair, COUNT(*) AS occurrences
+         |FROM pairs
+         |GROUP BY pair
+         |ORDER BY occurrences DESC, pair ASC
+         |LIMIT 30""".stripMargin),
     OpDef("text_quality", textQuality _,
       s"""WITH base AS (
          |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
