@@ -128,6 +128,91 @@ object Curation {
       .orderBy($"shard", $"pos")
   }
 
+  // Hashed-n-gram importance resampling (the DSIR shape, Xie et al.
+  // 2023): feature-hash bucket count and the target-domain stand-in.
+  // B buckets make BOTH unigram models fixed-size broadcast tables no
+  // matter the corpus size — that is the whole trick.
+  private val DsirBuckets = 512
+  private val DsirTarget = "src0"
+
+  /** Importance-weighted data selection: score every document by how
+    * much more likely its hashed-token features are under the TARGET
+    * distribution (documents from [[DsirTarget]], the curated-domain
+    * stand-in) than under the RAW corpus distribution — the
+    * hashed-n-gram importance-resampling recipe. log-ratio weights per
+    * bucket, add-one smoothed; a positive length-normalized weight
+    * means "more target-like than corpus-average", the resample keeps
+    * those. Scale shape: one bucket-keyed count shuffle trains both
+    * models in the SAME pass (map-side combined; ≤ [[DsirBuckets]]
+    * rows out), the per-bucket log-ratio table broadcasts, and scoring
+    * is scan + broadcast-join + doc-keyed partial agg. Log-ratios are
+    * quantized to 9 decimals and summed in DECIMAL, so combine order
+    * cannot flip a document's keep decision. */
+  private def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirScore(s, Tables.documents(s, d))
+
+  /** [[dsirSelect]] over an arbitrary (doc_id, source, text) frame
+    * (spec hook). */
+  private[graft] def dsirScore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val inst = docs
+      .select($"doc_id", $"source", explode(tokens($"text")).as("term"))
+      .select($"doc_id", $"source",
+        (hash60(concat(lit("dsir:"), $"term")) % DsirBuckets).as("b"))
+    val model = inst.groupBy($"b")
+      .agg(count(lit(1)).as("cr"),
+        countWhen($"source" === DsirTarget).as("ct"))
+    val tot = model.agg(sum($"cr").cast("double").as("nr"),
+      sum($"ct").cast("double").as("nt"))
+    val lw = model.crossJoin(broadcast(tot))
+      .select($"b", roundHalfUp(
+        log(($"ct" + 1).cast("double") / ($"nt" + lit(DsirBuckets))) -
+          log(($"cr" + 1).cast("double") / ($"nr" + lit(DsirBuckets))), 9)
+        .as("lw"))
+    inst.join(broadcast(lw), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum($"lw".cast("decimal(27,18)")).as("slw"))
+      .select($"doc_id", $"n_feats",
+        roundHalfUp($"slw".cast("double") / $"n_feats", 6).as("lw_avg"))
+      .withColumn("keep", $"lw_avg" > 0)
+      .orderBy($"doc_id")
+  }
+
+  private def dsirOracle: String =
+    s"""WITH inst AS (
+       |  SELECT doc_id, source, ${hash60Sql("'dsir:' || term")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(${tokensSql("text")}) AS term
+       |        FROM documents)
+       |),
+       |model AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct
+       |  FROM inst GROUP BY b
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(cr) AS DOUBLE) AS nr, CAST(SUM(ct) AS DOUBLE) AS nt
+       |  FROM model
+       |),
+       |lw AS (
+       |  SELECT b, ${roundHalfUpSql(
+            s"ln((ct + 1.0) / (t.nt + $DsirBuckets)) - " +
+              s"ln((cr + 1.0) / (t.nr + $DsirBuckets))", 9)} AS lw
+       |  FROM model CROSS JOIN tot t
+       |),
+       |scored AS (
+       |  SELECT i.doc_id, COUNT(*) AS n_feats,
+       |    ${roundHalfUpSql(
+            "CAST(SUM(CAST(l.lw AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)",
+            6)} AS lw_avg
+       |  FROM inst i JOIN lw l ON i.b = l.b
+       |  GROUP BY i.doc_id
+       |)
+       |SELECT doc_id, n_feats, lw_avg, lw_avg > 0 AS keep
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("sample_weighted", sampleWeighted _,
       s"""WITH rated AS (
@@ -170,6 +255,7 @@ object Curation {
          |SELECT doc_id, source, cap_rank FROM ranked
          |WHERE cap_rank <= $DomainCap
          |ORDER BY doc_id""".stripMargin),
+    OpDef("dsir_select", dsirSelect _, dsirOracle),
     OpDef("corpus_shuffle", corpusShuffle _,
       s"""WITH hashed AS (
          |  SELECT doc_id, ${hash60Sql("'shuf:e0:' || doc_id")} AS h

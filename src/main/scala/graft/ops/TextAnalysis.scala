@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -331,6 +331,138 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // Unigram-LM quality scoring (the CCNet shape): vocabulary cap and
+  // add-one smoothing constant. The capped vocab is what makes the
+  // scorer scale — the model is top-[[LmVocab]] (term, count) rows, a
+  // broadcast table at ANY corpus size; everything off-vocab shares
+  // the one smoothed OOV probability.
+  private val LmVocab = 2048
+
+  /** Per-document cross-entropy / perplexity under an add-one-smoothed
+    * unigram LM trained on the corpus itself — the CCNet-style quality
+    * signal (a Wikipedia-trained LM scores web text in production; the
+    * corpus-trained twin keeps the op self-contained). Two shuffles
+    * total at any scale: one term-keyed count (map-side combined) to
+    * train, one doc-keyed combine to score; the trained model joins
+    * broadcast, so the scoring pass is scan + broadcast-join + partial
+    * agg. Per-token log-probs are quantized to 9 decimals and summed
+    * in DECIMAL so combine order cannot perturb the score. */
+  private def textLmScore(s: SparkSession, d: String) =
+    lmScore(s, Tables.documents(s, d))
+
+  /** [[textLmScore]] over an arbitrary (doc_id, text) frame (spec hook —
+    * testdata's 31-term vocabulary never exceeds [[LmVocab]], so the
+    * OOV path is pinned on a synthetic corpus). */
+  private[graft] def lmScore(s: SparkSession, docs: DataFrame) = {
+    import s.implicits._
+    val inst = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val counts = inst.groupBy($"term").agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum($"c").cast("double").as("n"))
+    val vocab = counts.orderBy($"c".desc, $"term".asc).limit(LmVocab)
+    inst
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("logp", roundHalfUp(
+        log((coalesce($"c", lit(0L)) + 1).cast("double") /
+          ($"n" + lit(LmVocab + 1))), 9))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countWhen($"c".isNull).as("n_oov"),
+        sum($"logp".cast("decimal(27,18)")).as("slp"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        roundHalfUp(-($"slp".cast("double")) / $"n_tokens", 6)
+          .as("cross_entropy"))
+      .withColumn("ppl", roundHalfUp(exp($"cross_entropy"), 4))
+      .orderBy($"doc_id")
+  }
+
+  private def lmScoreOracle: String =
+    s"""WITH inst AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |),
+       |counts AS (SELECT term, COUNT(*) AS c FROM inst GROUP BY term),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts),
+       |vocab AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT $LmVocab),
+       |scored AS (
+       |  SELECT i.doc_id, v.c IS NULL AS oov,
+       |    ${roundHalfUpSql(
+              s"ln((COALESCE(v.c, 0) + 1.0) / (t.n + ${LmVocab + 1}))", 9)} AS logp
+       |  FROM inst i LEFT JOIN vocab v ON i.term = v.term CROSS JOIN tot t
+       |),
+       |agged AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    ${roundHalfUpSql(
+              "-CAST(SUM(CAST(logp AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)",
+              6)} AS cross_entropy
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_oov, cross_entropy,
+       |  ${roundHalfUpSql("exp(cross_entropy)", 4)} AS ppl
+       |FROM agged
+       |ORDER BY doc_id""".stripMargin
+
+  // Cross-document duplicate-span coverage: span width in tokens. 8
+  // whitespace tokens ≈ the 50-character windows the ExactSubstr line
+  // of work deduplicates on.
+  private val SpanK = 8
+
+  /** Fraction of each document covered by [[SpanK]]-token spans that
+    * also appear verbatim in ANOTHER document — the fixed-width
+    * distributed form of exact-substring dedup (a suffix array does
+    * not shard; hashed fixed-width spans do, and are the standard
+    * MapReduce approximation). Spans are built row-local by the
+    * codegen'd shingle expression and leave the row only as 60-bit
+    * hashes; one shuffle on the span hash finds cross-doc spans, one
+    * doc-keyed combine scores. Distinct from `text_repetition`
+    * (WITHIN-doc dup-grams) — this is the BETWEEN-doc signal. */
+  private def textDupSpans(s: SparkSession, d: String) =
+    dupSpans(s, Tables.documents(s, d))
+
+  /** [[textDupSpans]] over an arbitrary (doc_id, text) frame (spec hook). */
+  private[graft] def dupSpans(s: SparkSession, docs: DataFrame) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val spans = docs
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(wordShingles("w", SpanK)).as("span"))
+      .select($"doc_id", hash60(concat(lit("ss:"), $"span")).as("h"))
+    val dup = spans.groupBy($"h")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+    spans.join(dup, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        countWhen($"nd".isNotNull).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        roundHalfUp(lit(1.0) * $"n_dup_spans" / $"n_spans", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private def dupSpansOracle: String =
+    s"""WITH spans AS (
+       |  SELECT doc_id, ${hash60Sql("'ss:' || span")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(words[i:i+${SpanK - 1}], ' ')
+       |              for i in range(1, len(words) - ${SpanK - 2})]) AS span
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS words FROM documents)
+       |    WHERE len(words) >= $SpanK)
+       |),
+       |dup AS (
+       |  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+       |)
+       |SELECT s.doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_spans,
+       |  ${roundHalfUpSql(
+            "1.0 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)",
+            6)} AS dup_frac
+       |FROM spans s LEFT JOIN dup d ON s.h = d.h
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("sample_hash", sampleHash _,
       s"""SELECT doc_id, lang, source FROM documents
@@ -356,6 +488,8 @@ object TextAnalysis {
          |FROM toks
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_tfidf", textTfidf _, tfidfOracle),
+    OpDef("text_lm_score", textLmScore _, lmScoreOracle),
+    OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences
          |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)

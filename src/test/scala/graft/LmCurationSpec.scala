@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-7 LM-curation trio — unigram-LM
+  * scoring, cross-doc duplicate spans, DSIR importance weighting. The
+  * DuckDB oracle pins exact values on testdata; these pin the
+  * PROPERTIES on inputs where they actually engage (testdata's 31-term
+  * vocabulary never exceeds the 2048 LM vocab cap, so the OOV path and
+  * the vocab boundary only exercise on a synthetic corpus).
+  */
+class LmCurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("text_lm_score: testdata has no OOV (31 terms << vocab) and CE is bounded") {
+    val r = SparkEntry.queries("text_lm_score")(spark, sf).cache()
+    assert(r.count() === 500)
+    assert(r.agg(sum("n_oov")).head.getLong(0) === 0L)
+    // every per-token surprise is <= the OOV bound ln(N + V + 1)
+    val n = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text")))).count()
+    val bound = math.log(n.toDouble + 2048 + 1)
+    assert(r.filter(col("cross_entropy") <= 0 ||
+      col("cross_entropy") > bound).count() === 0)
+    r.unpersist()
+  }
+
+  test("lmScore: past the vocab cap, OOV docs exist and score strictly worse") {
+    // 3000 docs "common tNNNN": 3001 distinct terms, vocab keeps
+    // "common" + 2047 singletons; the 953 excluded singletons are OOV.
+    val docs = spark.range(3000)
+      .select(col("id").as("doc_id"),
+        concat(lit("common t"), col("id")).as("text"))
+    val r = ops.TextAnalysis.lmScore(spark, docs).cache()
+    assert(r.count() === 3000)
+    assert(r.filter(col("n_oov") === 1).count() === 3000 - 2047)
+    // all docs are 2 tokens; OOV prob < singleton prob, so every
+    // OOV doc has strictly higher cross-entropy than every vocab doc
+    val maxVocab = r.filter(col("n_oov") === 0)
+      .agg(max("cross_entropy")).head.getDouble(0)
+    val minOov = r.filter(col("n_oov") === 1)
+      .agg(min("cross_entropy")).head.getDouble(0)
+    assert(minOov > maxVocab)
+    r.unpersist()
+  }
+
+  test("text_dup_spans: n_spans == n_tokens - 7 for every testdata doc") {
+    val spans = SparkEntry.queries("text_dup_spans")(spark, sf)
+    val toks = SparkEntry.queries("text_stats")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+    val bad = spans.join(toks, "doc_id")
+      .filter(col("n_spans") =!= col("n_tokens") - 7 ||
+        col("n_dup_spans") > col("n_spans") || col("n_dup_spans") < 0)
+    assert(bad.count() === 0)
+    assert(spans.count() ===
+      toks.filter(col("n_tokens") >= 8).count())
+  }
+
+  test("dupSpans: shared span counted in both docs, unique doc scores zero") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared alpha beta"), // spans 1..3 dup (the shared window)
+      (2L, s"prefix $shared"),     // spans 2..3 dup
+      (3L, "q w e r t y u i o p") // 3 spans, none shared
+    ).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.dupSpans(spark, docs)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    // doc1: 10 tokens -> 3 spans; the span starting at "one" is dup
+    // (appears in doc2 at offset 2); doc2 likewise shares exactly one
+    assert(r(1L) === (3L, 1L))
+    assert(r(2L) === (2L, 1L))
+    assert(r(3L) === (3L, 0L))
+  }
+
+  test("dsir_select: scores every doc, and target-source docs average higher") {
+    val r = SparkEntry.queries("dsir_select")(spark, sf).cache()
+    assert(r.count() === 500)
+    val bySrc = r.join(
+      Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(avg("lw_avg").as("m"))
+    val tgt = bySrc.filter(col("source") === "src0").head.getDouble(1)
+    val rest = bySrc.filter(col("source") =!= "src0")
+      .agg(avg("m")).head.getDouble(0)
+    assert(tgt > rest)
+    r.unpersist()
+  }
+
+  test("dsirScore: a disjoint-vocabulary target separates keep cleanly") {
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "src0", "alpha beta gamma delta")) ++
+        (20 until 80).map(i => (i.toLong, "web", "zulu yankee xray whiskey"))
+      ).toDF("doc_id", "source", "text")
+    val r = ops.Curation.dsirScore(spark, docs).cache()
+    assert(r.filter(col("doc_id") < 20 && !col("keep")).count() === 0)
+    assert(r.filter(col("doc_id") >= 20 && col("keep")).count() === 0)
+    r.unpersist()
+  }
+}
