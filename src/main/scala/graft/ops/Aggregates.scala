@@ -234,6 +234,14 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    OpDef("agg_grouping_sets", aggGroupingSets _,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
     OpDef("agg_histogram", aggHistogram _,
       """SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo, n_orders
         |FROM (
@@ -295,6 +303,25 @@ object Aggregates {
     * (returnflag, linestatus) in one pass — like [[aggRollup]] but the
     * full lattice; same single hash-aggregate shuffle after grouping-
     * set expansion, `grouping_id` disambiguation, NULLS FIRST pinned. */
+  /** Arbitrary GROUPING SETS — the non-hierarchical shape neither
+    * ROLLUP nor CUBE expresses: two independent one-column groupings
+    * ((returnflag), (linestatus)) computed in one pass over the fact
+    * (Spark expands to a single Expand + hash aggregate — one scan,
+    * one shuffle, map-side combined, exactly like rollup/cube). */
+  private def aggGroupingSets(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_lines"),
+        sumExact($"l_quantity").as("sum_qty"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"n_lines", $"sum_qty")
+      .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
   private def aggCube(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.lineitem(s, d)

@@ -117,6 +117,33 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: every error event matched to the
+    * same user's click events in the preceding 10 minutes — the
+    * attribution/funnel join, and the one streaming shape none of the
+    * keyed-state ops above cover. BOTH sides carry a watermark and the
+    * join condition bounds `click_ts` to a closed interval behind
+    * `error_ts`, which is exactly what lets Spark derive a finite
+    * state-retention horizon per side and evict buffered rows as the
+    * watermark advances — the contract that keeps stream⋈stream state
+    * bounded on an unbounded stream. Inner join, append mode; on any
+    * fully-arrived data the result equals the identical batch join
+    * (`StreamingSpec` proves it on testdata). */
+  def clickErrorJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("error_ts", watermark)
+    errors.join(clicks,
+      expr("c_user_id = user_id AND " +
+        "click_ts >= error_ts - INTERVAL 10 MINUTES AND click_ts <= error_ts"))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
     * event counts, emitted every trigger (update mode). The state is
     * one long per key — the minimal template for richer per-key

@@ -112,6 +112,33 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("domain_cap").contains("WindowGroupLimit"))
   }
 
+  test("LM scoring ships the trained model broadcast, never shuffles the corpus to it") {
+    // the capped-vocab unigram model (and the corpus-total scalar)
+    // must broadcast to the token scan; a shuffled join here would
+    // move every token instance to meet a 2048-row table
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("DSIR scoring broadcasts both bucket models; scan never reads beyond its 3 cols") {
+    val p = plan("dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length <= 3, p)
+  }
+
+  test("dup-span coverage shuffles hashes only: span text never leaves the row") {
+    // the only columns that may cross an exchange are doc_id and the
+    // 60-bit span hash — a plan shipping `span` strings would move
+    // the corpus itself through the shuffle
+    val p = plan("text_dup_spans")
+    assert(!"Exchange hashpartitioning\\([^)]*span".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +

@@ -110,6 +110,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.groupBy($"content_hash").count().filter($"count" > 1).isEmpty)
   }
 
+  test("stream-stream interval join equals the identical batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // two chunks so one side's buffered state must serve later arrivals
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    src.addData(a: _*)
+    src.addData(b: _*)
+    runToTable(EventStream.clickErrorJoin(src.toDF()), "cejoin", "append")
+
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts".as("error_ts"), $"event_id".as("error_id"))
+    val want = errors.join(clicks,
+      expr("c_user_id = user_id AND " +
+        "click_ts >= error_ts - INTERVAL 10 MINUTES AND click_ts <= error_ts"))
+      .select($"user_id", $"error_id", $"error_ts", $"click_id", $"click_ts")
+    val got = spark.table("cejoin")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
