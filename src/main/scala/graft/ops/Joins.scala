@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -118,6 +118,52 @@ object Joins {
 
   private val SaltBuckets = 8
 
+  // Bucketed staging: bucket fan-out and the session-scoped warehouse
+  // for the bucketed tables (fresh temp dir per JVM, like Sources).
+  private val NBuckets = 8
+  private lazy val bucketWarehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_buckets_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Bucketed co-located fact⋈fact join — the persist-the-partitioning
+    * scale primitive: orders and lineitem are staged ONCE as tables
+    * bucketed [[NBuckets]]-ways on the join key (`bucketBy` +
+    * `sortBy`, one file per bucket via an aligned pre-repartition),
+    * after which the join — and the per-order aggregate behind it,
+    * which rides the same key — plans with ZERO shuffle on either
+    * side (PlanSpec pins one Exchange total: the final total-order
+    * sort). At 100 TB this is how a fact⋈fact join avoids re-shuffling
+    * both sides on every run: the shuffle is paid at write time and
+    * amortized over every later join/aggregation on that key. The
+    * oracle is the plain shuffled join — bucketing must not change a
+    * single output row. */
+  private def joinBucketed(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets " +
+      s"LOCATION '$bucketWarehouse'")
+    def stage(name: String, df: DataFrame, key: String): DataFrame = {
+      // repartition on the bucket key so each task holds whole buckets
+      // (one file per bucket, in-bucket sort preserved)
+      df.repartition(NBuckets, col(key))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(NBuckets, key).sortBy(key)
+        .saveAsTable(s"graft_buckets.$name")
+      s.table(s"graft_buckets.$name")
+    }
+    val ord = stage("orders_b", Tables.orders(s, d)
+      .select($"o_orderkey", $"o_totalprice"), "o_orderkey")
+    val li = stage("lineitem_b", Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity"), "l_orderkey")
+    ord.hint("merge").join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sumExact($"l_quantity").as("sum_qty"),
+        max($"o_totalprice").as("order_value"))
+      .orderBy($"o_orderkey")
+  }
+
   /** J5 — array → rows via explode (reference `queries.sql:12-14`
     * `UNNEST(problematic_application_ids)`). */
   private def unnestExplode(s: SparkSession, d: String) = {
@@ -170,6 +216,13 @@ object Joins {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    OpDef("join_bucketed", joinBucketed _,
+      """SELECT o.o_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+        |  MAX(o.o_totalprice) AS order_value
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin),
     OpDef("unnest_explode", unnestExplode _,
       """WITH a AS (
         |  SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names

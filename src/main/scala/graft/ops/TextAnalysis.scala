@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -331,6 +332,146 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // BPE merge training: rounds to unroll (each round = pick the top
+  // pair, apply the merge corpus-wide, recount — the oracle mirrors
+  // the same two rounds as chained CTEs).
+  private val BpeRounds = 2
+
+  /** (doc_id, pos, tok) → consecutive pairs (doc_id, pos, a, b). */
+  private def bpePairs(toks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.withColumn("b", lead(col("tok"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("pos"), col("tok").as("a"), col("b"))
+  }
+
+  /** One BPE round's rewrite: merge every greedy-non-overlapping
+    * occurrence of the (broadcast, 1-row) top pair. Occurrences are
+    * selected left-to-right within runs by position parity (the
+    * gaps-and-islands formulation — identical arithmetic in both
+    * engines, no fold whose lambda semantics could diverge). */
+  private def bpeMergeRound(toks: DataFrame, top: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = toks.crossJoin(broadcast(top.select(col("a"), col("b"))))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .withColumn("m", col("tok") === col("a") && col("nxt") === col("b"))
+    val sel = marked.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("sel",
+        (col("pos") - min(col("pos"))
+          .over(Window.partitionBy(col("doc_id"), col("grp")))) % 2 === 0)
+      .filter(col("sel")).select(col("doc_id"), col("pos"))
+      .withColumn("s", lit(true))
+    marked.join(sel, Seq("doc_id", "pos"), "left")
+      .withColumn("s", coalesce(col("s"), lit(false)))
+      .withColumn("sprev", lag(col("s"), 1, false).over(w))
+      .filter(!col("sprev"))
+      .select(col("doc_id"), col("pos"),
+        when(col("s"), concat(col("tok"), lit(" "), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+  }
+
+  /** Iterative BPE vocabulary training, [[BpeRounds]] rounds unrolled:
+    * each round counts adjacent-symbol pairs corpus-wide, adopts the
+    * most frequent pair (count desc, pair asc — deterministic) as a
+    * merge, and REWRITES the corpus so the next round counts over the
+    * merged symbols — the actual training loop `bpe_pair_stats` is one
+    * iteration of. Output is the learned merge table. Per round: one
+    * map-side-combined pair-count shuffle, a 1-row broadcast of the
+    * winner, and one doc-keyed window pass for the rewrite — the shape
+    * a distributed tokenizer trainer runs per merge at corpus scale
+    * (production trains on a sampled subset; the loop is the same). */
+  private def bpeTrainMerges(s: SparkSession, d: String) = {
+    import s.implicits._
+    bpeMerges(s, Tables.documents(s, d))
+  }
+
+  /** [[bpeTrainMerges]] over an arbitrary (doc_id, text) frame (spec
+    * hook — merges on a hand-computable corpus). */
+  private[graft] def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    var toks = docs
+      .select($"doc_id", posexplode(tokens($"text")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+    var out: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val top = bpePairs(toks).groupBy($"a", $"b")
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy($"occurrences".desc, $"a".asc, $"b".asc).limit(1)
+      val row = top.select(lit(r.toLong).as("round"),
+        concat($"a", lit(" "), $"b").as("pair"), $"occurrences")
+      out = if (out == null) row else out.unionByName(row)
+      if (r < BpeRounds) toks = bpeMergeRound(toks, top)
+    }
+    out.orderBy($"round")
+  }
+
+  /** One BPE round's CTE chain for the oracle: toks$r → top$r (+ the
+    * rewrite into toks${r+1} unless it is the last round). */
+  private def bpeRoundSql(r: Int, last: Boolean): String = {
+    val base =
+      s"""pairs$r AS (
+         |  SELECT a, b, COUNT(*) AS occurrences FROM (
+         |    SELECT doc_id, pos, tok AS a,
+         |      LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |    FROM toks$r)
+         |  WHERE b IS NOT NULL GROUP BY a, b
+         |),
+         |top$r AS (
+         |  SELECT a, b, occurrences FROM pairs$r
+         |  ORDER BY occurrences DESC, a ASC, b ASC LIMIT 1
+         |)""".stripMargin
+    if (last) base else base + s""",
+         |marked$r AS (
+         |  SELECT t.doc_id, t.pos, t.tok,
+         |    LEAD(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS nxt,
+         |    (t.tok = p.a AND
+         |     LEAD(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = p.b) AS m
+         |  FROM toks$r t CROSS JOIN top$r p
+         |),
+         |sel$r AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      (pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS sel
+         |    FROM (
+         |      SELECT doc_id, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM marked$r WHERE m))
+         |  WHERE sel
+         |),
+         |toks${r + 1} AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN s THEN tok || ' ' || nxt ELSE tok END AS tok
+         |  FROM (
+         |    SELECT mk.doc_id, mk.pos, mk.tok, mk.nxt,
+         |      sl.pos IS NOT NULL AS s,
+         |      LAG(sl.pos IS NOT NULL, 1, false)
+         |        OVER (PARTITION BY mk.doc_id ORDER BY mk.pos) AS sprev
+         |    FROM marked$r mk
+         |    LEFT JOIN sel$r sl ON mk.doc_id = sl.doc_id AND mk.pos = sl.pos)
+         |  WHERE NOT sprev
+         |)""".stripMargin
+  }
+
+  private def bpeMergesOracle: String = {
+    val rounds = (1 to BpeRounds)
+      .map(r => bpeRoundSql(r, last = r == BpeRounds)).mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, a || ' ' || b AS pair, " +
+        s"occurrences FROM top$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks1 AS (
+       |  SELECT doc_id, CAST(s.pos AS BIGINT) - 1 AS pos, s.tok FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'tok': w[CAST(i AS INT)]}
+       |              for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))
+       |),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   // Unigram-LM quality scoring (the CCNet shape): vocabulary cap and
   // add-one smoothing constant. The capped vocab is what makes the
   // scorer scale — the model is top-[[LmVocab]] (term, count) rows, a
@@ -489,6 +630,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_tfidf", textTfidf _, tfidfOracle),
     OpDef("text_lm_score", textLmScore _, lmScoreOracle),
+    OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences

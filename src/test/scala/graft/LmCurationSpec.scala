@@ -73,6 +73,26 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r(3L) === (3L, 0L))
   }
 
+  test("bpeMerges: greedy non-overlap within runs, round 2 counts merged symbols") {
+    val docs = Seq(
+      (1L, "a a a b a b"), // (a,a) run of 2 merges ONCE (greedy non-overlap)
+      (2L, "x y x y")
+    ).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.bpeMerges(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    // round 1: (a,a), (a,b), (x,y) all count 2 -> tie-break picks (a,a);
+    // the a-a-a run merges once, leaving ["a a", a, b, a, b]
+    // round 2: (a,b) and (x,y) tie at 2 -> (a,b)
+    assert(r.toSeq === Seq((1L, "a a", 2L), (2L, "a b", 2L)))
+  }
+
+  test("bpe_train_merges emits one adopted merge per round on testdata") {
+    val r = SparkEntry.queries("bpe_train_merges")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L))
+    assert(r.forall(_._2 > 0))
+  }
+
   test("dsir_select: scores every doc, and target-source docs average higher") {
     val r = SparkEntry.queries("dsir_select")(spark, sf).cache()
     assert(r.count() === 500)

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("domain_cap").contains("WindowGroupLimit"))
   }
 
+  test("bucketed co-located join: zero shuffle on either side, agg rides the buckets") {
+    // both scans report the bucket partitioning, so EnsureRequirements
+    // inserts no exchange for the join OR the same-key aggregate — the
+    // only exchange left is the final total-order sort
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
   test("LM scoring ships the trained model broadcast, never shuffles the corpus to it") {
     // the capped-vocab unigram model (and the corpus-total scalar)
     // must broadcast to the token scan; a shuffled join here would
