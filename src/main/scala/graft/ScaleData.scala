@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal corpus builder: expands the sf0.1 documents,
-  * embeddings, events, and lineitem tables by an integer factor so the
-  * dedup/similarity AND relational/event families can be measured
+  * embeddings, events, lineitem, and orders tables by an integer
+  * factor so the dedup/similarity AND relational/event families can
+  * be measured
   * beyond the largest driver-provided sf (BASELINE.md "scaling"
   * section).
   *
@@ -90,7 +91,17 @@ object ScaleData {
     }.reduce(_ union _)
     liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    val counts = Seq("documents", "embeddings", "events", "lineitem")
+    // orders mirrors lineitem's key shift so the o_orderkey =
+    // l_orderkey join structure replicates exactly per copy —
+    // join_bucketed's per-order groups stay constant-width while both
+    // fact sides grow by the factor
+    val ord = Tables.orders(spark, sfDir)
+    val ordCopies = (0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    ordCopies.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val counts = Seq("documents", "embeddings", "events", "lineitem", "orders")
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor from $sfDir)")
     spark.stop()

@@ -74,6 +74,21 @@ object Sources {
       .orderBy($"o_orderkey")
   }
 
+  /** Columnar-format round trip through ORC (non-reference extra):
+    * the other columnar format a lake ingests alongside parquet —
+    * Spark's ORC source is native and vectorized, so the same
+    * pushdown/pruning machinery applies. Types (int64/int32, string,
+    * double) must survive bit-exact: the oracle reads the ORIGINAL
+    * parquet, so the round trip is checked as the identity. */
+  private def orcRoundtrip(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/supplier_orc"
+    Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
   /** Hive-style partitioned parquet sink + partition-PRUNED read-back
     * (non-reference extra): orders staged partitioned by order month,
     * then a one-quarter query against the stage. The month filter
@@ -129,6 +144,10 @@ object Sources {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin),
+    OpDef("orc_roundtrip", orcRoundtrip _,
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin),
     OpDef("sink_partitioned", sinkPartitioned _,
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,
         |  o_orderstatus,
