@@ -94,7 +94,37 @@ object Windows {
       .orderBy($"c_mktsegment", $"quartile", $"c_custkey")
   }
 
+  /** Time-based RANGE frame: per-user trailing-1-hour event count and
+    * exact value sum — the sliding-interval window `rowsBetween` can't
+    * express (the frame is defined by the ORDER value, so ties and
+    * irregular event spacing are handled by the semantics, not the row
+    * position). Ordered by epoch micros (`unix_micros` ↔ DuckDB
+    * `epoch_us` — the engines' shared integer time axis); one shuffle
+    * on user_id like every partitioned window; DECIMAL value sums so
+    * frame evaluation order cannot perturb totals. */
+  private def windowRangeFrame(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsu"), $"value")
+      .select($"user_id", $"event_id", $"tsu",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum($"value".cast("decimal(27,6)")).over(w).cast("double")
+          .as("value_trailing_1h"))
+      .orderBy($"user_id", $"tsu", $"event_id")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_range_frame", windowRangeFrame _,
+      """SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+        |    AS value_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, tsu, event_id""".stripMargin),
     OpDef("window_ntile", windowNtile _,
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
