@@ -234,6 +234,24 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    OpDef("agg_stats_moments", aggStatsMoments _,
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  CAST(FLOOR((sx / n) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mean_qty,
+        |  CAST(FLOOR(((sxx - sx * sx / n) / (n - 1)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS var_qty,
+        |  CAST(FLOOR(((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5)
+        |    AS DOUBLE) / 1000000 AS corr_qty_price
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin),
     OpDef("agg_grouping_sets", aggGroupingSets _,
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
@@ -303,6 +321,38 @@ object Aggregates {
     * (returnflag, linestatus) in one pass — like [[aggRollup]] but the
     * full lattice; same single hash-aggregate shuffle after grouping-
     * set expansion, `grouping_id` disambiguation, NULLS FIRST pinned. */
+  /** Statistical moments per group — mean, sample variance, and the
+    * quantity↔price correlation — derived from DECIMAL-EXACT power
+    * sums (Σx, Σx², Σy², Σxy) instead of the engines' native
+    * `corr`/`stddev` aggregates, whose streaming/pairwise float
+    * algorithms are combine-order-dependent and NEVER hash-match
+    * across engines. Per-row products are IEEE-identical in both
+    * engines, the sums are exact, and every derived statistic is then
+    * arithmetic on identical doubles — deterministic under any
+    * partitioning, which is also what makes it safe on a 1000-executor
+    * cluster. One map-side-combined aggregation, one scan. */
+  private def aggStatsMoments(s: SparkSession, d: String) = {
+    import s.implicits._
+    val dec = "decimal(38,6)"
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+        sum(($"y" * $"y").cast(dec)).cast("double").as("syy"),
+        sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        roundHalfUp($"sx" / $"n", 6).as("mean_qty"),
+        roundHalfUp(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6)
+          .as("var_qty"),
+        roundHalfUp(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Arbitrary GROUPING SETS — the non-hierarchical shape neither
     * ROLLUP nor CUBE expresses: two independent one-column groupings
     * ((returnflag), (linestatus)) computed in one pass over the fact

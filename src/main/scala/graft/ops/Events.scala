@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -210,7 +210,64 @@ object Events {
       |GROUP BY w.window_id, w.w_start
       |ORDER BY window_id""".stripMargin
 
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * the earliest view, the first click strictly after it, the first
+    * purchase strictly after that — sequence semantics, not mere
+    * co-occurrence (a purchase before the click does not count).
+    * Emitted as per-stage reached-user counts. Every stage is one
+    * min-aggregate keyed on user_id joined to the previous stage's
+    * survivors — all shuffles share the user key, so at scale the
+    * funnel is a chain of co-partitioned narrow joins over an
+    * ever-shrinking survivor set, never a self-join of the raw log. */
+  private def eventsFunnel(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"))
+    def firstAfter(typ: String, prev: DataFrame, prevT: String, t: String) =
+      ev.filter($"event_type" === typ)
+        .join(prev.select($"user_id", col(prevT)), Seq("user_id"))
+        .filter($"tsu" > col(prevT))
+        .groupBy($"user_id").agg(min($"tsu").as(t))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tsu").as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"),
+        lit("view").as("event_type"), $"n_users")
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("stage"), lit("click").as("event_type"), $"n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("stage"), lit("purchase").as("event_type"), $"n_users"))
+      .orderBy($"stage")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_funnel", eventsFunnel _,
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |),
+        |v AS (
+        |  SELECT user_id, MIN(tsu) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.tsu) AS t2
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.tsu > v.t1
+        |  GROUP BY e.user_id
+        |),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.tsu) AS t3
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsu > c.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin),
     OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
     OpDef("join_range", joinRange _, rangeOracle),
     OpDef("join_asof", joinAsof _,
