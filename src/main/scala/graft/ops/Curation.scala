@@ -107,6 +107,38 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // Salt fan-out for the two-stage cap (the skew guard).
+  private val CapSalts = 8
+
+  /** Two-stage SALTED domain cap — the mega-source skew guard the
+    * plain [[domainCap]] only documents: stage 1 caps each
+    * (source, salt) shard at [[DomainCap]] by the SAME priority hash
+    * (WindowGroupLimit keeps ≤ K rows per shard per partition before
+    * any shuffle), stage 2 re-ranks the ≤ K·[[CapSalts]] survivors per
+    * source and cuts at K. Output is provably IDENTICAL to the
+    * single-stage cap — the global top-K by priority is a subset of
+    * the union of per-salt top-Ks — so the oracle is the SAME SQL as
+    * `domain_cap`, and the win is purely structural: no single task
+    * ever sorts a whole source, so a source with 10⁹ documents costs
+    * each task at most its salt shard. `LmCurationSpec` pins equality
+    * row-for-row. */
+  private def domainCapSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pri = hash60(concat(lit("cap:"), $"doc_id".cast("string")))
+    val salted = Window.partitionBy($"source", $"salt").orderBy(pri.asc, $"doc_id".asc)
+    val merged = Window.partitionBy($"source").orderBy(pri.asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        pmod(hash60(concat(lit("capsalt:"), $"doc_id".cast("string"))),
+          lit(CapSalts)).as("salt"))
+      .withColumn("srn", row_number().over(salted))
+      .filter($"srn" <= DomainCap)
+      .withColumn("cap_rank", row_number().over(merged).cast("long"))
+      .filter($"cap_rank" <= DomainCap)
+      .select($"doc_id", $"source", $"cap_rank")
+      .orderBy($"doc_id")
+  }
+
   // Epoch-shuffle fan-out: number of independent output shards. 32
   // here to match the test parallelism; at 100 TB this is the writer
   // parallelism knob (thousands), not a semantic choice.
@@ -245,6 +277,17 @@ object Curation {
          |WHERE rn > n // 4
          |ORDER BY doc_id""".stripMargin),
     OpDef("domain_cap", domainCap _,
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${hash60Sql("'cap:' || doc_id")} ASC, doc_id ASC)
+         |      AS BIGINT) AS cap_rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, cap_rank FROM ranked
+         |WHERE cap_rank <= $DomainCap
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("domain_cap_salted", domainCapSalted _,
       s"""WITH ranked AS (
          |  SELECT doc_id, source,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY source

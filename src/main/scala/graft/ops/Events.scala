@@ -241,7 +241,42 @@ object Events {
       .orderBy($"stage")
   }
 
+  /** Weekly cohort retention matrix: users cohorted by the ISO week of
+    * their first event, counted once per (cohort, week-offset) they
+    * were active in — the classic retention triangle. Two keyed
+    * shuffles (user for the cohort min + the distinct, then the
+    * cohort/offset count, map-side combined); the offset is integer
+    * day-arithmetic on week-truncated dates, so both engines agree
+    * exactly. */
+  private def eventsRetention(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .select($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_retention", eventsRetention _,
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events
+        |),
+        |cohorts AS (
+        |  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id
+        |)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, e.wk) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_active_users
+        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin),
     OpDef("events_funnel", eventsFunnel _,
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events

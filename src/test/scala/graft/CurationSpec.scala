@@ -20,6 +20,13 @@ class CurationSpec extends SparkSpecBase {
     assert(c.count() === nSources)
   }
 
+  test("domain_cap_salted equals the single-stage cap row-for-row where the cap bites") {
+    val plain = SparkEntry.queries("domain_cap")(spark, sf01)
+    val salted = SparkEntry.queries("domain_cap_salted")(spark, sf01)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("quality_gate keeps exactly n - n div 4 per source, cut at the rank boundary") {
     val docs = Tables.documents(spark, sf01)
       .groupBy("source").agg(count(lit(1)).as("n_all"))

@@ -112,6 +112,11 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("domain_cap").contains("WindowGroupLimit"))
   }
 
+  test("salted domain cap group-limits BOTH stages (no whole-source sort anywhere)") {
+    val p = plan("domain_cap_salted")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
   test("bucketed co-located join: zero shuffle on either side, agg rides the buckets") {
     // both scans report the bucket partitioning, so EnsureRequirements
     // inserts no exchange for the join OR the same-key aggregate — the
