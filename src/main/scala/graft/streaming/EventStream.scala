@@ -144,6 +144,86 @@ object EventStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Idempotent micro-batch writer — the `foreachBatch` exactly-once
+    * recipe on a plain file sink: every micro-batch lands in a
+    * batch-id-keyed directory with overwrite semantics, so a batch
+    * REPLAYED after a failure (the at-least-once delivery Structured
+    * Streaming guarantees into `foreachBatch`) overwrites its own
+    * directory instead of appending duplicates. Exposed as the writer
+    * function so the idempotence contract is directly testable; wire
+    * it with `df.writeStream.foreachBatch(writeBatchIdempotent(dir))`. */
+  def writeBatchIdempotent(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** One closed session for [[timeoutSessions]]. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Gap sessionization with EVENT-TIME TIMEOUT state eviction — the
+    * third sessionization form next to the batch window op and the
+    * native `session_window`: custom keyed state that emits a session
+    * only when the watermark passes its gap horizon
+    * (`GroupStateTimeout.EventTimeTimeout`), the mechanism that closes
+    * sessions for users who simply STOP sending events (neither the
+    * batch op nor in-batch logic ever sees a "no more events" signal —
+    * the timeout is that signal). Within a batch, rows are gap-split
+    * exactly like the batch op; the last open session parks in state
+    * with its timeout at end + gap. State per user is 3 longs. */
+  // Event times are handled in MICROS end-to-end (testdata timestamps
+  // carry micros; Timestamp.getTime alone would truncate to millis and
+  // de-sync the gap comparison from the batch op's unix_micros).
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  def timeoutSessions(events: Dataset[Event],
+                      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, tsOf(s.start), tsOf(s.end), s.n))
+          } else {
+            val ts = rows.map(e => micros(e.ts)).toArray.sorted
+            val (closedRev, open) =
+              ts.foldLeft((List.empty[Session], state.getOption)) {
+                case ((acc, cur), t) => cur match {
+                  case Some(s) if t - s.end > gapUs =>
+                    // gap inside the batch: close the carried session
+                    (Session(uid, tsOf(s.start), tsOf(s.end), s.n) :: acc,
+                      Some(OpenSession(t, t, 1)))
+                  case Some(s) =>
+                    (acc, Some(OpenSession(s.start, t, s.n + 1)))
+                  case None =>
+                    (acc, Some(OpenSession(t, t, 1)))
+                }
+              }
+            open.foreach { s =>
+              state.update(s)
+              // the timeout API takes event-time MILLIS; round the micros
+              // horizon UP so the timeout never fires a hair early
+              state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999, 1000))
+            }
+            closedRev.reverseIterator
+          }
+      }
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
     * event counts, emitted every trigger (update mode). The state is
     * one long per key — the minimal template for richer per-key

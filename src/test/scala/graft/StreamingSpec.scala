@@ -110,6 +110,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.groupBy($"content_hash").count().filter($"count" > 1).isEmpty)
   }
 
+  test("event-time timeout closes sessions equal to the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStream.timeoutSessions(src.toDS()).toDF()
+      .writeStream.format("memory").queryName("tosessions")
+      .outputMode("append").start()
+    // batch 1: the whole real corpus (in-batch gaps close inline; each
+    // user's last session parks in state with timeout = end + gap)
+    src.addData(eventRows: _*)
+    q.processAllAvailable()
+    // batch 2 raises the watermark high-water mark; batch 3 runs WITH
+    // that watermark (it advances between batches), firing every
+    // parked session's event-time timeout
+    def sentinel(d: String, id: Long) = Event(id,
+      java.sql.Timestamp.valueOf(d), -1L, "view", 0.0)
+    src.addData(sentinel("2025-01-01 00:00:00", -1L))
+    q.processAllAvailable()
+    src.addData(sentinel("2025-01-02 00:00:00", -2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tosessions").filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    val want = SparkEntry.queries("event_sessions")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("foreachBatch idempotent sink: a replayed batch id never duplicates rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val writer = EventStream.writeBatchIdempotent(dir)
+    val b0 = Tables.events(spark, sf).limit(100).cache()
+    val b1 = Tables.events(spark, sf)
+      .orderBy($"event_id".desc).limit(50).cache()
+    writer(b0.toDF(), 0L)
+    writer(b0.toDF(), 0L) // at-least-once redelivery of the SAME batch
+    writer(b1.toDF(), 1L)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 150)
+    assert(out.select($"event_id").distinct().count() === 150)
+    b0.unpersist(); b1.unpersist()
+  }
+
   test("stream-stream interval join equals the identical batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
