@@ -262,7 +262,50 @@ object Events {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Per-type z-score anomaly flagging: events whose value sits more
+    * than 3σ from their type's mean. Mean and σ come from the SAME
+    * decimal-exact power sums as `agg_stats_moments` — both engines
+    * derive identical doubles, so even the filter BOUNDARY (an event
+    * at exactly 3σ) cannot disagree. The per-type stats table is
+    * broadcast back to the scan, so flagging is one scan + one tiny
+    * aggregate at any log size. */
+  private def eventsAnomaly(s: SparkSession, d: String) = {
+    import s.implicits._
+    val dec = "decimal(38,6)"
+    val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(dec)).cast("double").as("sx"),
+        sum(($"value" * $"value").cast(dec)).cast("double").as("sxx"))
+      .select($"event_type", ($"sx" / $"n").as("mu"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs($"value" - $"mu") > lit(3.0) * $"sigma")
+      .select($"event_type", $"event_id",
+        roundHalfUp($"value", 6).as("value"),
+        roundHalfUp(($"value" - $"mu") / $"sigma", 4).as("zscore"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_anomaly", eventsAnomaly _,
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type
+        |),
+        |st AS (
+        |  SELECT event_type, sx / n AS mu,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+        |  FROM s
+        |)
+        |SELECT e.event_type, e.event_id,
+        |  CAST(FLOOR(e.value * 1000000 + 0.5) AS DOUBLE) / 1000000 AS value,
+        |  CAST(FLOOR(((e.value - t.mu) / t.sigma) * 10000 + 0.5) AS DOUBLE) / 10000 AS zscore
+        |FROM events e JOIN st t ON e.event_type = t.event_type
+        |WHERE abs(e.value - t.mu) > 3 * t.sigma
+        |ORDER BY e.event_type, e.event_id""".stripMargin),
     OpDef("events_retention", eventsRetention _,
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

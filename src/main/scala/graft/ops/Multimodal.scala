@@ -93,6 +93,22 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Exact dedup of the BINARY modality — the dedup family's reach
+    * into media: group payloads by content hash, keep the min-doc_id
+    * survivor (the same deterministic rule as `dedup_exact`), report
+    * the copy count. The payload never leaves its scan partition —
+    * only the 32-hex digest shuffles, which is the whole point at
+    * image/video scale. */
+  private def mmDedup(s: SparkSession, d: String) = {
+    import s.implicits._
+    media(s, d)
+      .select($"doc_id", md5(hex($"payload")).as("payload_md5"))
+      .groupBy($"payload_md5")
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_doc_id", $"payload_md5", $"n_copies")
+      .orderBy($"keep_doc_id")
+  }
+
   private val FitBox = 256
 
   /** Resize planning + stubbed execution: fit each image into a
@@ -138,6 +154,13 @@ object Multimodal {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("mm_dedup", mmDedup _,
+      s"""WITH $mediaSql
+         |SELECT MIN(doc_id) AS keep_doc_id, md5(hexp) AS payload_md5,
+         |  COUNT(*) AS n_copies
+         |FROM media
+         |GROUP BY md5(hexp)
+         |ORDER BY keep_doc_id""".stripMargin),
     OpDef("mm_metadata", mmMetadata _,
       s"""WITH $mediaSql
          |SELECT doc_id, format,
