@@ -84,7 +84,7 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"term")
       .agg(count_distinct($"doc_id").as("df"),
-        expr(s"slice(array_sort(collect_set(doc_id)), 1, $IdxPostings)")
+        expr(s"array_join(transform(slice(array_sort(collect_set(doc_id)), 1, $IdxPostings), x -> cast(x AS string)), ',')")
           .as("postings"))
       .filter($"df" >= IdxDfMin)
       .orderBy($"term")
@@ -640,7 +640,7 @@ object TextAnalysis {
          |LIMIT 20""".stripMargin),
     OpDef("inverted_index", invertedIndex _,
       s"""SELECT term, COUNT(DISTINCT doc_id) AS df,
-         |  list_sort(list(DISTINCT doc_id))[1:$IdxPostings] AS postings
+         |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id))[1:$IdxPostings], x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
          |GROUP BY term
          |HAVING COUNT(DISTINCT doc_id) >= $IdxDfMin
