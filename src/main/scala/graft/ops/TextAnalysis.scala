@@ -83,8 +83,13 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"term")
-      .agg(count_distinct($"doc_id").as("df"),
-        expr(s"array_join(transform(slice(array_sort(collect_set(doc_id)), 1, $IdxPostings), x -> cast(x AS string)), ',')")
+      // df is the cardinality of the same distinct set the postings
+      // come from — deriving it via size() instead of count_distinct
+      // avoids the extra (term, doc_id) expand shuffle Spark plans for
+      // a distinct aggregate alongside collect_set.
+      .agg(expr("array_sort(collect_set(doc_id))").as("ds"))
+      .select($"term", size($"ds").cast("long").as("df"),
+        expr(s"array_join(transform(slice(ds, 1, $IdxPostings), x -> cast(x AS string)), ',')")
           .as("postings"))
       .filter($"df" >= IdxDfMin)
       .orderBy($"term")

@@ -154,6 +154,44 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("inverted index builds in ONE term-keyed shuffle (df rides the posting set)") {
+    // count_distinct alongside collect_set would plan an extra
+    // (term, doc_id) expand shuffle; df must derive from the set the
+    // postings already build, leaving only the term aggregate and the
+    // final total-order sort
+    val p = plan("inverted_index")
+    assert("Exchange".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Window"), p)
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length === 2, p) // doc_id + text only
+  }
+
+  test("BPE pair stats: map-side combine + TakeOrdered, never a full sort") {
+    val p = plan("bpe_pair_stats")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("retention cohort side broadcasts (first-week table is user-count sized)") {
+    val p = plan("events_retention")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both event scans must read only (ts, user_id), never the payload
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(_.split(",").length <= 2), p)
+  }
+
+  test("ORC round-trip read-back is a pruned columnar scan") {
+    val p = plan("orc_roundtrip")
+    assert(p.contains("Format: ORC"), p)
+    assert("Exchange".r.findAllIn(p).length === 1, p) // output sort only
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length === 4, p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
