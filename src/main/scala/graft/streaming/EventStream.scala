@@ -160,8 +160,14 @@ object EventStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)
 
-  /** Open-session state carried between micro-batches. */
+  /** Gap-split run of event times (micros) inside [[timeoutSessions]]. */
   case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Per-key pending event times (micros) carried between micro-batches
+    * by [[timeoutSessions]] — only events whose session the watermark
+    * has not yet sealed, so state is bounded by each key's event count
+    * inside the (watermark delay + gap) horizon, not the stream. */
+  case class Pending(ts: Seq[Long])
 
   /** Gap sessionization with EVENT-TIME TIMEOUT state eviction — the
     * third sessionization form next to the batch window op and the
@@ -170,9 +176,17 @@ object EventStream {
     * (`GroupStateTimeout.EventTimeTimeout`), the mechanism that closes
     * sessions for users who simply STOP sending events (neither the
     * batch op nor in-batch logic ever sees a "no more events" signal —
-    * the timeout is that signal). Within a batch, rows are gap-split
-    * exactly like the batch op; the last open session parks in state
-    * with its timeout at end + gap. State per user is 3 longs. */
+    * the timeout is that signal).
+    *
+    * Batch parity under OUT-OF-ORDER cross-batch delivery: a key's
+    * pending event times are buffered in state until the watermark
+    * passes `run_end + gap` (the same buffer-until-watermark contract
+    * `session_window` honors), so a late event the watermark still
+    * admits lands in its correct position — splitting, extending, or
+    * MERGING runs exactly as the batch op would — instead of mutating
+    * a prematurely-frozen open session. A run is emitted only once it
+    * is unreachable by any admissible future event (every future event
+    * has `t >= watermark > run_end + gap`). */
   // Event times are handled in MICROS end-to-end (testdata timestamps
   // carry micros; Timestamp.getTime alone would truncate to millis and
   // de-sync the gap comparison from the batch op's unix_micros).
@@ -188,38 +202,53 @@ object EventStream {
                       gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L
+
+    // gap-split a sorted micros array into maximal runs
+    def runs(ts: Array[Long]): List[OpenSession] = {
+      val out = List.newBuilder[OpenSession]
+      var i = 0
+      while (i < ts.length) {
+        var j = i
+        while (j + 1 < ts.length && ts(j + 1) - ts(j) <= gapUs) j += 1
+        out += OpenSession(ts(i), ts(j), j - i + 1)
+        i = j + 1
+      }
+      out.result()
+    }
+    def emit(uid: Long, rs: List[OpenSession]): Iterator[Session] =
+      rs.iterator.map(r => Session(uid, tsOf(r.start), tsOf(r.end), r.n))
+
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[Pending, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+        (uid: Long, rows: Iterator[Event], state: GroupState[Pending]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            // watermark passed the LAST run's gap horizon → every
+            // buffered run is sealed; flush them all
+            val all = runs(state.get.ts.toArray.sorted)
             state.remove()
-            Iterator.single(Session(uid, tsOf(s.start), tsOf(s.end), s.n))
+            emit(uid, all)
           } else {
-            val ts = rows.map(e => micros(e.ts)).toArray.sorted
-            val (closedRev, open) =
-              ts.foldLeft((List.empty[Session], state.getOption)) {
-                case ((acc, cur), t) => cur match {
-                  case Some(s) if t - s.end > gapUs =>
-                    // gap inside the batch: close the carried session
-                    (Session(uid, tsOf(s.start), tsOf(s.end), s.n) :: acc,
-                      Some(OpenSession(t, t, 1)))
-                  case Some(s) =>
-                    (acc, Some(OpenSession(s.start, t, s.n + 1)))
-                  case None =>
-                    (acc, Some(OpenSession(t, t, 1)))
-                }
-              }
-            open.foreach { s =>
-              state.update(s)
+            val buf = (state.getOption.map(_.ts).getOrElse(Seq.empty[Long]) ++
+              rows.map(e => micros(e.ts))).toArray.sorted
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // run ends increase across runs, so "sealed" is a prefix:
+            // a run is closed once no admissible event can reach it
+            val (closed, pending) = runs(buf).partition(_.end + gapUs < wmUs)
+            if (pending.isEmpty) state.remove()
+            else {
+              val keepFrom = pending.head.start
+              state.update(Pending(buf.filter(_ >= keepFrom).toIndexedSeq))
               // the timeout API takes event-time MILLIS; round the micros
-              // horizon UP so the timeout never fires a hair early
-              state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999, 1000))
+              // horizon UP so the timeout never fires a hair early, and
+              // keep it strictly above the current watermark (API contract)
+              state.setTimeoutTimestamp(Math.max(
+                Math.floorDiv(pending.last.end + gapUs + 999, 1000),
+                state.getCurrentWatermarkMs() + 1))
             }
-            closedRev.reverseIterator
+            emit(uid, closed)
           }
       }
   }

@@ -140,6 +140,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("out-of-order cross-batch events sessionize exactly like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStream.timeoutSessions(src.toDS()).toDF()
+      .writeStream.format("memory").queryName("ooosessions")
+      .outputMode("append").start()
+    def ev(id: Long, uid: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "view", 0.0)
+    // batch 1: user 1 has two 30-min-gap-split runs; user 2 one event
+    src.addData(
+      ev(1, 1, "2024-06-01 00:00:00"), ev(2, 1, "2024-06-01 00:40:00"),
+      ev(3, 2, "2024-06-01 01:00:00"))
+    q.processAllAvailable()
+    // batch 2, STILL inside the 2h watermark: a late event at 00:20
+    // lands BETWEEN user 1's runs and must MERGE them into one session;
+    // user 2's late 00:45 event must extend the session start BACKWARD
+    src.addData(ev(4, 1, "2024-06-01 00:20:00"), ev(5, 2, "2024-06-01 00:45:00"))
+    q.processAllAvailable()
+    // advance the watermark (twice: it updates between batches), firing
+    // every parked session's event-time timeout
+    src.addData(ev(-1, -1, "2024-06-02 00:00:00"))
+    q.processAllAvailable()
+    src.addData(ev(-2, -1, "2024-06-03 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ooosessions").filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the batch answer over the full (merged) event set
+    assert(got === Set(
+      (1L, t("2024-06-01 00:00:00"), t("2024-06-01 00:40:00"), 3L),
+      (2L, t("2024-06-01 00:45:00"), t("2024-06-01 01:00:00"), 2L)))
+  }
+
   test("foreachBatch idempotent sink: a replayed batch id never duplicates rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toString
