@@ -246,9 +246,9 @@ object Aggregates {
         |)
         |SELECT l_returnflag, n,
         |  CAST(FLOOR((sx / n) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mean_qty,
-        |  CAST(FLOOR(((sxx - sx * sx / n) / (n - 1)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS var_qty,
+        |  CAST(FLOOR(((sxx - sx * sx / n) / NULLIF(n - 1, 0)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS var_qty,
         |  CAST(FLOOR(((n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5)
+        |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)) * 1000000 + 0.5)
         |    AS DOUBLE) / 1000000 AS corr_qty_price
         |FROM m
         |ORDER BY l_returnflag""".stripMargin),
@@ -343,13 +343,18 @@ object Aggregates {
         sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
         sum(($"y" * $"y").cast(dec)).cast("double").as("syy"),
         sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"))
+      // NULLIF guards on n-1 and the corr denominator: on an n=1 or
+      // constant-valued group Spark's double division-by-zero yields
+      // NULL while DuckDB (ieee_floating_point_ops) yields inf/NaN —
+      // guarding IDENTICALLY in both engines makes degenerate groups
+      // agree by construction (both emit NULL)
       .select($"l_returnflag", $"n",
         roundHalfUp($"sx" / $"n", 6).as("mean_qty"),
-        roundHalfUp(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6)
+        roundHalfUp(($"sxx" - $"sx" * $"sx" / $"n") / nullif($"n" - 1, lit(0)), 6)
           .as("var_qty"),
         roundHalfUp(($"n" * $"sxy" - $"sx" * $"sy") /
-          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
-            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"))
+          nullif(sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), lit(0.0)), 6).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 

@@ -269,21 +269,33 @@ object Events {
     * at exactly 3σ) cannot disagree. The per-type stats table is
     * broadcast back to the scan, so flagging is one scan + one tiny
     * aggregate at any log size. */
-  private def eventsAnomaly(s: SparkSession, d: String) = {
+  private def eventsAnomaly(s: SparkSession, d: String) =
+    eventsAnomalyOf(Tables.events(s, d))
+
+  /** Spec hook: [[eventsAnomaly]] over an arbitrary (event_id,
+    * event_type, value) frame, so tests can feed degenerate groups
+    * (n=1, constant values) the testdata never contains. */
+  private[graft] def eventsAnomalyOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     val dec = "decimal(38,6)"
-    val ev = Tables.events(s, d).select($"event_id", $"event_type", $"value")
+    val ev = events.select($"event_id", $"event_type", $"value")
     val stats = ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(dec)).cast("double").as("sx"),
         sum(($"value" * $"value").cast(dec)).cast("double").as("sxx"))
+      // NULLIF guards: an n=1 type (σ over zero dof) or constant-valued
+      // type (σ = 0) divides by zero — Spark doubles yield NULL, DuckDB
+      // (ieee_floating_point_ops) inf/NaN; guarding identically in both
+      // engines makes degenerate types agree by construction (NULL σ
+      // never passes the 3σ filter on either side)
       .select($"event_type", ($"sx" / $"n").as("mu"),
-        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sigma"))
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / nullif($"n" - 1, lit(0))).as("sigma"))
     ev.join(broadcast(stats), "event_type")
       .filter(abs($"value" - $"mu") > lit(3.0) * $"sigma")
       .select($"event_type", $"event_id",
         roundHalfUp($"value", 6).as("value"),
-        roundHalfUp(($"value" - $"mu") / $"sigma", 4).as("zscore"))
+        roundHalfUp(($"value" - $"mu") / nullif($"sigma", lit(0.0)), 4).as("zscore"))
       .orderBy($"event_type", $"event_id")
   }
 
@@ -297,12 +309,12 @@ object Events {
         |),
         |st AS (
         |  SELECT event_type, sx / n AS mu,
-        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+        |    sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)) AS sigma
         |  FROM s
         |)
         |SELECT e.event_type, e.event_id,
         |  CAST(FLOOR(e.value * 1000000 + 0.5) AS DOUBLE) / 1000000 AS value,
-        |  CAST(FLOOR(((e.value - t.mu) / t.sigma) * 10000 + 0.5) AS DOUBLE) / 10000 AS zscore
+        |  CAST(FLOOR(((e.value - t.mu) / NULLIF(t.sigma, 0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS zscore
         |FROM events e JOIN st t ON e.event_type = t.event_type
         |WHERE abs(e.value - t.mu) > 3 * t.sigma
         |ORDER BY e.event_type, e.event_id""".stripMargin),

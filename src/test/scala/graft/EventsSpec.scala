@@ -42,4 +42,20 @@ class EventsSpec extends SparkSpecBase {
       .toSeq
     assert(out === Seq((1L, 103L, 101L), (2L, 203L, 202L), (2L, 204L, -1L)))
   }
+
+  test("anomaly flagging: degenerate types (n=1, constant) emit no rows, no NaN/Inf") {
+    import spark.implicits._
+    // "solo" has one event (σ over zero dof), "flat" constant values
+    // (σ = 0), "live" a genuine 3σ outlier — only "live" may flag, and
+    // nothing anywhere may surface NaN/Infinity instead of NULL
+    val ev = (Seq((1L, "solo", 5.0), (2L, "flat", 2.0), (3L, "flat", 2.0),
+      (4L, "flat", 2.0)) ++
+      (10L to 40L).map(i => (i, "live", 1.0)) :+ (50L, "live", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val out = ops.Events.eventsAnomalyOf(ev).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("live"))
+    assert(out.forall { r =>
+      val z = r.getDouble(3); !z.isNaN && !z.isInfinite
+    })
+  }
 }
