@@ -171,6 +171,9 @@ object LoanPipeline {
       .withColumnRenamed("flag_application_id_null", "flag_application_id_null_lms")
       .withColumnRenamed("flag_application_id_duplicate", "flag_application_id_duplicate_lms")
       .withColumnRenamed("data_quality_flags", "lms_data_quality_flags")
+      // the LMS wall-clock stamp keeps its own column (no-op when the
+      // caller stamped neither side)
+      .withColumnRenamed("processed_at", "lms_processed_at")
       .drop("delinquency_bucket") // recomputed portfolio-side, reference quirk
     val a = cleanedApps
     a.join(l, a("application_id") === l("lms_application_id"), "left")
@@ -243,7 +246,8 @@ object LoanPipeline {
     // its JSON text (the reference's CSV shows DuckDB's list rendering).
     CsvIO.writeQuoted(
       report.withColumn("problematic_application_ids",
-        to_json(col("problematic_application_ids"))),
+          to_json(col("problematic_application_ids")))
+        .withColumn("processed_at", processedAt()),
       s"$outDir/data_quality_report", singleFile = true)
     Map(
       "cleaned_applications" -> apps.count(),

@@ -39,16 +39,46 @@ object CsvIO {
       .option("nullValue", "")
       .csv(path)
 
-  /** Quoted CSV export (S5). */
+  /** Quoted CSV export (S5). Escape is `"` (doubled quotes), the
+    * reference's `ESCAPE '"'` convention, not Spark's default `\`. */
   def writeQuoted(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write
       .mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("quoteAll", "true")
+      .option("escape", "\"")
       .option("emptyValue", "")
       .option("nullValue", "")
       .csv(path)
+  }
+
+  /** Byte-exact twin of the reference's
+    * `COPY ... (HEADER, FORCE_QUOTE *, NULL '')` (`pipeline.py:497-522`):
+    * every non-null field quoted with internal quotes doubled, NULL as
+    * a BARE empty field — the one rendering Spark's CSV writer cannot
+    * produce (it quotes the null's empty string too). Each line is
+    * assembled by plain codegen'd string expressions, so rendering
+    * distributes; the single header-topped output file is the
+    * small-export parity contract (at scale, keep one headerless part
+    * per partition and skip the final assembly). Writes ONE file at
+    * `path`. */
+  def writeQuotedCopy(df: DataFrame, path: String): Unit = {
+    val line = concat_ws(",", df.columns.map { c =>
+      val v = df.col(c).cast(StringType)
+      when(v.isNull, lit(""))
+        .otherwise(concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
+    }.toIndexedSeq: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvcopy_")
+    df.select(line.as("value")).coalesce(1)
+      .write.mode(SaveMode.Overwrite).text(dir.toString)
+    val part = dir.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+    val header = df.columns
+      .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(",") + "\n"
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(target,
+      header.getBytes("UTF-8") ++ java.nio.file.Files.readAllBytes(part.toPath))
   }
 
   /** Split a permissively-read frame into (good, quarantined) on the

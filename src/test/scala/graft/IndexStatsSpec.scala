@@ -12,8 +12,13 @@ import graft.functions.TextFns
   * replaced. */
 class IndexStatsSpec extends SparkSpecBase {
 
+  // postings are serialized as a comma-joined string (the harness
+  // compare cannot hash array cells) — split back for the checks
   private lazy val idx =
-    SparkEntry.queries("inverted_index")(spark, sf).cache()
+    SparkEntry.queries("inverted_index")(spark, sf)
+      .withColumn("postings",
+        expr("transform(split(postings, ','), x -> cast(x AS bigint))"))
+      .cache()
 
   private lazy val termDocs = Tables.documents(spark, sf)
     .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))

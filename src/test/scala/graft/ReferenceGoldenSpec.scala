@@ -80,6 +80,62 @@ class ReferenceGoldenSpec extends SparkSpecBase {
       exclude = Set("processed_at", "lms_processed_at"))
   }
 
+  test("CSV exports byte-match the reference goldens (FORCE_QUOTE * parity)") {
+    import graft.sources.CsvIO
+    // run the DAG exactly as `run` does, but with the goldens'
+    // wall-clock stamp pinned in place of current_timestamp — then
+    // every byte, including the stamps (and their NULLs on left-join
+    // misses), is comparable
+    val stamp = "2026-01-23 12:30:57"
+    val appsStamped = cleaned.withColumn("processed_at", to_timestamp(lit(stamp)))
+    val lmsStamped = lms.withColumn("processed_at", to_timestamp(lit(stamp)))
+    val portStamped =
+      LoanPipeline.portfolio(appsStamped, lmsStamped, to_date(lit("2026-01-23")))
+
+    def render(engine: DataFrame, goldName: String): DataFrame = {
+      val cols = golden(goldName).columns.toSeq
+      engine.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    }
+    def export(df: DataFrame): Seq[String] = {
+      val f = java.nio.file.Files.createTempDirectory("graft_bytes_")
+        .resolve("out.csv").toString
+      CsvIO.writeQuotedCopy(df, f)
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    def goldLines(name: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(res("refgolden", name), "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+
+    // cleaned_applications: the golden's row order is the source file
+    // order, which is ascending application_id — reproducible exactly
+    val gotC = export(render(appsStamped.orderBy("application_id"),
+      "cleaned_applications.csv"))
+    val wantC = goldLines("cleaned_applications.csv")
+    assert(gotC.head === wantC.head, "header bytes")
+    assert(gotC === wantC, "cleaned_applications bytes")
+
+    // loan_portfolio: the golden's order is DuckDB's join-internal
+    // order (no ORDER BY in the reference) — byte parity over the
+    // line multiset is the strongest well-defined comparison
+    val gotP = export(render(portStamped, "loan_portfolio.csv"))
+    val wantP = goldLines("loan_portfolio.csv")
+    assert(gotP.head === wantP.head, "header bytes")
+    assert(gotP.tail.sorted === wantP.tail.sorted, "loan_portfolio bytes")
+
+    // data_quality_report: one row; the id array renders as DuckDB's
+    // bracketed join with NULL spelled out
+    val rep = LoanPipeline.qualityReport(appsStamped, lmsStamped, quarantined)
+      .withColumn("problematic_application_ids",
+        concat(lit("["),
+          array_join(col("problematic_application_ids"), ", ", "NULL"),
+          lit("]")))
+      .withColumn("processed_at", to_timestamp(lit(stamp)))
+    assert(export(render(rep, "data_quality_report.csv"))
+      === goldLines("data_quality_report.csv"), "data_quality_report bytes")
+  }
+
   test("data_quality_report tallies and problematic ids match") {
     val report = LoanPipeline.qualityReport(cleaned, lms, quarantined)
     val gold = golden("data_quality_report.csv")
