@@ -216,23 +216,70 @@ object Multimodal {
   )
 }
 
-/** The stubbed codec boundary: everything a real decoder would
-  * return, derived deterministically from the payload bytes (this
-  * container has no image/audio libraries). `decodeBatch` is the
-  * Scala analogue of a `mapInPandas` batch UDF — one iterator per
-  * partition, amortizing per-batch setup (a real codec would init
-  * native state once per partition here).
+/** The codec boundary. Payloads that really are PNG images (signature
+  * match) are decoded for real via `javax.imageio` — actual pixels,
+  * actual dimensions, integer-luma statistics (PNG is lossless, so the
+  * decode is bit-deterministic across JVMs). Everything else — the
+  * synthetic magic-header corpus, formats whose codecs this container
+  * does not ship — falls back to the documented deterministic stub
+  * over the payload bytes. `decodeBatch` is the Scala analogue of a
+  * `mapInPandas` batch UDF — one iterator per partition, amortizing
+  * per-batch setup (a real codec would init native state once per
+  * partition here; ImageIO readers are acquired per call but share
+  * the JVM-wide registry).
   */
 object MediaCodec {
 
   case class Decoded(doc_id: Long, format: String, width: Int, height: Int,
                      mean_byte: Double, byte_hist: Array[Long])
 
-  /** STUB — deterministic fake of the native decode call. Real builds
-    * replace the body with a codec; the signature and everything
-    * downstream stay fixed. */
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** True when the payload carries the 8-byte PNG signature. */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= PngSig.length &&
+      PngSig.indices.forall(i => payload(i) == PngSig(i))
+
+  /** REAL decode: pixels via `javax.imageio`, dimensions from the
+    * image itself (the declared metadata is ignored — trusting it is
+    * how corrupt-metadata bugs ship), mean and 16-bin histogram over
+    * integer luma (BT.601 weights in integer math, so every JVM
+    * produces identical doubles). */
+  private def decodePng(docId: Long, payload: Array[Byte]): Option[Decoded] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(docId, "png", w, h, sum.toDouble / (w.toLong * h), hist)
+    }
+
+  /** Decode dispatch: real PNG decode when the payload is a PNG;
+    * otherwise the deterministic byte-stats STUB (the stand-in for
+    * codecs this container does not ship). */
   def decode(docId: Long, format: String, width: Int, height: Int,
              payload: Array[Byte]): Decoded = {
+    if (isPng(payload)) {
+      decodePng(docId, payload) match {
+        case Some(d) => return d
+        case None    => // unreadable despite the signature → stub path
+      }
+    }
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
