@@ -746,7 +746,102 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // Edit-distance fuzzy matching: threshold, k+1 pigeonhole segments
+  // over the normalized 40-char prefix key, and the candidate-bucket
+  // width cap (same convention as [[MaxBucket]]).
+  private val LevK = 2
+  private val LevPrefix = 40
+  private val MaxLevBucket = 100
+
+  /** Edit-distance near-dup candidates — the character-level member of
+    * the dedup family (typo-grade duplicates the token-level
+    * MinHash/SimHash ops blur over): document pairs whose normalized
+    * [[LevPrefix]]-char prefix keys sit within Levenshtein distance
+    * [[LevK]].
+    *
+    * Scale design: NEVER all-pairs. Pigeonhole blocking splits the key
+    * into [[LevK]]+1 fixed segments; ≤ k substitutions can touch at
+    * most k segments, so any qualifying pair shares an exact aligned
+    * segment — candidates come from a (seg_pos, seg)-keyed bucket
+    * self-join (one shuffle), over-wide buckets dropped by
+    * [[MaxLevBucket]] exactly like the LSH ops (the cap is mirrored in
+    * the oracle, so correctness is tested WITH it). Indel-shifted
+    * segments can evade the aligned-segment rule — the documented
+    * recall trade of segment blocking (PassJoin-style schemes widen
+    * the probe window to recover them). Verification is the
+    * band-limited `levenshtein(_, _, k)` — O(k·n) per candidate, not
+    * O(n²). */
+  private def dedupLevenshtein(s: SparkSession, d: String) =
+    dedupLevenshteinOf(Tables.documents(s, d))
+
+  /** Spec hook: [[dedupLevenshtein]] over an arbitrary (doc_id, text)
+    * frame, so tests can plant typo pairs and over-wide buckets the
+    * testdata never contains. */
+  private[graft] def dedupLevenshteinOf(docs: DataFrame,
+                                        maxBucket: Int = MaxLevBucket): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val seg1 = LevPrefix / 3
+    val keys = docs.select($"doc_id",
+      expr(s"substring(regexp_replace(lower(text), '\\\\s+', ' '), 1, $LevPrefix)")
+        .as("fkey"))
+    val segs = keys.select($"doc_id", $"fkey",
+      posexplode(array(
+        expr(s"substring(fkey, 1, $seg1)"),
+        expr(s"substring(fkey, ${seg1 + 1}, $seg1)"),
+        expr(s"substring(fkey, ${2 * seg1 + 1}, ${LevPrefix - 2 * seg1})")))
+        .as(Seq("seg_pos", "seg")))
+    val ok = segs.groupBy($"seg_pos", $"seg")
+      .agg(count(lit(1)).as("w")).filter($"w" <= maxBucket)
+      .select($"seg_pos", $"seg")
+    val a = segs.join(ok, Seq("seg_pos", "seg"), "left_semi")
+      .select($"doc_id".as("doc_id_a"), $"fkey".as("fa"), $"seg_pos", $"seg")
+    val b = segs
+      .select($"doc_id".as("doc_id_b"), $"fkey".as("fb"), $"seg_pos", $"seg")
+    a.join(b, Seq("seg_pos", "seg"))
+      .filter($"doc_id_a" < $"doc_id_b")
+      .select($"doc_id_a", $"doc_id_b", $"fa", $"fb").distinct()
+      .select($"doc_id_a", $"doc_id_b",
+        levenshtein($"fa", $"fb", LevK).cast("long").as("distance"))
+      .filter($"distance" >= 0)
+      .orderBy($"doc_id_a", $"doc_id_b")
+  }
+
+  private def levenshteinOracle: String = {
+    val seg1 = LevPrefix / 3
+    s"""WITH keys AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, $LevPrefix) AS fkey
+       |  FROM documents
+       |),
+       |segs AS (
+       |  SELECT doc_id, fkey, i AS seg_pos,
+       |    CASE i WHEN 0 THEN substring(fkey, 1, $seg1)
+       |           WHEN 1 THEN substring(fkey, ${seg1 + 1}, $seg1)
+       |           ELSE substring(fkey, ${2 * seg1 + 1}, ${LevPrefix - 2 * seg1}) END AS seg
+       |  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+       |),
+       |ok AS (
+       |  SELECT seg_pos, seg FROM segs
+       |  GROUP BY seg_pos, seg HAVING COUNT(*) <= $MaxLevBucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    a.fkey AS fa, b.fkey AS fb
+       |  FROM segs a
+       |  JOIN ok USING (seg_pos, seg)
+       |  JOIN segs b ON a.seg_pos = b.seg_pos AND a.seg = b.seg
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_id_a, doc_id_b,
+       |  CAST(levenshtein(fa, fb) AS BIGINT) AS distance
+       |FROM cand
+       |WHERE levenshtein(fa, fb) <= $LevK
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("dedup_levenshtein", dedupLevenshtein _, levenshteinOracle),
     OpDef("dedup_exact", dedupExact _,
       """WITH hashed AS (
         |  SELECT doc_id,

@@ -262,6 +262,31 @@ object Events {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** SCD Type-2 interval builder — the other half of the CDC family
+    * next to `cdc_upsert`'s latest-wins compaction: compress each
+    * user's event_type changelog into validity intervals
+    * (state, valid_from, valid_to, is_current), keeping only rows
+    * where the state actually CHANGED (consecutive duplicates fold
+    * into their first occurrence, the standard SCD2 rule). Both the
+    * change filter (lag) and the interval close (lead over the
+    * surviving rows) partition on user_id, so the whole build is ONE
+    * keyed shuffle; at 100 TB this is the dimension-history
+    * materialization pattern — per-key ordered scan, no self-join on
+    * the changelog. Ties on ts break by event_id in both engines. */
+  private def scd2Intervals(s: SparkSession, d: String) = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val changes = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("valid_to", lead($"ts", 1).over(byUser))
+      .select($"user_id", $"event_type", $"ts".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
   /** Per-type z-score anomaly flagging: events whose value sits more
     * than 3σ from their type's mean. Mean and σ come from the SAME
     * decimal-exact power sums as `agg_stats_moments` — both engines
@@ -300,6 +325,22 @@ object Events {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("scd2_intervals", scd2Intervals _,
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events
+        |),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin),
     OpDef("events_anomaly", eventsAnomaly _,
       """WITH s AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -68,6 +68,28 @@ class DedupSkewSpec extends SparkSpecBase {
     assert(got === Seq((newId, oldId)))
   }
 
+  test("levenshtein blocking: typo pairs found, over-wide buckets dropped, k bound holds") {
+    // one substitution → pairs with base (two segments still align).
+    // threeTypos touches ALL three segments vs base → no shared aligned
+    // segment, no candidate (the pigeonhole contract) — but it still
+    // pairs with oneTypo (they share the 'fax' segment, distance 2)
+    val base = "the quick brown fox jumps over the lazy dog now"
+    val oneTypo = "the quick brown fax jumps over the lazy dog now"
+    val threeTypos = "the quack brown fax jumps ower the lazy dog now"
+    val far = "completely different text with nothing in common here"
+    val docs = docsFrame(Seq(1L -> base, 2L -> oneTypo, 3L -> threeTypos, 4L -> far))
+    val got = ops.Dedup.dedupLevenshteinOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 3L, 2L)))
+
+    // a bucket wider than the cap contributes NO candidates: 5 copies
+    // of the same text exceed maxBucket=4 in every segment bucket
+    val wide = docsFrame((1L to 5L).map(i => i -> base))
+    assert(ops.Dedup.dedupLevenshteinOf(wide, maxBucket = 4).count() === 0)
+    // at cap 5 the same clique yields all C(5,2)=10 distance-0 pairs
+    assert(ops.Dedup.dedupLevenshteinOf(wide, maxBucket = 5).count() === 10)
+  }
+
   test("broadcast gate fallback (shuffled semi-join) is result-identical") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

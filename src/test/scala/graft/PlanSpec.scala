@@ -192,6 +192,25 @@ class PlanSpec extends SparkSpecBase {
     assert(schema.split(",").length === 4, p)
   }
 
+  test("SCD2 intervals: both windows ride ONE keyed shuffle") {
+    // the change filter (lag) and the interval close (lead) partition
+    // on the same key — a second exchange between them means the
+    // filter broke the partitioning contract
+    val p = plan("scd2_intervals")
+    assert("Exchange".r.findAllIn(p).length === 2, p) // key shuffle + output sort
+    assert(!p.contains("Join"), p)
+  }
+
+  test("levenshtein blocking joins on segment buckets, never nested-loops") {
+    val p = plan("dedup_levenshtein")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // verification stays band-limited: the 3-arg levenshtein
+    assert(p.contains("levenshtein"), p)
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length === 2, p) // doc_id + text only
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
