@@ -61,7 +61,10 @@ object GraftFunctions {
     ("pq_argmin", classOf[PqArgmin],
       es => PqArgmin(es(0), es(1), es(2), es(3))),
     ("sq8_codes", classOf[Sq8Codes], es => Sq8Codes(es(0), es(1), es(2))),
-    ("sq8_adc", classOf[Sq8Adc], es => Sq8Adc(es(0), es(1), es(2), es(3))))
+    ("sq8_adc", classOf[Sq8Adc], es => Sq8Adc(es(0), es(1), es(2), es(3))),
+    ("bloom_build", classOf[BloomBuild], es => BloomBuild(es(0))),
+    ("bloom_contains", classOf[BloomContains],
+      es => BloomContains(es(0), es(1))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

@@ -173,6 +173,52 @@ object Joins {
       .orderBy($"o_orderkey")
   }
 
+  /** Broadcast Bloom-prefiltered semi join — the explicit form of the
+    * runtime-filter pattern (Spark's `InjectRuntimeFilter` applies it
+    * only behind internal cost heuristics): the filtered dim keyset
+    * aggregates into ONE 128 KiB bitmap ([[graft.expressions.BloomBuild]],
+    * bitwise-OR partial merge, so the build shuffles bitmaps, not
+    * keys), the bitmap broadcasts to the fact scan, and the codegen'd
+    * [[graft.expressions.BloomContains]] probe drops non-matching fact
+    * rows MAP-SIDE — before the shuffle semi join that removes the
+    * false positives. At 100 TB this is how a fact⋉filtered-dim semi
+    * join avoids shuffling the whole fact when the dim is too big to
+    * broadcast raw but its bloom is not: the shuffle moves only probe
+    * survivors. The exact join makes the result independent of the
+    * filter's false-positive rate — the oracle is the plain IN
+    * subquery. The exact join is PINNED shuffled (`shuffle_hash`):
+    * with a broadcastable dim the bloom would be pointless, and the
+    * op exists to demonstrate the non-broadcastable case. */
+  private def joinBloomPrefilter(s: SparkSession, d: String) = {
+    import s.implicits._
+    graft.expressions.GraftFunctions.ensure(s)
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    // the bitmap rides into the probe as a SCALAR SUBQUERY inside a
+    // filter on the fact frame itself: a plain 1-row join would let
+    // the optimizer push the semi join BELOW the probe (left-semi
+    // pushdown), shuffling the unpruned fact — the exact inversion of
+    // the pattern. Filters only ever push DOWN, so this stays on the
+    // scan side of the exchange. The view name is dataset-keyed
+    // (resolution is eager, but two live datasets must never race on
+    // one global name).
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val bloomView = s"graft_bloom_urgent_$tag"
+    urgent.agg(expr("bloom_build(o_orderkey)").as("bf"))
+      .createOrReplaceTempView(bloomView)
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_discount")
+      .filter(expr(s"bloom_contains((SELECT bf FROM $bloomView), l_orderkey)"))
+      .join(urgent.hint("shuffle_hash"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   /** J5 — array → rows via explode (reference `queries.sql:12-14`
     * `UNNEST(problematic_application_ids)`). */
   private def unnestExplode(s: SparkSession, d: String) = {
@@ -195,6 +241,14 @@ object Joins {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    OpDef("join_bloom_prefilter", joinBloomPrefilter _,
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
     OpDef("join_cross", joinCross _,
       """SELECT * FROM
         |  (SELECT COUNT(*) AS n_orders FROM orders)

@@ -182,6 +182,36 @@ class ExpressionsSpec extends SparkSpecBase {
       .isNullAt(0))
   }
 
+  test("bloom: no false negatives ever; FPR tracks the sizing math") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // build over 100k keys, probe all of them: a Bloom filter may lie
+    // positively, NEVER negatively — one false negative is a bug
+    val keys = spark.range(0, 100000).select($"id".as("k"))
+    keys.agg(expr("bloom_build(k)").as("bf")).createOrReplaceTempView("bf_t")
+    val misses = keys
+      .filter(expr("NOT bloom_contains((SELECT bf FROM bf_t), k)")).count()
+    assert(misses === 0)
+    // disjoint probe range: with m=2^20 bits, n=100k, h=4 the analytic
+    // FPR is (1-e^(-hn/m))^h ≈ 1.2% — assert an order-of-magnitude band
+    val fp = spark.range(1000000, 1100000).select($"id".as("k"))
+      .filter(expr("bloom_contains((SELECT bf FROM bf_t), k)")).count()
+    assert(fp > 0 && fp < 5000, s"fp=$fp outside the plausible band")
+  }
+
+  test("bloom: partial bitmaps OR-merge to the same filter as one pass") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // 1 partition vs 8: identical serialized bitmap bytes — merge is
+    // exactly bitwise OR, so partitioning cannot change the filter
+    val one = spark.range(0, 5000).repartition(1)
+      .agg(expr("bloom_build(id)")).first().getAs[Array[Byte]](0)
+    val eight = spark.range(0, 5000).repartition(8)
+      .agg(expr("bloom_build(id)")).first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, eight))
+    assert(one.length === (1 << 20) / 8) // the documented 128 KiB
+  }
+
   test("sq8: encode+adc of a corpus vector approximates the exact dot") {
     // quantization error per dim ≤ step/2 = (max-min)/510 — a planted
     // 2-dim check that the fused ADC tracks the exact dot within the

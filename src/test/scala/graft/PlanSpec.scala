@@ -211,6 +211,19 @@ class PlanSpec extends SparkSpecBase {
     assert(schema.split(",").length === 2, p) // doc_id + text only
   }
 
+  test("bloom prefilter probes the fact scan BELOW the semi-join shuffle") {
+    val p = plan("join_bloom_prefilter")
+    // the probe must appear in the scan-side DataFilters (map-side,
+    // pre-exchange) — if left-semi pushdown ever hoists the semi join
+    // below the probe again, bloom_contains vanishes from the scan
+    assert("DataFilters: \\[[^\\]]*bloom_contains".r.findFirstIn(p).isDefined, p)
+    // and the exact join stays the pinned shuffled semi join
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p)
+    // the bitmap builds via partial aggregation (bitmaps merge, keys
+    // never reach the single reducer)
+    assert(p.contains("partial_bloom_build"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
