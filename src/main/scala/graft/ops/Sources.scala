@@ -118,6 +118,43 @@ object Sources {
       .orderBy($"o_month", $"o_orderstatus")
   }
 
+  private val ZBits = 8
+  private val ZTile = 256
+
+  /** Bit-interleave `x` and `y` (each [[ZBits]] wide) into a Morton
+    * z-value — spelled as a literal sum of shift/mask terms so the
+    * SAME text runs as a codegen'd Spark expression and as the DuckDB
+    * oracle's integer math. */
+  private def zvalSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  /** Z-order layout clustering (non-reference extra) — the
+    * multi-dimensional file-layout primitive behind OPTIMIZE ZORDER:
+    * interleave two dimension keys into a Morton z-value and bucket
+    * rows by consecutive z-ranges. Each [[ZTile]]-wide z-range is a
+    * 16×16 tile in (x, y) space, so BOTH dimensions' spans stay ≤ 15
+    * inside every bucket — the property that lets a reader prune files
+    * on min/max stats of EITHER dimension, where a single-column sort
+    * clusters one dimension and scatters the other. At 100 TB the
+    * z-value is this same row-local integer expression followed by
+    * `repartitionByRange(zval)` at write time (each output file = one
+    * tile of this query); the op emits the per-tile spans that prove
+    * the bound. */
+  private def layoutZorder(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(($"l_partkey" % ZTile).cast("int").as("x"),
+        ($"l_suppkey" % ZTile).cast("int").as("y"))
+      .withColumn("zval", expr(zvalSql("x", "y")))
+      .groupBy(expr(s"CAST(zval div $ZTile AS INT)").as("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max($"x") - min($"x")).as("x_span"),
+        (max($"y") - min($"y")).as("y_span"))
+      .orderBy($"tile")
+  }
+
   /** S2 — bare parquet scan with projection+predicate pushdown. */
   private def scanParquet(s: SparkSession, d: String) = {
     import s.implicits._
@@ -128,6 +165,16 @@ object Sources {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("layout_zorder", layoutZorder _,
+      s"""WITH keyed AS (
+         |  SELECT CAST(l_partkey % $ZTile AS INT) AS x,
+         |    CAST(l_suppkey % $ZTile AS INT) AS y
+         |  FROM lineitem
+         |),
+         |z AS (SELECT x, y, ${zvalSql("x", "y")} AS zval FROM keyed)
+         |SELECT CAST(zval // $ZTile AS INT) AS tile, COUNT(*) AS n_rows,
+         |  MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin),
     OpDef("scan_parquet", scanParquet _,
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |WHERE s_acctbal > 0.0 ORDER BY s_suppkey""".stripMargin),

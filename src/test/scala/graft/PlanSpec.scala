@@ -224,6 +224,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_bloom_build"), p)
   }
 
+  test("z-order key is row-local; the tile aggregate is the only keyed shuffle") {
+    val p = plan("layout_zorder")
+    assert("Exchange".r.findAllIn(p).length === 2, p) // tile agg + output sort
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema.split(",").length === 2, p) // l_partkey + l_suppkey only
+  }
+
+  test("z-order tiles bound BOTH dimension spans (the pruning property)") {
+    // every 256-wide z-range is a 16×16 (x, y) tile — if either span
+    // exceeds 15 the interleave is broken and file skipping on the
+    // second dimension silently stops working
+    import org.apache.spark.sql.functions.col
+    val bad = SparkEntry.queries("layout_zorder")(spark, sf)
+      .filter(col("x_span") > 15 || col("y_span") > 15).count()
+    assert(bad === 0)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
