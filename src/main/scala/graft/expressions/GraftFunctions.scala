@@ -64,7 +64,9 @@ object GraftFunctions {
     ("sq8_adc", classOf[Sq8Adc], es => Sq8Adc(es(0), es(1), es(2), es(3))),
     ("bloom_build", classOf[BloomBuild], es => BloomBuild(es(0))),
     ("bloom_contains", classOf[BloomContains],
-      es => BloomContains(es(0), es(1))))
+      es => BloomContains(es(0), es(1))),
+    ("mg_topk_candidates", classOf[MgTopKCandidates],
+      es => MgTopKCandidates(es(0))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

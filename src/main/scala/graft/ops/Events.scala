@@ -262,6 +262,38 @@ object Events {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Time-series gap fill — the resample primitive every monitoring /
+    * feature pipeline needs on top of `window_tumbling`: materialize
+    * EVERY hourly bucket in the observed range for every event type
+    * (an aggregate alone silently drops empty hours), zero-fill the
+    * counts, and carry the last observed hourly total forward across
+    * the gaps (`last_value IGNORE NULLS`; hours before a type's first
+    * observation stay NULL — there is nothing to carry). Scale shape:
+    * the hour spine is `sequence()` off a 1-row global min/max
+    * aggregate crossed with the distinct type table — both broadcast
+    * (the spine is hours × types, never data-sized) — and the fill
+    * window partitions per type, so the only data-sized move is the
+    * hourly pre-aggregate's one keyed shuffle. */
+  private def timeseriesFill(s: SparkSession, d: String) = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sumExact($"value").as("v"))
+    val bounds = Tables.events(s, d)
+      .agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(Tables.events(s, d).select($"event_type").distinct())
+    val byType = Window.partitionBy($"event_type").orderBy($"hour".asc)
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"n", lit(0L)).as("n_events"),
+        roundHalfUp(last($"v", ignoreNulls = true).over(byType), 6)
+          .as("filled_value"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** SCD Type-2 interval builder — the other half of the CDC family
     * next to `cdc_upsert`'s latest-wins compaction: compress each
     * user's event_type changelog into validity intervals
@@ -325,6 +357,33 @@ object Events {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("timeseries_fill", timeseriesFill _,
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2
+        |),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events
+        |),
+        |spine AS (
+        |  SELECT g.hour, t.event_type
+        |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |        FROM bounds) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |)
+        |SELECT s.event_type, s.hour,
+        |  COALESCE(h.n, 0) AS n_events,
+        |  CAST(FLOOR(last_value(h.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 + 0.5) AS DOUBLE) / 1000000
+        |    AS filled_value
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.hour = h.hour AND s.event_type = h.event_type
+        |ORDER BY s.event_type, s.hour""".stripMargin),
     OpDef("scd2_intervals", scd2Intervals _,
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,

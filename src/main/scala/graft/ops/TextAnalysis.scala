@@ -62,6 +62,35 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private val HhFraction = 50 // heavy = frequency > N/HhFraction
+
+  /** Heavy-hitter terms via the sketch→verify shape: a Misra-Gries
+    * candidate pass ([[graft.expressions.MgTopKCandidates]] — each
+    * partition keeps ≤ 64 counters, merge shuffles capacity-bounded
+    * buffers, never the vocabulary), then an EXACT recount of only the
+    * ≤ 64 broadcast candidates, thresholded at N/[[HhFraction]].
+    * MG guarantees every term above N/capacity survives the sketch
+    * regardless of merge order, and the threshold sits above that
+    * bound, so the final output is exactly the true heavy hitters —
+    * deterministic, and oracle-checkable as a plain GROUP BY/HAVING.
+    * At corpus scale this replaces a full-vocabulary groupBy with two
+    * scans whose shuffles are both O(capacity). */
+  private def textHeavyHitters(s: SparkSession, d: String) = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("term"))
+    val cands = toks.agg(expr("mg_topk_candidates(term)").as("cs"))
+      .select(explode($"cs").as("term"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy($"term").agg(count(lit(1)).as("occurrences"))
+      .crossJoin(broadcast(total))
+      .filter($"occurrences" > $"n_total" / HhFraction)
+      .select($"term", $"occurrences")
+      .orderBy($"occurrences".desc, $"term".asc)
+  }
+
   // Inverted index: bound the emitted posting chunk and drop the
   // hapax/noise tail so the output is the index HEAD a retrieval layer
   // would actually serve.
@@ -643,6 +672,16 @@ object TextAnalysis {
          |GROUP BY term
          |ORDER BY occurrences DESC, term ASC
          |LIMIT 20""".stripMargin),
+    OpDef("text_heavy_hitters", textHeavyHitters _,
+      s"""WITH toks AS (
+         |  SELECT unnest(${tokensSql("text")}) AS term FROM documents
+         |),
+         |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+         |SELECT term, COUNT(*) AS occurrences
+         |FROM toks, tot
+         |GROUP BY term, n_total
+         |HAVING COUNT(*) > n_total / $HhFraction
+         |ORDER BY occurrences DESC, term ASC""".stripMargin),
     OpDef("inverted_index", invertedIndex _,
       s"""SELECT term, COUNT(DISTINCT doc_id) AS df,
          |  array_to_string(list_transform(list_sort(list(DISTINCT doc_id))[1:$IdxPostings], x -> CAST(x AS VARCHAR)), ',') AS postings

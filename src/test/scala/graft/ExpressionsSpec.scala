@@ -212,6 +212,21 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(one.length === (1 << 20) / 8) // the documented 128 KiB
   }
 
+  test("mg sketch: capacity bound holds and heavy hitters always survive") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // adversarial stream: 2000-term vocabulary (≫ the 64-counter
+    // capacity) of singletons, plus one term at ~5% frequency — far
+    // above the N/64 survival guarantee
+    val rows = (0 until 2000).map(i => s"noise_$i") ++ Seq.fill(100)("heavy")
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = rows.toDF("term").repartition(parts)
+        .agg(expr("mg_topk_candidates(term)")).first().getSeq[String](0)
+      assert(cands.size <= 64, s"parts=$parts: ${cands.size} candidates")
+      assert(cands.contains("heavy"), s"parts=$parts lost the heavy hitter")
+    }
+  }
+
   test("sq8: encode+adc of a corpus vector approximates the exact dot") {
     // quantization error per dim ≤ step/2 = (max-min)/510 — a planted
     // 2-dim check that the fused ADC tracks the exact dot within the

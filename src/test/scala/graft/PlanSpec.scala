@@ -243,6 +243,24 @@ class PlanSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("heavy hitters: sketch shuffles bounded buffers; candidates broadcast back") {
+    val p = plan("text_heavy_hitters")
+    // the MG pass must partial-aggregate (capacity-bounded buffers
+    // cross the shuffle, never the vocabulary) and the ≤64 candidates
+    // must reach the recount as a broadcast semi join
+    assert(p.contains("partial_mg_topk_candidates"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("gap fill: the spine is broadcast; only the hourly aggregate shuffles data") {
+    val p = plan("timeseries_fill")
+    // the hours×types spine must come to the hourly counts via
+    // broadcast — shuffling data to a calendar-sized frame is the
+    // backwards plan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
