@@ -440,6 +440,66 @@ object TextAnalysis {
     out.orderBy($"round")
   }
 
+  /** Tokenizer application — the other half of the BPE loop: train the
+    * [[BpeRounds]]-merge vocabulary exactly as `bpe_train_merges`
+    * does, then REWRITE the whole corpus through every learned merge
+    * (training rewrites through rounds-1; encoding applies them all)
+    * and emit each document's raw vs encoded token count — the
+    * compression a tokenizer buys. Self-contained like every catalog
+    * op, so training cost is re-paid here; a production pipeline
+    * trains once and broadcasts the merge table to encode-only runs
+    * (the rewrite pass below IS that encode path: per round, a 1-row
+    * broadcast of the merge and one doc-keyed window pass). */
+  private def bpeEncode(s: SparkSession, d: String) =
+    bpeEncodeOf(s, Tables.documents(s, d))
+
+  /** [[bpeEncode]] over an arbitrary (doc_id, text) frame (spec hook —
+    * encode a hand-computable corpus). */
+  private[graft] def bpeEncodeOf(s: SparkSession, docs: DataFrame) = {
+    import s.implicits._
+    var toks = docs
+      .select($"doc_id", posexplode(tokens($"text")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+    for (_ <- 1 to BpeRounds) {
+      val top = bpePairs(toks).groupBy($"a", $"b")
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy($"occurrences".desc, $"a".asc, $"b".asc).limit(1)
+      toks = bpeMergeRound(toks, top)
+    }
+    val enc = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens_enc"))
+    docs.select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens_raw"))
+      .join(enc, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens_raw", $"n_tokens_enc",
+        roundHalfUp(lit(1.0) * $"n_tokens_enc" / $"n_tokens_raw", 6)
+          .as("compression"))
+      .orderBy($"doc_id")
+  }
+
+  private def bpeEncodeOracle: String = {
+    val rounds = (1 to BpeRounds)
+      .map(r => bpeRoundSql(r, last = false)).mkString(",\n")
+    s"""WITH toks1 AS (
+       |  SELECT doc_id, CAST(s.pos AS BIGINT) - 1 AS pos, s.tok FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'tok': w[CAST(i AS INT)]}
+       |              for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))
+       |),
+       |$rounds,
+       |enc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens_enc
+       |  FROM toks${BpeRounds + 1} GROUP BY doc_id
+       |),
+       |raw AS (
+       |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens_raw
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.n_tokens_raw, e.n_tokens_enc,
+       |  CAST(FLOOR((1.0 * e.n_tokens_enc / r.n_tokens_raw) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS compression
+       |FROM raw r JOIN enc e ON r.doc_id = e.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** One BPE round's CTE chain for the oracle: toks$r → top$r (+ the
     * rewrite into toks${r+1} unless it is the last round). */
   private def bpeRoundSql(r: Int, last: Boolean): String = {
@@ -665,6 +725,7 @@ object TextAnalysis {
     OpDef("text_tfidf", textTfidf _, tfidfOracle),
     OpDef("text_lm_score", textLmScore _, lmScoreOracle),
     OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
+    OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences

@@ -86,6 +86,17 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r.toSeq === Seq((1L, "a a", 2L), (2L, "a b", 2L)))
   }
 
+  test("bpeEncode applies EVERY merge: counts and compression are exact") {
+    val docs = Seq(
+      (1L, "a a a b a b"), // r1 merges (a,a) once; r2 merges (a,b) twice
+      (2L, "x y x y")      // matches no learned merge — unchanged
+    ).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.bpeEncodeOf(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // doc1: 6 → [aa, a, b, a, b] → [aa, ab, ab] = 3 (compression 0.5)
+    assert(r.toSeq === Seq((1L, 6L, 3L, 0.5), (2L, 4L, 4L, 1.0)))
+  }
+
   test("bpe_train_merges emits one adopted merge per round on testdata") {
     val r = SparkEntry.queries("bpe_train_merges")(spark, sf)
       .collect().map(x => (x.getLong(0), x.getLong(2)))
