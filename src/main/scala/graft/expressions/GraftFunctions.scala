@@ -66,7 +66,8 @@ object GraftFunctions {
     ("bloom_contains", classOf[BloomContains],
       es => BloomContains(es(0), es(1))),
     ("mg_topk_candidates", classOf[MgTopKCandidates],
-      es => MgTopKCandidates(es(0))))
+      es => MgTopKCandidates(es(0))),
+    ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

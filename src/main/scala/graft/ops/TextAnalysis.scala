@@ -372,7 +372,7 @@ object TextAnalysis {
   private val BpeRounds = 2
 
   /** (doc_id, pos, tok) → consecutive pairs (doc_id, pos, a, b). */
-  private def bpePairs(toks: DataFrame): DataFrame = {
+  private[graft] def bpePairs(toks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks.withColumn("b", lead(col("tok"), 1).over(w))
       .filter(col("b").isNotNull)
@@ -384,7 +384,7 @@ object TextAnalysis {
     * selected left-to-right within runs by position parity (the
     * gaps-and-islands formulation — identical arithmetic in both
     * engines, no fold whose lambda semantics could diverge). */
-  private def bpeMergeRound(toks: DataFrame, top: DataFrame): DataFrame = {
+  private[graft] def bpeMergeRound(toks: DataFrame, top: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val marked = toks.crossJoin(broadcast(top.select(col("a"), col("b"))))
       .withColumn("nxt", lead(col("tok"), 1).over(w))
@@ -420,22 +420,42 @@ object TextAnalysis {
     bpeMerges(s, Tables.documents(s, d))
   }
 
+  /** Adjacent-pair struct stream off the per-doc token ARRAYS — the
+    * shuffle-free replacement for the exploded-stream `lead()` window:
+    * pair identity stays (a, b) (a space-join would be ambiguous once
+    * a merged symbol contains a space). */
+  private def arrayPairs(arr: DataFrame): DataFrame = {
+    import arr.sparkSession.implicits._
+    arr.select(explode(expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "slice(w, 2, greatest(size(w) - 1, 0)), (x, y) -> struct(x, y))"))
+        .as("p"))
+      .select($"p.x".as("a"), $"p.y".as("b"))
+  }
+
   /** [[bpeTrainMerges]] over an arbitrary (doc_id, text) frame (spec
-    * hook — merges on a hand-computable corpus). */
+    * hook — merges on a hand-computable corpus). Round 8: the
+    * between-rounds corpus rewrite is the row-local codegen'd
+    * `bpe_apply` (greedy non-overlap, proven ≡ the window rewrite by
+    * `LmCurationSpec`), so each round costs one map-side-combined
+    * pair-count shuffle + a 1-row broadcast — the doc-keyed window
+    * passes are gone. */
   private[graft] def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    var toks = docs
-      .select($"doc_id", posexplode(tokens($"text")))
-      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+    GraftFunctions.ensure(s)
+    var arr = docs.select($"doc_id", tokens($"text").as("w"))
     var out: DataFrame = null
     for (r <- 1 to BpeRounds) {
-      val top = bpePairs(toks).groupBy($"a", $"b")
+      val top = arrayPairs(arr).groupBy($"a", $"b")
         .agg(count(lit(1)).as("occurrences"))
         .orderBy($"occurrences".desc, $"a".asc, $"b".asc).limit(1)
       val row = top.select(lit(r.toLong).as("round"),
         concat($"a", lit(" "), $"b").as("pair"), $"occurrences")
       out = if (out == null) row else out.unionByName(row)
-      if (r < BpeRounds) toks = bpeMergeRound(toks, top)
+      if (r < BpeRounds)
+        arr = arr.crossJoin(broadcast(top.select(
+            concat($"a", lit(""), $"b").as("mg"))))
+          .select($"doc_id", expr("bpe_apply(w, array(mg))").as("w"))
     }
     out.orderBy($"round")
   }
@@ -454,21 +474,25 @@ object TextAnalysis {
     bpeEncodeOf(s, Tables.documents(s, d))
 
   /** [[bpeEncode]] over an arbitrary (doc_id, text) frame (spec hook —
-    * encode a hand-computable corpus). */
+    * encode a hand-computable corpus). The encode pass itself — apply
+    * every learned merge — is entirely row-local (`bpe_apply` over the
+    * per-doc token array with the broadcast merge list); the only
+    * shuffles are training's pair counts. */
   private[graft] def bpeEncodeOf(s: SparkSession, docs: DataFrame) = {
     import s.implicits._
-    var toks = docs
-      .select($"doc_id", posexplode(tokens($"text")))
-      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+    GraftFunctions.ensure(s)
+    var arr = docs.select($"doc_id", tokens($"text").as("w"))
     for (_ <- 1 to BpeRounds) {
-      val top = bpePairs(toks).groupBy($"a", $"b")
+      val top = arrayPairs(arr).groupBy($"a", $"b")
         .agg(count(lit(1)).as("occurrences"))
         .orderBy($"occurrences".desc, $"a".asc, $"b".asc).limit(1)
-      toks = bpeMergeRound(toks, top)
+      arr = arr.crossJoin(broadcast(top.select(
+          concat($"a", lit(""), $"b").as("mg"))))
+        .select($"doc_id", expr("bpe_apply(w, array(mg))").as("w"))
     }
-    val enc = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens_enc"))
     docs.select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens_raw"))
-      .join(enc, Seq("doc_id"))
+      .join(arr.select($"doc_id", size($"w").cast("long").as("n_tokens_enc")),
+        Seq("doc_id"))
       .select($"doc_id", $"n_tokens_raw", $"n_tokens_enc",
         roundHalfUp(lit(1.0) * $"n_tokens_enc" / $"n_tokens_raw", 6)
           .as("compression"))

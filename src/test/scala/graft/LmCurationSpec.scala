@@ -86,6 +86,31 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r.toSeq === Seq((1L, "a a", 2L), (2L, "a b", 2L)))
   }
 
+  test("bpe_apply is token-identical to the gaps-and-islands window rewrite") {
+    import graft.functions.TextFns
+    graft.expressions.GraftFunctions.ensure(spark)
+    // real testdata, adversarial merge: the corpus's most frequent pair
+    // (guaranteeing overlapping runs somewhere in 31-token vocab text)
+    val docs = Tables.documents(spark, sf)
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val top = ops.TextAnalysis.bpePairs(toks).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("a").asc, col("b").asc).limit(1)
+    val viaWindow = ops.TextAnalysis.bpeMergeRound(toks, top)
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)").as("w"))
+    val viaExpr = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w0"))
+      .crossJoin(broadcast(top.select(
+        concat(col("a"), lit(""), col("b")).as("mg"))))
+      .select(col("doc_id"), expr("bpe_apply(w0, array(mg))").as("w"))
+    val diffs = viaWindow.join(viaExpr.withColumnRenamed("w", "w2"), "doc_id")
+      .filter(not(col("w") <=> col("w2"))).count()
+    assert(diffs === 0)
+  }
+
   test("bpeEncode applies EVERY merge: counts and compression are exact") {
     val docs = Seq(
       (1L, "a a a b a b"), // r1 merges (a,a) once; r2 merges (a,b) twice
