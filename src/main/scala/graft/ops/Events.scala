@@ -356,7 +356,56 @@ object Events {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Winsorized outlier capping — the feature-pipeline complement to
+    * `events_anomaly`'s flagging: per type, values clamp into the
+    * exact interpolated [p01, p99] band and the capped distribution is
+    * summarized (capped-low/high counts, decimal-exact capped mean).
+    * The percentile bounds are quantized to 6 dp IN BOTH ENGINES
+    * before clamping/comparison — interpolated percentiles can differ
+    * in the last ulp between engines, and a boundary value must fall
+    * on the same side everywhere. The per-type bounds broadcast back
+    * to the scan: one ordered-aggregate pass + one scan at any log
+    * size. */
+  private def eventsWinsorize(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+    val pct = ev.groupBy($"event_type").agg(
+      roundHalfUp(expr("percentile(value, 0.01)"), 6).as("lo"),
+      roundHalfUp(expr("percentile(value, 0.99)"), 6).as("hi"))
+    ev.join(broadcast(pct), "event_type")
+      .select($"event_type",
+        greatest($"lo", least($"hi", $"value")).as("v"),
+        ($"value" < $"lo").cast("int").as("cl"),
+        ($"value" > $"hi").cast("int").as("ch"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"cl").cast("long").as("n_capped_low"),
+        sum($"ch").cast("long").as("n_capped_high"),
+        roundHalfUp(sumExact($"v") / count(lit(1)), 6).as("capped_mean"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_winsorize", eventsWinsorize _,
+      """WITH pct AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(quantile_cont(value, 0.01) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS lo,
+        |    CAST(FLOOR(quantile_cont(value, 0.99) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS hi
+        |  FROM events GROUP BY event_type
+        |),
+        |capped AS (
+        |  SELECT e.event_type,
+        |    GREATEST(p.lo, LEAST(p.hi, e.value)) AS v,
+        |    CASE WHEN e.value < p.lo THEN 1 ELSE 0 END AS cl,
+        |    CASE WHEN e.value > p.hi THEN 1 ELSE 0 END AS ch
+        |  FROM events e JOIN pct p ON e.event_type = p.event_type
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(cl) AS BIGINT) AS n_capped_low,
+        |  CAST(SUM(ch) AS BIGINT) AS n_capped_high,
+        |  CAST(FLOOR((CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS capped_mean
+        |FROM capped GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
     OpDef("timeseries_fill", timeseriesFill _,
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -91,6 +91,33 @@ object TextAnalysis {
       .orderBy($"occurrences".desc, $"term".asc)
   }
 
+  private val VocabK = 16
+
+  /** Per-document vocabulary coverage / OOV rate against the corpus
+    * top-[[VocabK]] vocabulary — the tokenizer-fit statistic a
+    * training pipeline tracks per source (a rising OOV rate means the
+    * vocabulary no longer fits the incoming data). The vocabulary is
+    * a corpus-frequency top-k (deterministic tie-break) and
+    * BROADCASTS to the per-doc token stream; coverage resolves in the
+    * same doc-keyed aggregate that counts tokens, so the whole op is
+    * two scans + one K-row broadcast at any corpus size. */
+  private def textVocabCoverage(s: SparkSession, d: String) = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val vocab = toks.groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term".asc).limit(VocabK)
+      .select($"term", lit(1).as("inv"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum($"inv"), lit(0)).cast("long").as("n_in_vocab"))
+      .select($"doc_id", $"n_tokens", $"n_in_vocab",
+        roundHalfUp(lit(1.0) - lit(1.0) * $"n_in_vocab" / $"n_tokens", 6)
+          .as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
   // Inverted index: bound the emitted posting chunk and drop the
   // hapax/noise tail so the output is the index HEAD a retrieval layer
   // would actually serve.
@@ -757,6 +784,21 @@ object TextAnalysis {
          |GROUP BY term
          |ORDER BY occurrences DESC, term ASC
          |LIMIT 20""".stripMargin),
+    OpDef("text_vocab_coverage", textVocabCoverage _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+         |),
+         |vocab AS (
+         |  SELECT term, 1 AS inv FROM (
+         |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+         |    ORDER BY n DESC, term ASC LIMIT $VocabK)
+         |)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(COALESCE(SUM(v.inv), 0) AS BIGINT) AS n_in_vocab,
+         |  CAST(FLOOR((1.0 - 1.0 * COALESCE(SUM(v.inv), 0) / COUNT(*)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS oov_rate
+         |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
     OpDef("text_heavy_hitters", textHeavyHitters _,
       s"""WITH toks AS (
          |  SELECT unnest(${tokensSql("text")}) AS term FROM documents

@@ -261,6 +261,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("winsorize bounds broadcast back to the scan (no re-shuffle of the log)") {
+    val p = plan("events_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocab coverage: the top-K vocabulary broadcasts to the token stream") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab top-k, never a full sort
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
