@@ -450,6 +450,87 @@ object Dedup {
        |  WHERE len(norm) >= 4
        |)""".stripMargin
 
+  // ---------------------------------------------------------- fuzzy join
+
+  /** Id offset that keeps the corrupted twin's rows distinguishable
+    * from the originals inside the shared LSH pipeline (twin id =
+    * doc_id + offset; testdata ids are far below it). */
+  private val FuzzyOffset = 1000000000L
+
+  /** The corrupted twin corpus for [[joinFuzzyMinhash]]: a
+    * deterministic ~20 % md5-hash slice of `documents` with the first
+    * word dropped — the "same record, slightly mangled" shape a
+    * crawl-vs-recrawl or vendor-feed reconciliation joins against. In
+    * production the twin is a second real table; deriving it in-query
+    * keeps the whole flow oracle-expressible. */
+  private def fuzzyCorpus(docs: DataFrame): DataFrame = {
+    val twin = docs
+      .filter(hash60(concat(lit("fz:"), col("doc_id"))) % 5 === 0)
+      .select((col("doc_id") + FuzzyOffset).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(twin)
+  }
+
+  /** Cross-side candidates for the fuzzy join: original band rows join
+    * only twin band rows (no orig×orig or twin×twin pairs), so
+    * candidate work tracks bucket overlap BETWEEN the tables — the
+    * incremental-dedup shape with table membership in place of batch
+    * membership. */
+  private def fuzzyCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
+    val kept = keptBands(signed, maxBucket)
+    kept.filter(col("doc_id") < FuzzyOffset).as("l")
+      .join(kept.filter(col("doc_id") >= FuzzyOffset).as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Approximate (minhash) fuzzy JOIN between `documents` and its
+    * corrupted twin: word-shingle LSH candidates across the two
+    * tables, exact-Jaccard verified ≥ 0.8 — the scalable alternative
+    * to a quadratic fuzzy-match join. Same banded pipeline (and the
+    * same width cap / broadcast gate) as `dedup_minhash`; only
+    * candidate generation is cross-table. Output: each original doc
+    * matched to the twin rows it fuzzily joins (`twin_id` is the
+    * twin's pre-offset id; a twin also matches near-dups of its
+    * source, which is the point of a fuzzy join). */
+  private def joinFuzzyMinhash(s: SparkSession, d: String) = {
+    import s.implicits._
+    lshPairs(s, fuzzyCorpus(Tables.documents(s, d)), wordGrams, 0.8,
+      candidatesOf = fuzzyCandidates)
+      .select($"doc_a".as("doc_id"), ($"doc_b" - FuzzyOffset).as("twin_id"),
+        $"jaccard")
+      .orderBy($"doc_id", $"twin_id")
+  }
+
+  /** Oracle twin of [[fuzzyCorpus]] + the shared shingle stage: the
+    * gram CTE over the original ∪ corrupted-twin corpus. */
+  private def fuzzyCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $FuzzyOffset AS doc_id,
+       |    regexp_replace(text, '^\\S+\\s+', '') AS text
+       |  FROM documents
+       |  WHERE ${hash60Sql("'fz:' || doc_id")} % 5 = 0
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS grams
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS words FROM corpus)
+       |  WHERE len(words) >= 3
+       |)""".stripMargin
+
+  /** Oracle twin of [[fuzzyCandidates]]. */
+  private def keptFuzzyCandSql: String =
+    s"""$keptSql,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.sig = r.sig
+       |  WHERE l.doc_id < $FuzzyOffset AND r.doc_id >= $FuzzyOffset
+       |)""".stripMargin
+
   // ------------------------------------------------ composed prep pipeline
 
   /** The training-data prep pipeline, composed from the ops above:
@@ -858,6 +939,10 @@ object Dedup {
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
     OpDef("dedup_incremental", dedupIncremental _,
       lshOracle(shingleCte, 0.8, keptIncCandSql)),
+    OpDef("join_fuzzy_minhash", joinFuzzyMinhash _,
+      s"""SELECT doc_a AS doc_id, doc_b - $FuzzyOffset AS twin_id, jaccard
+         |FROM (${lshOracle(fuzzyCte, 0.8, keptFuzzyCandSql)})
+         |ORDER BY doc_id, twin_id""".stripMargin),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle)

@@ -385,7 +385,47 @@ object Events {
       .orderBy($"event_type")
   }
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The Structured Streaming path run to completion through the batch
+    * correctness gate: the SAME `tumblingCounts` transform the
+    * streaming specs exercise ([[graft.streaming.EventStream]]) reads
+    * the events table as a FILE STREAM (`readStream.parquet`), runs
+    * under `Trigger.AvailableNow` until the source drains, and the
+    * final aggregate is compared against the batch `window_tumbling`
+    * oracle — so the `readStream → watermark → window → sink` plumbing
+    * itself is hash-checked against DuckDB, not just spec-asserted.
+    * The memory sink (complete mode) is the harness-side choice: the
+    * result is a bounded hours×types aggregate, never data-sized. A
+    * production job swaps the sink for files/Kafka in append mode;
+    * state stays partitioned by (window, type) either way. */
+  private def streamTumbling(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the source path is a single parquet FILE; a non-glob path makes
+    // FileStreamSource force basePath = the file itself (which it then
+    // rejects), so address it as a glob and the base stays the table dir
+    val src = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.EventStream.tumblingCounts(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"hour_start", $"event_type")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("stream_tumbling", streamTumbling _,
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin),
     OpDef("events_winsorize", eventsWinsorize _,
       """WITH pct AS (
         |  SELECT event_type,

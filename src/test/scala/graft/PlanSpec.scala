@@ -273,6 +273,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p) // vocab top-k, never a full sort
   }
 
+  test("fuzzy join rides the banded LSH pipeline (no quadratic match join)") {
+    val p = plan("join_fuzzy_minhash")
+    // candidate-id semi-join broadcasts at this scale; the band join is
+    // the only way originals meet twins — never an all-pairs compare
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
