@@ -34,6 +34,7 @@ object SparkEntry {
       ops.Multimodal.defs ++
       ops.Corpus.defs ++
       ops.Curation.defs ++
+      ops.Graph.defs ++
       ops.RefSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

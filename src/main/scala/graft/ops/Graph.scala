@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Exact._
+
+/** [EXT] Iterative graph scoring — the Pregel-shaped family beyond the
+  * connected components in [[Dedup]] (`dedup_clusters`). PageRank over
+  * the customer↔supplier co-order graph is the reference workload: a
+  * fixed number of synchronous rounds, each one a keyed join + keyed
+  * aggregate, with NOTHING driver-side between rounds.
+  *
+  * Scale design: per round, the rank table joins the edge list on the
+  * source key (one shuffle) and contributions aggregate on the
+  * destination key (one shuffle, map-side combined) — the same two
+  * shuffles per superstep a 1000-executor Pregel implementation pays,
+  * with state = one (node, rank) row per vertex. Round count is the
+  * latency knob, exactly like `dedup_clusters`' hop bound.
+  *
+  * Cross-engine determinism: double sums are order-dependent, so each
+  * round quantizes the per-edge contribution (`roundHalfUp` to 12 dp),
+  * sums it EXACTLY as DECIMAL(27,12) (associative), and re-quantizes
+  * the damped rank to 9 dp — both engines therefore walk through
+  * bit-identical rank vectors round by round, for ANY partitioning.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val PrRounds = 5
+  private val Dec12 = DecimalType(27, 12)
+
+  /** Symmetric edge list: customer node = 2·custkey, supplier node =
+    * 2·suppkey + 1; one edge per DISTINCT (customer, supplier) order
+    * relationship, in both directions (PageRank on the undirected
+    * co-order graph). Every node in the graph has outdeg ≥ 1 by
+    * construction, so no dangling-mass handling is needed — and the
+    * oracle needs none either. */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val co = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+    co.select(($"cust" * 2).as("src"), ($"supp" * 2 + 1).as("dst"))
+      .unionByName(co.select(($"supp" * 2 + 1).as("src"), ($"cust" * 2).as("dst")))
+  }
+
+  /** [[PrRounds]] synchronous PageRank rounds (damping [[Damping]]),
+    * then decode node ids back to (node_type, node_key). */
+  private def graphPagerank(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges = coOrderEdges(s, d)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val nStats = deg.agg(count(lit(1)).as("n_nodes")) // 1 row
+    var ranks = deg.crossJoin(broadcast(nStats))
+      .select($"src".as("node"),
+        roundHalfUp(lit(1.0) / $"n_nodes", 9).as("pr"))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges.join(deg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", roundHalfUp($"pr" / $"outdeg", 12).as("c"))
+      ranks = contrib.groupBy($"dst")
+        .agg(sum($"c".cast(Dec12)).cast("double").as("s"))
+        .crossJoin(broadcast(nStats))
+        .select($"dst".as("node"),
+          roundHalfUp(lit(1.0 - Damping) / $"n_nodes" + lit(Damping) * $"s", 9)
+            .as("pr"))
+    }
+    ranks
+      .select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"), $"pr")
+      .orderBy($"node_type", $"node_key")
+  }
+
+  /** One oracle round: `r{i}` from `r{i-1}` — the exact CTE twin of
+    * the Spark round above. */
+  private def prRoundSql(i: Int): String = {
+    val contrib = roundHalfUpSql(s"r${i - 1}.pr / d.outdeg", 12)
+    val damped = roundHalfUpSql(
+      s"${1.0 - Damping} / n.n_nodes + $Damping * " +
+        s"CAST(SUM(CAST($contrib AS DECIMAL(27,12))) AS DOUBLE)", 9)
+    s"""r$i AS (
+       |  SELECT e.dst AS node, $damped AS pr
+       |  FROM edges e
+       |  JOIN deg d ON d.src = e.src
+       |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+       |  CROSS JOIN n
+       |  GROUP BY e.dst, n.n_nodes
+       |)""".stripMargin
+  }
+
+  private def pagerankOracle: String = {
+    val rounds = (1 to PrRounds).map(prRoundSql).mkString(",\n")
+    s"""WITH co AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS (
+       |  SELECT src AS node, ${roundHalfUpSql("1.0 / n.n_nodes", 9)} AS pr
+       |  FROM deg CROSS JOIN n
+       |),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, pr
+       |FROM r$PrRounds
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
+  val defs: Seq[OpDef] = Seq(
+    OpDef("graph_pagerank", graphPagerank _, pagerankOracle)
+  )
+}

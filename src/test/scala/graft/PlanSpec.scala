@@ -281,6 +281,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pagerank: 1-row node count broadcasts; rounds are join+agg only") {
+    val p = plan("graph_pagerank")
+    // the N-count join must be a broadcast of one row, and no round
+    // may degrade to a cartesian pairing of ranks × edges
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
