@@ -35,6 +35,7 @@ object SparkEntry {
       ops.Corpus.defs ++
       ops.Curation.defs ++
       ops.Graph.defs ++
+      ops.Diagnostics.defs ++
       ops.RefSql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -245,7 +245,60 @@ object Curation {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  // Target language mixture for [[corpusMixReport]] (permille of the
+  // training-token budget per language; must sum to 1000).
+  private val LangTargetPermille: Seq[(String, Int)] = Seq(
+    "en" -> 500, "es" -> 150, "de" -> 150, "zh" -> 100, "fr" -> 100)
+
+  /** The mixture MATH behind `sample_weighted`'s schedule: per
+    * language, observed token mass vs the target mixture → the
+    * down-sampling rate (capped at 1) and the unclamped epoch factor
+    * (> 1 = the language must repeat to hit its target — the signal
+    * to go collect more of it). Shares divide by a 1-row broadcast
+    * total and the target table is a literal broadcast, so the whole
+    * report is one token-count scan + one tiny aggregate at any
+    * corpus size. Rates are derived from RAW shares and quantized
+    * only on output, identically in both engines. */
+  private def corpusMixReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perLang = Tables.documents(s, d)
+      .select($"lang", size(tokens($"text")).as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+    val total = perLang.agg(sum($"n_tokens").cast("long").as("tot_tokens"))
+    val target = LangTargetPermille.toDF("lang", "target_pm")
+    val share = lit(1.0) * $"n_tokens" / $"tot_tokens"
+    val ratio = (coalesce($"target_pm", lit(0)) / lit(1000.0)) / share
+    perLang.crossJoin(broadcast(total))
+      .join(broadcast(target), Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"n_tokens",
+        roundHalfUp(share, 6).as("token_share"),
+        coalesce($"target_pm", lit(0)).cast("long").as("target_permille"),
+        roundHalfUp(least(lit(1.0), ratio), 6).as("sample_rate"),
+        roundHalfUp(ratio, 6).as("epochs"))
+      .orderBy($"lang")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("corpus_mix_report", corpusMixReport _,
+      s"""WITH per_lang AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang),
+         |target(lang, target_pm) AS (VALUES ${LangTargetPermille
+           .map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")})
+         |SELECT p.lang, p.n_docs, p.n_tokens,
+         |  ${roundHalfUpSql("1.0 * p.n_tokens / t.tot_tokens", 6)} AS token_share,
+         |  CAST(COALESCE(g.target_pm, 0) AS BIGINT) AS target_permille,
+         |  ${roundHalfUpSql(
+             "LEAST(1.0, (COALESCE(g.target_pm, 0) / 1000.0) / (1.0 * p.n_tokens / t.tot_tokens))", 6)} AS sample_rate,
+         |  ${roundHalfUpSql(
+             "(COALESCE(g.target_pm, 0) / 1000.0) / (1.0 * p.n_tokens / t.tot_tokens)", 6)} AS epochs
+         |FROM per_lang p CROSS JOIN total t
+         |LEFT JOIN target g ON g.lang = p.lang
+         |ORDER BY p.lang""".stripMargin),
     OpDef("sample_weighted", sampleWeighted _,
       s"""WITH rated AS (
          |  SELECT doc_id, source,

@@ -115,7 +115,35 @@ object Windows {
       .orderBy($"user_id", $"tsu", $"event_id")
   }
 
+  /** Distribution-position window functions: percent_rank + cume_dist
+    * of each order's value within its month. The ordering key set is
+    * unique (value, orderkey), so peer groups are singletons and both
+    * statistics reduce to integer-ratio divisions — identical IEEE
+    * doubles in any engine, quantized to 6 dp per the kit anyway. One
+    * shuffle on the month, like every windowed op here. */
+  private def windowCumeDist(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy(date_trunc("month", $"o_orderdate"))
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .filter($"o_orderdate".isNotNull)
+      .select(date_trunc("month", $"o_orderdate").as("cohort_month"),
+        $"o_orderkey", $"o_totalprice",
+        roundHalfUp(percent_rank().over(w), 6).as("pct_rank"),
+        roundHalfUp(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"cohort_month", $"o_orderkey")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_cume_dist", windowCumeDist _,
+      s"""SELECT date_trunc('month', o_orderdate) AS cohort_month,
+         |  o_orderkey, o_totalprice,
+         |  ${roundHalfUpSql("PERCENT_RANK() OVER w", 6)} AS pct_rank,
+         |  ${roundHalfUpSql("CUME_DIST() OVER w", 6)} AS cume
+         |FROM orders WHERE o_orderdate IS NOT NULL
+         |WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+         |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+         |ORDER BY cohort_month, o_orderkey""".stripMargin),
     OpDef("window_range_frame", windowRangeFrame _,
       """SELECT user_id, event_id, epoch_us(ts) AS tsu,
         |  COUNT(*) OVER w AS n_trailing_1h,

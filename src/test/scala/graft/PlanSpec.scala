@@ -281,6 +281,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mix report: total and target tables broadcast to the per-lang agg") {
+    val p = plan("corpus_mix_report")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pagerank: 1-row node count broadcasts; rounds are join+agg only") {
     val p = plan("graph_pagerank")
     // the N-count join must be a broadcast of one row, and no round
