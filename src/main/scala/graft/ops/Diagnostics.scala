@@ -3,7 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.GraftFunctions
 import graft.functions.Exact._
+import graft.functions.TextFns._
 
 /** [EXT] Data-shape diagnostics — the measurements that DRIVE the
   * engine's scale decisions (broadcast vs shuffle, plain vs salted
@@ -57,7 +59,76 @@ object Diagnostics {
        |  ${roundHalfUpSql("1.0 * MAX(w) * COUNT(*) / SUM(w)", 6)} AS skew_ratio
        |FROM (SELECT $key, COUNT(*) AS w FROM $table GROUP BY 1)""".stripMargin
 
+  private val EmbDims = 64
+
+  /** Embedding-distribution drift between two ingest batches — the
+    * model-monitoring check a training pipeline runs before trusting a
+    * new embedding batch. Batches are two deterministic md5-hash
+    * halves of `embeddings` (a real pipeline has an ingest-batch
+    * column); per label, each half's centroid is the element-wise
+    * DECIMAL-exact mean (posexplode, same parity recipe as the k-means
+    * trainer), and drift is the cosine between the two half-centroids
+    * — 1.0 = stable distribution, lower = the label's embedding cloud
+    * moved. Shuffle cost: one (label, half, dim) aggregate — rows ×
+    * dims keyed states, map-side combined; the centroid table itself
+    * is labels × dims, trivially small at any corpus size. */
+  private def diagEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val halves = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding",
+        (hash60(concat(lit("drift:"), $"vec_id".cast("string"))) % 2).as("half"))
+    val cents = halves
+      .select($"label", $"half", posexplode($"embedding"))
+      .groupBy($"label", $"half", $"pos")
+      .agg(
+        (sum($"col".cast("double").cast("decimal(27,18)")).cast("double") /
+          count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy($"label", $"half")
+      .agg(max($"n").as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+    cents.filter($"half" === 0)
+      .select($"label", $"n_vecs".as("n_a"), $"cv".as("ca"))
+      .join(cents.filter($"half" === 1)
+        .select($"label", $"n_vecs".as("n_b"), $"cv".as("cb")), "label")
+      .select($"label", $"n_a", $"n_b",
+        roundHalfUp(expr("vec_dot(ca, cb)") /
+          (sqrt(expr("vec_dot(ca, ca)")) * sqrt(expr("vec_dot(cb, cb)"))), 6)
+          .as("drift_cosine"))
+      .orderBy($"label")
+  }
+
+  private def driftOracle: String = {
+    val cos = s"${Similarity.dotSql("a.cv", "b.cv")} / " +
+      s"(sqrt(${Similarity.dotSql("a.cv", "a.cv")}) * " +
+      s"sqrt(${Similarity.dotSql("b.cv", "b.cv")}))"
+    s"""WITH halves AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${hash60Sql("'drift:' || vec_id")} % 2 AS half
+       |  FROM embeddings
+       |),
+       |m AS (
+       |  SELECT label, half, j,
+       |    CAST(SUM(CAST(CAST(embedding[j + 1] AS DOUBLE) AS DECIMAL(27,18))) AS DOUBLE)
+       |      / COUNT(*) AS m,
+       |    COUNT(*) AS n
+       |  FROM halves CROSS JOIN range(0, $EmbDims) t(j)
+       |  GROUP BY label, half, j
+       |),
+       |c AS (
+       |  SELECT label, half, MAX(n) AS n_vecs, list(m ORDER BY j ASC) AS cv
+       |  FROM m GROUP BY label, half
+       |)
+       |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |  ${roundHalfUpSql(cos, 6)} AS drift_cosine
+       |FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
+       |ORDER BY a.label""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("diag_embedding_drift", diagEmbeddingDrift _, driftOracle),
     OpDef("diag_skew", diagSkew _,
       Seq(
         keyStatsSql("lineitem", "l_suppkey"),

@@ -37,6 +37,30 @@ object Sources {
       .orderBy($"n_nationkey".cast("int"))
   }
 
+  /** Schema evolution across ingest generations: a v1 stage written
+    * with three columns and a v2 stage that ADDED `s_nationkey`, read
+    * back together with `mergeSchema` — the widened schema applies
+    * retroactively and v1 rows surface NULL for the new column
+    * (`COUNT(col)` = 0 on the v1 side proves it). The generation is a
+    * partition directory, so at 100 TB each generation's files keep
+    * their own physical schema and only footers are reconciled; no
+    * rewrite of old data when a column lands. */
+  private def scanSchemaEvolution(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/supplier_evolved"
+    Tables.supplier(s, d).select($"s_suppkey", $"s_name", $"s_acctbal")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=1")
+    Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"s_nationkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy($"v")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"s_nationkey").as("n_with_nation"),
+        sumExact($"s_acctbal").as("total_acctbal"))
+      .orderBy($"v")
+  }
+
   /** S3/S4 — CTAS-style stage materialization: aggregate → parquet
     * stage → read back → join to a dimension. At scale a materialized
     * stage is a deliberate pipeline breaker reused by several
@@ -182,6 +206,17 @@ object Sources {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY CAST(n_nationkey AS INT)""".stripMargin),
+    OpDef("scan_schema_evolution", scanSchemaEvolution _,
+      """SELECT CAST(1 AS INT) AS v, COUNT(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_with_nation,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |UNION ALL
+        |SELECT CAST(2 AS INT) AS v, COUNT(*) AS n_rows,
+        |  COUNT(s_nationkey) AS n_with_nation,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |ORDER BY v""".stripMargin),
     OpDef("ctas_stage", ctasStage _,
       """SELECT n_nationkey, n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

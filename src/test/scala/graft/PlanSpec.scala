@@ -287,6 +287,11 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("schema-evolution scan reconciles the widened schema (new column readable)") {
+    val p = plan("scan_schema_evolution")
+    assert(p.contains("s_nationkey"), p) // merged into ReadSchema, v1 rows NULL
+  }
+
   test("pagerank: 1-row node count broadcasts; rounds are join+agg only") {
     val p = plan("graph_pagerank")
     // the N-count join must be a broadcast of one row, and no round
