@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -157,7 +158,40 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Statistical mode per group with a deterministic tie-break (most
+    * frequent lang per source; ties go to the lexicographically
+    * smallest lang). Two-level: count per (source, lang) — map-side
+    * combined — then a rank-1 window over the lang-count table, which
+    * is sources × langs rows, so the window stage is tiny at any data
+    * size and plans as a group-limit. */
+  private def aggMode(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_docs".desc, $"lang".asc)
+    Tables.documents(s, d)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"source", $"lang".as("mode_lang"), $"n_docs".as("n_docs_mode"))
+      .orderBy($"source")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("agg_mode", aggMode _,
+      """WITH counts AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source, lang
+        |),
+        |ranked AS (
+        |  SELECT source, lang, n_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, lang ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT source, lang AS mode_lang, n_docs AS n_docs_mode
+        |FROM ranked WHERE rn = 1
+        |ORDER BY source""".stripMargin),
     OpDef("agg_having", aggHaving _,
       """SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
         |GROUP BY l_orderkey HAVING COUNT(*) > 4

@@ -385,6 +385,35 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** First-touch attribution: every purchase credits the event type
+    * that OPENED its session (the marketing-attribution join of the
+    * session family). Sessionization is the same lag/running-sum pair
+    * as `event_sessions`; the session's first touch rides a second
+    * window over the (user, session) key, and the final report is a
+    * five-row aggregate. Scale: two keyed window shuffles (user, then
+    * user+session — both skew-free keys) and a tiny final agg; nothing
+    * is ever driver-side. */
+  private def eventsAttribution(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sw = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .withColumn("is_new",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run).cast("long"))
+      .withColumn("first_touch", first($"event_type").over(sw))
+      .filter($"event_type" === "purchase")
+      .groupBy($"first_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        roundHalfUp(sumExact($"value"), 6).as("attributed_value"))
+      .orderBy($"first_touch")
+  }
+
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The Structured Streaming path run to completion through the batch
@@ -571,6 +600,33 @@ object Events {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin),
+    OpDef("events_attribution", eventsAttribution _,
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |),
+        |touched AS (
+        |  SELECT event_type, value,
+        |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts ASC, event_id ASC) AS first_touch
+        |  FROM sess
+        |)
+        |SELECT first_touch, COUNT(*) AS n_purchases,
+        |  CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS attributed_value
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY first_touch
+        |ORDER BY first_touch""".stripMargin),
     OpDef("event_sessions", eventSessions _,
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,

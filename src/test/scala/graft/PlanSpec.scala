@@ -37,6 +37,7 @@ class PlanSpec extends SparkSpecBase {
   test("rank-filter patterns use WindowGroupLimit (top-k below the shuffle)") {
     assert(plan("window_rank").contains("WindowGroupLimit"))
     assert(plan("ann_bruteforce").contains("WindowGroupLimit"))
+    assert(plan("agg_mode").contains("WindowGroupLimit"))
   }
 
   test("global top-k plans as TakeOrdered, never a full sort") {
