@@ -46,6 +46,34 @@ object Curation {
     * threshold rather than `rand()` — the data-mixing primitive for
     * hitting target domain proportions. Sources outside the schedule
     * take [[DefaultPermille]]. */
+  /** Exact proportional stratified sample: every language stratum
+    * contributes ceil(10 % of its docs) — EXACT counts, unlike the
+    * Bernoulli [[sampleWeighted]] whose per-stratum yield is binomial.
+    * Selection within a stratum is the deterministic md5-hash order
+    * (reproducible on any cluster / rerun, oracle-mirrored).
+    *
+    * Scale: per-stratum counts are a map-side-combined aggregate onto
+    * #langs rows, broadcast back; the rank is one lang-keyed window
+    * whose rank-filter plans as WindowGroupLimit ONLY under a constant
+    * cap — a variable quota disables the pushdown, so the window here
+    * ranks the full stratum but still rides a single keyed shuffle.
+    * Strata wider than a partition would salt exactly like
+    * `domain_cap_salted` (two-stage quota split). */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pri = hash60(concat(lit("strat:"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"lang").orderBy(pri.asc, $"doc_id".asc)
+    val quotas = Tables.documents(s, d).groupBy($"lang")
+      .agg(ceil(count(lit(1)) / lit(10.0)).cast("long").as("quota"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang")
+      .withColumn("strat_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .filter($"strat_rank" <= $"quota")
+      .select($"doc_id", $"lang", $"strat_rank", $"quota")
+      .orderBy($"doc_id")
+  }
+
   private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val permille = MixPermille.foldLeft(lit(DefaultPermille)) {
@@ -299,6 +327,22 @@ object Curation {
          |FROM per_lang p CROSS JOIN total t
          |LEFT JOIN target g ON g.lang = p.lang
          |ORDER BY p.lang""".stripMargin),
+    OpDef("sample_stratified", sampleStratified _,
+      s"""WITH quotas AS (
+         |  SELECT lang, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS quota
+         |  FROM documents GROUP BY lang
+         |),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${hash60Sql("'strat:' || doc_id")} ASC, doc_id ASC)
+         |      AS BIGINT) AS strat_rank
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, r.strat_rank, q.quota
+         |FROM ranked r JOIN quotas q ON q.lang = r.lang
+         |WHERE r.strat_rank <= q.quota
+         |ORDER BY r.doc_id""".stripMargin),
     OpDef("sample_weighted", sampleWeighted _,
       s"""WITH rated AS (
          |  SELECT doc_id, source,

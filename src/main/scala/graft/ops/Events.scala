@@ -414,6 +414,58 @@ object Events {
       .orderBy($"first_touch")
   }
 
+  /** Event-type Markov transition matrix: per user (ordered by time),
+    * each event hands off to the next, and every (prev → next) pair is
+    * counted; the transition probability normalizes within the prev
+    * row. The standard behavioral-model fit — and the shape of any
+    * bigram model fit at scale.
+    *
+    * Scale: the lag rides ONE user-keyed window shuffle; the pair
+    * count is map-side combined onto a #types² (tiny) result, and the
+    * normalizing sum is a window over that tiny table. Probability is
+    * an exact-integer double ratio — identical IEEE result both
+    * engines, no rounding ambiguity (still quantized for the gate). */
+  private def eventsMarkov(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val byPrev = Window.partitionBy($"prev_type")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        roundHalfUp($"n_transitions".cast("double") /
+          sum($"n_transitions").over(byPrev).cast("double"), 9))
+      .select($"prev_type", $"event_type", $"n_transitions", $"p_transition")
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  /** Consecutive-day activity streaks per user — the gaps-and-islands
+    * classic (row_number difference collapses each run of consecutive
+    * active days to a constant island key). Scale: the distinct
+    * (user, day) grid is the only data-sized shuffle; the window and
+    * both aggregates all ride the same user key, and output is one row
+    * per user. The island-key trick needs no self-join and no
+    * sequence materialization, so it survives any date span. */
+  private def eventsStreaks(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+    Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("grp",
+        datediff($"day", lit("2024-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("active_days"),
+        max($"len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy($"user_id")
+  }
+
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The Structured Streaming path run to completion through the batch
@@ -627,6 +679,42 @@ object Events {
         |FROM touched WHERE event_type = 'purchase'
         |GROUP BY first_touch
         |ORDER BY first_touch""".stripMargin),
+    OpDef("events_markov", eventsMarkov _,
+      """WITH nexted AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events
+        |),
+        |pairs AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n_transitions
+        |  FROM nexted WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type
+        |)
+        |SELECT prev_type, event_type, n_transitions,
+        |  CAST(FLOOR((CAST(n_transitions AS DOUBLE) /
+        |    CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE))
+        |    * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS p_transition
+        |FROM pairs
+        |ORDER BY prev_type, event_type""".stripMargin),
+    OpDef("events_streaks", eventsStreaks _,
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |islands AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '2024-01-01', day) -
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+        |  FROM days
+        |),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len
+        |  FROM islands GROUP BY user_id, grp
+        |)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |  MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
     OpDef("event_sessions", eventSessions _,
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,

@@ -118,7 +118,111 @@ object Graph {
        |ORDER BY node_type, node_key""".stripMargin
   }
 
+  /** Supplier co-supply edges: two suppliers are adjacent when they
+    * ship lines of the same order. Canonical undirected form (a < b),
+    * DISTINCT — the unipartite projection the triangle family needs
+    * (the customer↔supplier graph is bipartite, hence triangle-free).
+    * Exposed to specs so hand graphs can exercise the orientation. */
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    pairs.as("x").join(pairs.as("y"), "l_orderkey")
+      .filter($"x.l_suppkey" < $"y.l_suppkey")
+      .select($"x.l_suppkey".as("a"), $"y.l_suppkey".as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * over the co-supply graph.
+    *
+    * Scale design: the classic compact-forward orientation — rank
+    * nodes by (degree, id), orient every edge low→high rank, build
+    * wedges by self-joining oriented edges on the middle vertex, close
+    * them with a semi-check join on the third edge. Wedge count is
+    * Σ outdeg(v)², and degree-ranking bounds every out-degree by
+    * O(√|E|), so the join never explodes on a hub the way naive a<b
+    * orientation does. Each triangle materializes exactly ONCE (its
+    * rank-ordered orientation), so the per-node counts are
+    * orientation-invariant — the oracle uses plain id-order and must
+    * agree by construction. Three keyed shuffles total (orient, wedge,
+    * close), all on edge keys.
+    *
+    * Cross-engine determinism: counts and integer degrees only; the
+    * coefficient 2T / d(d-1) divides exact integers as doubles
+    * (identical IEEE results), NULLIF-guarded for degree-1 nodes. */
+  private[graft] def triangleCount(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select($"a".as("node"), $"b".as("other"))
+      .unionByName(edges.select($"b".as("node"), $"a".as("other")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    // orient low(deg,id) → high(deg,id)
+    val da = deg.select($"node".as("a"), $"degree".as("dega"))
+    val db = deg.select($"node".as("b"), $"degree".as("degb"))
+    val oriented = edges.join(da, "a").join(db, "b")
+      .select(
+        when($"dega" < $"degb" || ($"dega" === $"degb" && $"a" < $"b"),
+          struct($"a".as("lo"), $"b".as("hi")))
+          .otherwise(struct($"b".as("lo"), $"a".as("hi"))).as("e"))
+      .select($"e.lo", $"e.hi")
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), $"e1.hi" === $"e2.lo")
+      .select($"e1.lo".as("x"), $"e1.hi".as("y"), $"e2.hi".as("z"))
+    val tris = wedges.join(oriented.as("e3"),
+      $"x" === $"e3.lo" && $"z" === $"e3.hi", "leftsemi")
+    val perNode = tris
+      .select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node".as("supplier"), $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        roundHalfUp(lit(2.0) * coalesce($"n_triangles", lit(0L)) /
+          nullif($"degree" * ($"degree" - 1), lit(0)), 9).as("clustering"))
+      .orderBy($"supplier")
+  }
+
+  private def graphTriangles(s: SparkSession, d: String) =
+    triangleCount(coSupplyEdges(s, d))
+
+  private def trianglesOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+       |),
+       |edges AS (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM pairs x JOIN pairs y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+       |  ) GROUP BY node
+       |),
+       |tris AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM edges e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)
+       |),
+       |pernode AS (
+       |  SELECT node, COUNT(*) AS n_triangles FROM (
+       |    SELECT x AS node FROM tris
+       |    UNION ALL SELECT y FROM tris
+       |    UNION ALL SELECT z FROM tris
+       |  ) GROUP BY node
+       |)
+       |SELECT d.node AS supplier, d.degree,
+       |  COALESCE(p.n_triangles, 0) AS n_triangles,
+       |  ${roundHalfUpSql(
+      "2.0 * COALESCE(p.n_triangles, 0) / NULLIF(d.degree * (d.degree - 1), 0)",
+      9)} AS clustering
+       |FROM deg d LEFT JOIN pernode p ON p.node = d.node
+       |ORDER BY supplier""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
-    OpDef("graph_pagerank", graphPagerank _, pagerankOracle)
+    OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
+    OpDef("graph_triangles", graphTriangles _, trianglesOracle)
   )
 }

@@ -749,7 +749,84 @@ object TextAnalysis {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** BM25 query terms — drawn from the corpus vocabulary. */
+  private val BmQuery = Seq("hash", "join", "scan")
+
+  /** Okapi BM25 ranking of the corpus against a fixed term query —
+    * the lexical-retrieval scorer (k1 = 1.2, b = 0.75, Lucene idf
+    * `ln(1 + (N - df + ½)/(df + ½))`): what a retrieval-augmented
+    * pipeline runs to mine training documents for a topic.
+    *
+    * Scale: the scan filters to query terms BEFORE the tf aggregate,
+    * so only matching (doc, term) rows — at most |query| per doc —
+    * ever shuffle; df and the (N, Σdl) stats are tiny aggregates
+    * broadcast back; the final top-k is a TakeOrdered, never a full
+    * sort. Cross-engine determinism: per-term scores quantize to 9 dp
+    * and sum as exact DECIMAL(27,12); every constant is written as
+    * the same literal in both engines so the double math is
+    * bit-identical. */
+  private def rankBm25(s: SparkSession, d: String) = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id", size($"w").cast("long").as("dl"),
+        explode($"w").as("term"))
+    val stats = base.select($"doc_id", $"dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")) // 1 row
+    val tf = base.filter($"term".isin(BmQuery: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val sc = roundHalfUp(
+      log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+        ($"tf" * lit(2.2)) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" /
+          ($"sum_dl".cast("double") / $"n_docs"))), 9)
+    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .select($"doc_id", sc.as("sc"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        roundHalfUp(sum($"sc".cast(
+          org.apache.spark.sql.types.DecimalType(27, 12))).cast("double"), 6)
+          .as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  private def bm25Oracle: String = {
+    val inList = BmQuery.map(t => s"'$t'").mkString(", ")
+    val scExpr = roundHalfUpSql(
+      "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (t.tf * 2.2) / " +
+        "(t.tf + 1.2 * (0.25 + 0.75 * t.dl / " +
+        "(CAST(s.sum_dl AS DOUBLE) / s.n_docs)))", 9)
+    s"""WITH base AS (
+       |  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM (
+       |    SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |  ) WHERE len(w) > 0
+       |),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+       |  FROM (SELECT DISTINCT doc_id, dl FROM base)
+       |),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM base
+       |  WHERE term IN ($inList) GROUP BY doc_id, dl, term
+       |),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id, $scExpr AS sc
+       |  FROM tf t JOIN df ON t.term = df.term CROSS JOIN stats s
+       |)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  ${roundHalfUpSql(
+        "CAST(SUM(CAST(sc AS DECIMAL(27,12))) AS DOUBLE)", 6)} AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("rank_bm25", rankBm25 _, bm25Oracle),
     OpDef("sample_hash", sampleHash _,
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hash60Sql("'smp:' || doc_id")} % 100 < 10

@@ -23,6 +23,33 @@ class GraphSpec extends SparkSpecBase {
     assert(row.getLong(2) > 0)
   }
 
+  test("triangle counts match the hand-counted graph, any orientation") {
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}; degree-rank
+    // orientation must still count each exactly once per member node.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = ops.Graph.triangleCount(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 1.0),
+      (2L, 3L, 2L, 0.666666667), // 2·2/(3·2) at the 9-dp quantum
+      (3L, 3L, 2L, 0.666666667),
+      (4L, 2L, 1L, 1.0)), got.toString)
+  }
+
+  test("a triangle-free graph reports zero triangles, nodes retained") {
+    // the 4-cycle: no triangles; every node still appears with its
+    // degree and a 0.0 coefficient (left join, not inner).
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = ops.Graph.triangleCount(edges).collect()
+    assert(got.length === 4)
+    assert(got.forall(_.getLong(2) == 0L), got.mkString(","))
+    assert(got.forall(_.getDouble(3) == 0.0), got.mkString(","))
+  }
+
   test("pagerank ranks high-degree nodes above low-degree ones on average") {
     // suppliers serve many customers (dense side of the bipartite
     // graph), so the mean supplier rank must exceed the mean customer

@@ -42,6 +42,27 @@ class PlanSpec extends SparkSpecBase {
 
   test("global top-k plans as TakeOrdered, never a full sort") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+    assert(plan("rank_bm25").contains("TakeOrderedAndProject"))
+  }
+
+  test("bm25 broadcasts df and corpus stats; term filter is pushed") {
+    val p = plan("rank_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratified sample broadcasts the per-stratum quota table") {
+    assert(plan("sample_stratified").contains("BroadcastHashJoin"))
+  }
+
+  test("markov transitions and streaks need no join at all") {
+    assert(!plan("events_markov").contains("Join"))
+    assert(!plan("events_streaks").contains("Join"))
+  }
+
+  test("triangle count joins are all keyed (no nested-loop expansion)") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("dimension joins broadcast") {
