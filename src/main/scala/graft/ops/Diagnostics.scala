@@ -127,7 +127,180 @@ object Diagnostics {
        |ORDER BY a.label""".stripMargin
   }
 
+  /** Event-time lateness profile — the measurement that SETS the
+    * watermark delay: per user (event_id = ingest order), lateness is
+    * the running-max event time minus this event's time; the report
+    * buckets it (on-time / <1 m / <10 m / <1 h / ≥1 h) with counts,
+    * shares, and the worst case. A stream whose p-max lateness is
+    * 40 min needs `withWatermark(_, "1 hour")`, not folklore.
+    *
+    * Scale: ONE user-keyed window shuffle (running max rides ingest
+    * order per key — never a global sort), then a map-side-combined
+    * aggregate onto ≤ 5 bucket rows; the share window runs over those
+    * 5 rows. */
+  private[graft] def latenessProfile(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val late = events
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("late_us",
+        unix_micros(max($"ts").over(w)) - unix_micros($"ts"))
+    val bucket = when($"late_us" === 0, "a_on_time")
+      .when($"late_us" <= 60L * 1000000L, "b_under_1m")
+      .when($"late_us" <= 600L * 1000000L, "c_under_10m")
+      .when($"late_us" <= 3600L * 1000000L, "d_under_1h")
+      .otherwise("e_over_1h")
+    late.select(bucket.as("lateness_bucket"), $"late_us")
+      .groupBy($"lateness_bucket")
+      .agg(count(lit(1)).as("n_events"), max($"late_us").as("max_late_us"))
+      .withColumn("share", roundHalfUp(
+        $"n_events".cast("double") / sum($"n_events").over(all).cast("double"),
+        6))
+      .orderBy($"lateness_bucket")
+  }
+
+  private def diagLateness(s: SparkSession, d: String): DataFrame =
+    latenessProfile(Tables.events(s, d))
+
+  private def latenessOracle: String =
+    s"""WITH late AS (
+       |  SELECT CASE
+       |      WHEN late_us = 0 THEN 'a_on_time'
+       |      WHEN late_us <= 60000000 THEN 'b_under_1m'
+       |      WHEN late_us <= 600000000 THEN 'c_under_10m'
+       |      WHEN late_us <= 3600000000 THEN 'd_under_1h'
+       |      ELSE 'e_over_1h' END AS lateness_bucket,
+       |    late_us
+       |  FROM (
+       |    SELECT epoch_us(MAX(ts) OVER (PARTITION BY user_id
+       |        ORDER BY event_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      - epoch_us(ts) AS late_us
+       |    FROM events
+       |  )
+       |)
+       |SELECT lateness_bucket, COUNT(*) AS n_events,
+       |  MAX(late_us) AS max_late_us,
+       |  ${roundHalfUpSql(
+        "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)", 6)}
+       |    AS share
+       |FROM late
+       |GROUP BY lateness_bucket
+       |ORDER BY lateness_bucket""".stripMargin
+
+  private val PcaRounds = 8
+  private val Dec18 = org.apache.spark.sql.types.DecimalType(27, 18)
+
+  /** Top principal component of the embedding cloud by distributed
+    * power iteration — the whitening/compression pre-flight (is the
+    * space effectively low-rank? which axis dominates?).
+    *
+    * Scale: the covariance Gramian is the classic N·d² map-side-
+    * combined aggregate over per-row outer products (what Spark's own
+    * `RowMatrix.computeGramianMatrix` does) — the d×d result (64×64
+    * here) is KB-sized at ANY corpus size, and every power round is a
+    * broadcast of the d-vector against the d² table: after the one
+    * Gramian pass, iteration cost is independent of N. For d in the
+    * thousands you'd switch to randomized range sketching; the scan
+    * reads only `vec_id, embedding`.
+    *
+    * Cross-engine determinism, the PageRank recipe: float products are
+    * exactly representable as doubles and sum as DECIMAL(27,18);
+    * centered covariance quantizes to 12 dp; each round's matvec
+    * re-quantizes to 12 dp and the normalized vector to 9 dp, so both
+    * engines walk bit-identical iterates from the exact v₀ = 1/√64 =
+    * 0.125. */
+  private def embeddingPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos".cast("long").as("i"),
+        $"col".cast("double").as("xi"))
+    val mu = x.groupBy($"i")
+      .agg(roundHalfUp(sum($"xi".cast(Dec18)).cast("double") /
+        count(lit(1)), 9).as("mu"))
+    val raw = x.as("a").join(x.as("b"), "vec_id")
+      .select($"a.i".as("i"), $"b.i".as("j"), ($"a.xi" * $"b.xi").as("p"))
+      .groupBy($"i", $"j")
+      .agg(sum($"p".cast(Dec18)).cast("double").as("sp"),
+        count(lit(1)).as("n"))
+    val cov = raw
+      .join(broadcast(mu.select($"i", $"mu".as("mu_i"))), "i")
+      .join(broadcast(mu.select($"i".as("j"), $"mu".as("mu_j"))), "j")
+      .select($"i", $"j", roundHalfUp(
+        ($"sp" - $"n" * $"mu_i" * $"mu_j") / ($"n" - 1), 12).as("c"))
+    var v = mu.select($"i".as("j"), lit(0.125).as("m"))
+    for (_ <- 1 to PcaRounds) {
+      val u = cov.join(broadcast(v), "j")
+        .groupBy($"i")
+        .agg(roundHalfUp(sum(($"c" * $"m").cast(Dec18)).cast("double"), 12)
+          .as("u"))
+      val nrm = u.agg(
+        sqrt(sum(($"u" * $"u").cast(Dec18)).cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(nrm))
+        .select($"i".as("j"), roundHalfUp($"u" / $"nrm", 9).as("m"))
+    }
+    mu.join(v.select($"j".as("i"), $"m"), "i")
+      .select($"i".as("pos"), $"mu", $"m".as("loading"))
+      .orderBy($"pos")
+  }
+
+  /** One oracle power round: `v{k}` from `v{k-1}`. */
+  private def pcaRoundSql(k: Int): String =
+    s"""u$k AS (
+       |  SELECT cov.i, ${roundHalfUpSql(
+        s"CAST(SUM(CAST(cov.c * v${k - 1}.m AS DECIMAL(27,18))) AS DOUBLE)",
+        12)} AS u
+       |  FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j
+       |  GROUP BY cov.i
+       |),
+       |n$k AS (
+       |  SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(27,18))) AS DOUBLE)) AS nrm
+       |  FROM u$k
+       |),
+       |v$k AS (
+       |  SELECT i AS j, ${roundHalfUpSql("u / nrm", 9)} AS m
+       |  FROM u$k CROSS JOIN n$k
+       |)""".stripMargin
+
+  private def pcaOracle: String = {
+    val rounds = (1 to PcaRounds).map(pcaRoundSql).mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, j AS i, CAST(embedding[j + 1] AS DOUBLE) AS xi
+       |  FROM embeddings CROSS JOIN range(0, $EmbDims) t(j)
+       |),
+       |mu AS (
+       |  SELECT i, ${roundHalfUpSql(
+        "CAST(SUM(CAST(xi AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)", 9)} AS mu
+       |  FROM x GROUP BY i
+       |),
+       |raw AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(27,18))) AS DOUBLE) AS sp,
+       |    COUNT(*) AS n
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i
+       |),
+       |cov AS (
+       |  SELECT raw.i, raw.j, ${roundHalfUpSql(
+        "(raw.sp - raw.n * ma.mu * mb.mu) / (raw.n - 1)", 12)} AS c
+       |  FROM raw JOIN mu ma ON ma.i = raw.i JOIN mu mb ON mb.i = raw.j
+       |),
+       |v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS m FROM mu),
+       |$rounds
+       |SELECT mu.i AS pos, mu.mu, v$PcaRounds.m AS loading
+       |FROM mu JOIN v$PcaRounds ON v$PcaRounds.j = mu.i
+       |ORDER BY pos""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("diag_lateness", diagLateness _, latenessOracle),
+    OpDef("embedding_pca", embeddingPca _, pcaOracle),
     OpDef("diag_embedding_drift", diagEmbeddingDrift _, driftOracle),
     OpDef("diag_skew", diagSkew _,
       Seq(

@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan("events_streaks").contains("Join"))
   }
 
+  test("lateness profile rides the user key — no join, no global sort window") {
+    val p = plan("diag_lateness")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("pca power rounds broadcast the iterate against the Gramian") {
+    val p = plan("embedding_pca")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only embeddings columns read are vec_id + embedding
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!schema.contains("label"), schema)
+  }
+
   test("triangle count joins are all keyed (no nested-loop expansion)") {
     val p = plan("graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
