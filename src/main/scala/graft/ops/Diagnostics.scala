@@ -196,58 +196,124 @@ object Diagnostics {
   private val PcaRounds = 8
   private val Dec18 = org.apache.spark.sql.types.DecimalType(27, 18)
 
-  /** Top principal component of the embedding cloud by distributed
-    * power iteration — the whitening/compression pre-flight (is the
-    * space effectively low-rank? which axis dominates?).
+  /** Top principal component of the embedding cloud by power
+    * iteration — the whitening/compression pre-flight (is the space
+    * effectively low-rank? which axis dominates?).
     *
-    * Scale: the covariance Gramian is the classic N·d² map-side-
-    * combined aggregate over per-row outer products (what Spark's own
-    * `RowMatrix.computeGramianMatrix` does) — the d×d result (64×64
-    * here) is KB-sized at ANY corpus size, and every power round is a
-    * broadcast of the d-vector against the d² table: after the one
-    * Gramian pass, iteration cost is independent of N. For d in the
+    * Scale: the centered covariance needs one number per (i,j) pair —
+    * exploding N·d² pair ROWS through a shuffle (even map-side
+    * combined) pays row machinery per product, so instead each
+    * partition accumulates the d(d+1)/2 upper-triangle running sums
+    * imperatively (exactly `RowMatrix.computeGramianMatrix`'s
+    * design — the sanctioned per-partition-imperative case) and emits
+    * ONE d×d partial; partials reduce to the driver. The d×d matrix
+    * (64×64 here) is KB-sized at ANY corpus size, so — as MLlib's PCA
+    * does — the 8 power rounds then run driver-local: a 64×64 matvec
+    * per round, independent of N, instead of 8 chained cluster rounds
+    * that would each re-execute the Gramian lineage. For d in the
     * thousands you'd switch to randomized range sketching; the scan
-    * reads only `vec_id, embedding`.
+    * reads only the `embedding` column ([[pcaScan]], PlanSpec-pinned).
     *
     * Cross-engine determinism, the PageRank recipe: float products are
     * exactly representable as doubles and sum as DECIMAL(27,18);
     * centered covariance quantizes to 12 dp; each round's matvec
     * re-quantizes to 12 dp and the normalized vector to 9 dp, so both
     * engines walk bit-identical iterates from the exact v₀ = 1/√64 =
-    * 0.125. */
-  private def embeddingPca(s: SparkSession, d: String): DataFrame = {
+    * 0.125. The driver-local rounds replicate the engine arithmetic
+    * exactly: decimal(27,18) HALF_UP partial sums ([[decSum18]] is
+    * the Cast-to-decimal twin) and the floor-based [[roundHalfUp]]
+    * on the same doubles. */
+  private def embeddingPca(s: SparkSession, d: String): DataFrame =
+    pcaTopComponent(Tables.embeddings(s, d))
+
+  private[graft] def pcaTopComponent(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val x = Tables.embeddings(s, d)
-      .select($"vec_id", posexplode($"embedding"))
-      .select($"vec_id", $"pos".cast("long").as("i"),
-        $"col".cast("double").as("xi"))
-    val mu = x.groupBy($"i")
-      .agg(roundHalfUp(sum($"xi".cast(Dec18)).cast("double") /
-        count(lit(1)), 9).as("mu"))
-    val raw = x.as("a").join(x.as("b"), "vec_id")
-      .select($"a.i".as("i"), $"b.i".as("j"), ($"a.xi" * $"b.xi").as("p"))
-      .groupBy($"i", $"j")
-      .agg(sum($"p".cast(Dec18)).cast("double").as("sp"),
-        count(lit(1)).as("n"))
-    val cov = raw
-      .join(broadcast(mu.select($"i", $"mu".as("mu_i"))), "i")
-      .join(broadcast(mu.select($"i".as("j"), $"mu".as("mu_j"))), "j")
-      .select($"i", $"j", roundHalfUp(
-        ($"sp" - $"n" * $"mu_i" * $"mu_j") / ($"n" - 1), 12).as("c"))
-    var v = mu.select($"i".as("j"), lit(0.125).as("m"))
-    for (_ <- 1 to PcaRounds) {
-      val u = cov.join(broadcast(v), "j")
-        .groupBy($"i")
-        .agg(roundHalfUp(sum(($"c" * $"m").cast(Dec18)).cast("double"), 12)
-          .as("u"))
-      val nrm = u.agg(
-        sqrt(sum(($"u" * $"u").cast(Dec18)).cast("double")).as("nrm"))
-      v = u.crossJoin(broadcast(nrm))
-        .select($"i".as("j"), roundHalfUp($"u" / $"nrm", 9).as("m"))
+    val (n, sums, prods) = pcaGramian(emb)
+    val d = sums.length
+    val mu = Array.tabulate(d)(i => rhuLocal(sums(i).doubleValue / n, 9))
+    val c = Array.tabulate(d, d) { (i, j) =>
+      val sp = (if (j <= i) prods(i)(j) else prods(j)(i)).doubleValue
+      rhuLocal((sp - n.toDouble * mu(i) * mu(j)) / (n - 1).toDouble, 12)
     }
-    mu.join(v.select($"j".as("i"), $"m"), "i")
-      .select($"i".as("pos"), $"mu", $"m".as("loading"))
-      .orderBy($"pos")
+    var m = Array.fill(d)(0.125)
+    for (_ <- 1 to PcaRounds) {
+      val u = Array.tabulate(d)(i =>
+        rhuLocal(decSum18((0 until d).map(j => c(i)(j) * m(j))), 12))
+      val nrm = math.sqrt(decSum18(u.toSeq.map(x => x * x)))
+      m = u.map(x => rhuLocal(x / nrm, 9))
+    }
+    (0 until d).map(i => (i.toLong, mu(i), m(i)))
+      .toDF("pos", "mu", "loading").orderBy($"pos")
+  }
+
+  /** The pruned scan the Gramian pass runs over (PlanSpec pins that
+    * only `embedding` reaches the parquet reader). */
+  private[graft] def pcaScan(emb: DataFrame): DataFrame =
+    emb.select(emb("embedding"))
+
+  /** One pass, zero shuffles: per-partition upper-triangle running
+    * sums (Σxᵢ and Σxᵢxⱼ, j ≤ i, as exact DECIMAL(27,18) partials —
+    * [[decSum18]]'s cast semantics applied per term), one d×d partial
+    * emitted per partition, exact decimal reduce to the driver.
+    * Addition order cannot matter: decimal partials are exact. */
+  private[graft] def pcaGramian(emb: DataFrame)
+      : (Long, Array[java.math.BigDecimal],
+         Array[Array[java.math.BigDecimal]]) = {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def dec18(x: Double): BD =
+      BD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
+    val parts = pcaScan(emb).rdd.mapPartitions { it =>
+      var n = 0L
+      var s: Array[BD] = null
+      var sp: Array[Array[BD]] = null
+      it.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val a = r.getSeq[Float](0)
+          val d = a.length
+          if (s == null) {
+            s = Array.fill(d)(BD.ZERO)
+            sp = Array.tabulate(d)(i => Array.fill(i + 1)(BD.ZERO))
+          }
+          val x = new Array[Double](d)
+          var i = 0
+          while (i < d) { x(i) = a(i).toDouble; i += 1 }
+          i = 0
+          while (i < d) {
+            s(i) = s(i).add(dec18(x(i)))
+            val row = sp(i)
+            var j = 0
+            while (j <= i) { row(j) = row(j).add(dec18(x(i) * x(j))); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, s, sp))
+    }
+    val (n, s, sp) = parts.reduce { (a, b) =>
+      val d = a._2.length
+      (a._1 + b._1,
+        Array.tabulate(d)(i => a._2(i).add(b._2(i))),
+        Array.tabulate(d)(i =>
+          Array.tabulate(i + 1)(j => a._3(i)(j).add(b._3(i)(j)))))
+    }
+    (n, s, sp)
+  }
+
+  /** Driver-local twin of `sum(x.cast(DecimalType(27,18)))`: Spark's
+    * double→decimal Cast goes through `Double.toString` then rounds
+    * HALF_UP to scale 18; decimal addition is exact. */
+  private def decSum18(xs: Seq[Double]): Double = xs
+    .map(x => java.math.BigDecimal.valueOf(x)
+      .setScale(18, java.math.RoundingMode.HALF_UP))
+    .reduce(_.add(_)).doubleValue
+
+  /** Driver-local twin of [[roundHalfUp]] (floor(x·10ⁿ + 0.5)/10ⁿ on
+    * doubles — safe here: |x·10ⁿ| ≪ 2⁵³ for quantized iterates). */
+  private def rhuLocal(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
   }
 
   /** One oracle power round: `v{k}` from `v{k-1}`. */

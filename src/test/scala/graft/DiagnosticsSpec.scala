@@ -37,6 +37,21 @@ class DiagnosticsSpec extends SparkSpecBase {
     assert(math.abs(shares - 1.0) < 1e-6, shares.toString)
   }
 
+  test("gramian partials reduce to exact whole-corpus sums") {
+    import spark.implicits._
+    // 3 vectors spread over 3 partitions: partial merge must be exact
+    val emb = Seq(
+      Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(0.5f, -1.5f)
+    ).toDF("embedding").repartition(3)
+    val (n, s, sp) = ops.Diagnostics.pcaGramian(emb)
+    assert(n === 3L)
+    assert(s.map(_.doubleValue).toSeq === Seq(4.5, 4.5))
+    // upper triangle of Σ x xᵀ: [1+9+0.25, 2+12-0.75; ·, 4+16+2.25]
+    assert(sp(0)(0).doubleValue === 10.25)
+    assert(sp(1)(0).doubleValue === 13.25)
+    assert(sp(1)(1).doubleValue === 22.25)
+  }
+
   test("pca loading is unit-norm and captures more variance than any axis") {
     import spark.implicits._
     val pca = SparkEntry.queries("embedding_pca")(spark, sf)

@@ -65,13 +65,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
-  test("pca power rounds broadcast the iterate against the Gramian") {
-    val p = plan("embedding_pca")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the only embeddings columns read are vec_id + embedding
+  test("pca Gramian pass reads only the embedding column, no joins") {
+    val p = graft.ops.Diagnostics.pcaScan(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the single corpus pass is the Gramian scan: no join, no shuffle,
+    // and the parquet reader materializes only the vector itself
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
     val schema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
-    assert(!schema.contains("label"), schema)
+    assert(schema.contains("embedding"), schema)
+    assert(!schema.contains("label") && !schema.contains("vec_id"), schema)
   }
 
   test("triangle count joins are all keyed (no nested-loop expansion)") {
