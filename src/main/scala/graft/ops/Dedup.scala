@@ -803,7 +803,9 @@ object Dedup {
     labels.orderBy($"doc_id")
   }
 
-  private def clustersOracle: String = {
+  /** Shared oracle prelude: simhash pairs → bounded label propagation,
+    * ending in `l{ClusterHops}(doc_id, cluster_id)`. */
+  private def clusterCtes: String = {
     val rounds = (1 to ClusterHops).map { i =>
       s"""l$i AS (
          |  SELECT e.src AS doc_id, MIN(l.cluster_id) AS cluster_id
@@ -811,7 +813,7 @@ object Dedup {
          |  GROUP BY e.src
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $simhashCtes,
+    s"""$simhashCtes,
        |fwd AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE hamming <= $MaxHamming
        |),
@@ -822,10 +824,69 @@ object Dedup {
        |  UNION ALL SELECT doc_id, doc_id FROM nodes
        |),
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def clustersOracle: String =
+    s"""WITH $clusterCtes
        |SELECT doc_id, cluster_id FROM l$ClusterHops
        |ORDER BY doc_id""".stripMargin
+
+  /** Canonical-document selection: collapse each near-dup cluster to
+    * ONE kept representative — the doc you actually train on — chosen
+    * as the longest member (`n_chars` desc, doc_id tie-break), the
+    * standard "keep the most complete version" policy. Docs with no
+    * near-dup are their own singleton cluster (and trivially kept), so
+    * the output covers the whole corpus: `keep` is the final
+    * train-set membership flag and `canonical_id` the survivor every
+    * dropped dup points at (the provenance link dedup pipelines
+    * persist).
+    *
+    * Scale: the cluster labels cover only docs that appear in a
+    * near-dup pair (a small fraction of any real corpus), joined to
+    * the corpus by doc_id — one keyed shuffle; the representative is a
+    * single `first_value` window over cluster_id (clusters are
+    * quasi-cliques, a few docs wide, so no skew), one more keyed
+    * shuffle. Nothing here is all-pairs and no text moves — only ids
+    * and lengths. */
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (closed, nodes) = closedNeighborhood(s, d)
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val lab = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"n_chars")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lab
+      .withColumn("canonical_id", first($"doc_id").over(w))
+      .select($"doc_id", $"cluster_id", $"canonical_id",
+        ($"doc_id" === $"canonical_id").cast("long").as("keep"))
+      .orderBy($"doc_id")
   }
+
+  private def canonicalOracle: String =
+    s"""WITH $clusterCtes,
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN l$ClusterHops l ON l.doc_id = d.doc_id
+       |),
+       |sel AS (
+       |  SELECT doc_id, cluster_id,
+       |    FIRST_VALUE(doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       |    ) AS canonical_id
+       |  FROM lab
+       |)
+       |SELECT doc_id, cluster_id, canonical_id,
+       |  CAST(doc_id = canonical_id AS BIGINT) AS keep
+       |FROM sel
+       |ORDER BY doc_id""".stripMargin
 
   // Edit-distance fuzzy matching: threshold, k+1 pigeonhole segments
   // over the normalized 40-char prefix key, and the candidate-bucket
@@ -945,6 +1006,7 @@ object Dedup {
          |ORDER BY doc_id, twin_id""".stripMargin),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
+    OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle)
   )
 }

@@ -364,7 +364,82 @@ object Diagnostics {
        |ORDER BY pos""".stripMargin
   }
 
+  /** Declarative data-quality constraint suite (the Deequ/
+    * great-expectations shape): domain, range, not-null, positivity,
+    * and primary-key-uniqueness checks over lineitem, evaluated in ONE
+    * pass and reported long-form as (constraint, n_rows, n_failed,
+    * pass_rate) — the gate a 100 TB ingest runs before publishing a
+    * partition.
+    *
+    * Scale: every row-level check folds into the same map-side
+    * combined global aggregate (7 counters), so the suite costs one
+    * scan regardless of how many constraints it carries; only the
+    * pk-uniqueness check adds data movement (the exact distinct on the
+    * composite key — the one constraint that genuinely needs a
+    * shuffle), and its key rides as one long, not a struct. The final
+    * unpivot is 7 driver-side rows. */
+  private def dqReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def failed(bad: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(bad, 1L).otherwise(0L))
+    val a = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      failed(!$"l_quantity".between(1.0, 50.0)).as("f_qty"),
+      failed(!$"l_discount".between(0.0, 0.1)).as("f_disc"),
+      failed($"l_shipdate".isNull).as("f_ship"),
+      failed(!($"l_extendedprice" > 0.0)).as("f_price"),
+      failed(!$"l_returnflag".isin("A", "N", "R")).as("f_flag"),
+      failed(!$"l_tax".between(0.0, 0.08)).as("f_tax"),
+      (count(lit(1)) -
+        count_distinct($"l_orderkey" * 10 + $"l_linenumber")).as("f_pk"))
+    a.select($"n", expr(
+        """stack(7,
+          |  'discount_range', f_disc,
+          |  'pk_unique', f_pk,
+          |  'price_positive', f_price,
+          |  'quantity_range', f_qty,
+          |  'returnflag_domain', f_flag,
+          |  'shipdate_not_null', f_ship,
+          |  'tax_range', f_tax) AS (check_name, n_failed)""".stripMargin))
+      .select($"check_name", $"n".as("n_rows"), $"n_failed",
+        roundHalfUp(lit(1.0) - lit(1.0) * $"n_failed" / $"n", 6)
+          .as("pass_rate"))
+      .orderBy($"check_name")
+  }
+
+  private def dqOracle: String = {
+    val arms = Seq(
+      "discount_range" -> "f_disc", "pk_unique" -> "f_pk",
+      "price_positive" -> "f_price", "quantity_range" -> "f_qty",
+      "returnflag_domain" -> "f_flag", "shipdate_not_null" -> "f_ship",
+      "tax_range" -> "f_tax")
+      .map { case (c, f) =>
+        s"SELECT '$c' AS check_name, n, CAST($f AS BIGINT) AS n_failed FROM a" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+       |      THEN 1 ELSE 0 END) AS f_qty,
+       |    SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND CAST(0.1 AS DOUBLE))
+       |      THEN 1 ELSE 0 END) AS f_disc,
+       |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS f_ship,
+       |    SUM(CASE WHEN NOT (l_extendedprice > 0.0)
+       |      THEN 1 ELSE 0 END) AS f_price,
+       |    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+       |      THEN 1 ELSE 0 END) AS f_flag,
+       |    SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND CAST(0.08 AS DOUBLE))
+       |      THEN 1 ELSE 0 END) AS f_tax,
+       |    COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS f_pk
+       |  FROM lineitem
+       |)
+       |SELECT check_name, n AS n_rows, n_failed,
+       |  ${roundHalfUpSql("1.0 - 1.0 * n_failed / n", 6)} AS pass_rate
+       |FROM ($arms)
+       |ORDER BY check_name""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("dq_report", dqReport _, dqOracle),
     OpDef("diag_lateness", diagLateness _, latenessOracle),
     OpDef("embedding_pca", embeddingPca _, pcaOracle),
     OpDef("diag_embedding_drift", diagEmbeddingDrift _, driftOracle),

@@ -188,6 +188,151 @@ object Sources {
       .orderBy($"s_suppkey")
   }
 
+  // Compaction bin capacity (size-proxy units; row count × 100 stands
+  // in for file bytes — the planner's arithmetic is what's exercised).
+  private val CompactTarget = 20000L
+
+  /** Small-files compaction planner — the table-maintenance op that
+    * keeps a 100 TB lake readable: given a file manifest (here
+    * simulated as per-(ship-month, supplier-bucket) file sizes),
+    * pack each partition's files in file-id order into target-sized
+    * output bins (next-fit by running size) and report the merge plan:
+    * which contiguous file span folds into which compacted file, and
+    * how full each bin lands.
+    *
+    * Scale: the MANIFEST is the input — metadata rows (one per file),
+    * never the data itself — so the whole plan is a per-partition
+    * running-sum window over file counts in the thousands: one keyed
+    * shuffle of metadata. The plan's integer arithmetic
+    * (`(cum - size) div target`) is engine-exact, and executing the
+    * plan is an embarrassingly parallel per-bin file rewrite. */
+  private def layoutCompaction(s: SparkSession, d: String) = {
+    import s.implicits._
+    val manifest = Tables.lineitem(s, d)
+      .groupBy(
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("int")
+          .as("p_month"),
+        ($"l_suppkey" % 20).cast("int").as("file_id"))
+      .agg((count(lit(1)) * 100L).as("size_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_month").orderBy($"file_id".asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    manifest
+      .withColumn("cum", sum($"size_bytes").over(w))
+      .withColumn("bin", expr(s"(cum - size_bytes) div $CompactTarget"))
+      .groupBy($"p_month", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"size_bytes").as("bin_bytes"),
+        min($"file_id").as("first_file"), max($"file_id").as("last_file"))
+      .orderBy($"p_month", $"bin")
+  }
+
+  private def layoutCompactionOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+       |      AS p_month,
+       |    CAST(l_suppkey % 20 AS INT) AS file_id,
+       |    CAST(COUNT(*) * 100 AS BIGINT) AS size_bytes
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |packed AS (
+       |  SELECT p_month, file_id, size_bytes,
+       |    SUM(size_bytes) OVER (PARTITION BY p_month ORDER BY file_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM manifest
+       |)
+       |SELECT p_month, CAST((cum - size_bytes) // $CompactTarget AS BIGINT)
+       |    AS bin,
+       |  COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+       |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+       |FROM packed GROUP BY p_month, bin
+       |ORDER BY p_month, bin""".stripMargin
+
+  // Keys synthesized by the v2 snapshot simulation: deletes every
+  // 97th order, flips the status of every 89th, inserts a shifted
+  // copy of every 101st above this offset (clear of real keys).
+  private val SnapInsertOffset = 100000000L
+
+  /** Snapshot diff — the dataset-versioning primitive: given two
+    * materialized versions of a table (here orders v1, and a v2 with
+    * simulated deletes/updates/inserts staged to parquet), classify
+    * every key as added / removed / changed / unchanged and report
+    * per-status counts and key ranges. This is the audit step behind
+    * incremental publishing: "what did this ingest actually do?".
+    *
+    * Scale: each side reduces to `(key, md5 digest)` AT THE SCAN —
+    * only ids and 32-hex digests cross the one full-outer keyed
+    * shuffle, payload columns never leave their file partitions (the
+    * digest folds them row-locally). The status summary is a map-side
+    * combined aggregate onto 4 rows. At warehouse scale both
+    * snapshots are date-partitioned, so the join prunes to partitions
+    * whose digests can differ; the digest-at-scan shape is what makes
+    * diffing 100 TB snapshots a metadata-sized shuffle. */
+  private def snapshotDiff(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$tmpRoot/orders_snap"
+    val v1 = Tables.orders(s, d)
+    v1.write.mode(SaveMode.Overwrite).parquet(s"$path/v1")
+    v1.filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("o_orderstatus",
+        when($"o_orderkey" % 89 === 0, lit("X")).otherwise($"o_orderstatus"))
+      .unionByName(v1.filter($"o_orderkey" % 101 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + SnapInsertOffset))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v2")
+    // digest of the compared payload; totalprice via decimal(12,2) so
+    // both engines hash the identical string rendering
+    def keyed(p: String, h: String) = s.read.parquet(p)
+      .select($"o_orderkey".as("k"),
+        md5(concat_ws("|", $"o_orderstatus", $"o_orderpriority",
+          $"o_totalprice".cast("decimal(12,2)").cast("string"))).as(h))
+    keyed(s"$path/v1", "h1")
+      .join(keyed(s"$path/v2", "h2"), Seq("k"), "full_outer")
+      .select($"k",
+        when($"h1".isNull, "added").when($"h2".isNull, "removed")
+          .when($"h1" === $"h2", "unchanged").otherwise("changed")
+          .as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"),
+        min($"k").as("min_key"), max($"k").as("max_key"))
+      .orderBy($"status")
+  }
+
+  private def snapshotDiffOracle: String =
+    s"""WITH v2 AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+       |      AS o_orderstatus,
+       |    o_orderpriority, o_totalprice
+       |  FROM orders WHERE o_orderkey % 97 <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + $SnapInsertOffset, o_orderstatus,
+       |    o_orderpriority, o_totalprice
+       |  FROM orders WHERE o_orderkey % 101 = 0
+       |),
+       |h1 AS (
+       |  SELECT o_orderkey AS k, md5(concat_ws('|', o_orderstatus,
+       |    o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) AS h
+       |  FROM orders
+       |),
+       |h2 AS (
+       |  SELECT o_orderkey AS k, md5(concat_ws('|', o_orderstatus,
+       |    o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) AS h
+       |  FROM v2
+       |),
+       |j AS (
+       |  SELECT COALESCE(h1.k, h2.k) AS k,
+       |    CASE WHEN h1.h IS NULL THEN 'added'
+       |         WHEN h2.h IS NULL THEN 'removed'
+       |         WHEN h1.h = h2.h THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k
+       |)
+       |SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("layout_zorder", layoutZorder _,
       s"""WITH keyed AS (
@@ -230,6 +375,8 @@ object Sources {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin),
+    OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
+    OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),
     OpDef("sink_partitioned", sinkPartitioned _,
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,
         |  o_orderstatus,

@@ -134,7 +134,49 @@ object Windows {
       .orderBy($"cohort_month", $"o_orderkey")
   }
 
+  /** Trailing 7-day DISTINCT active users per day — the rolling-
+    * distinct feature a RANGE frame cannot express (COUNT(DISTINCT)
+    * isn't a window aggregate in either engine). Implemented with the
+    * contribution-explode trick: reduce to distinct (user, day) pairs,
+    * explode each pair to the 7 window-end days it contributes to,
+    * and count distinct users per window end — reported for days that
+    * actually occur.
+    *
+    * Scale: the pair-distinct is one keyed shuffle that collapses raw
+    * events to at most users × days rows; the ×7 explode amplifies
+    * only those collapsed pairs (never raw events), and the per-day
+    * distinct count is a second keyed shuffle. This shape stays flat
+    * when events per user-day grow — the classic alternative (a range
+    * self-join of days × events) re-scans event rows 7×. */
+  private def windowRollingDistinct(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val counts = ud
+      .select($"user_id",
+        explode(expr("sequence(day, date_add(day, 6))")).as("win_end"))
+      .groupBy($"win_end")
+      .agg(count_distinct($"user_id").as("users_7d"))
+    counts
+      .join(ud.select($"day").distinct(), counts("win_end") === $"day")
+      .select($"day", $"users_7d")
+      .orderBy($"day")
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_rolling_distinct", windowRollingDistinct _,
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(i AS INT) AS win_end
+        |  FROM ud CROSS JOIN range(0, 7) t(i)
+        |),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, COUNT(DISTINCT c.user_id) AS users_7d
+        |FROM contrib c JOIN days d ON c.win_end = d.day
+        |GROUP BY d.day
+        |ORDER BY d.day""".stripMargin),
     OpDef("window_cume_dist", windowCumeDist _,
       s"""SELECT date_trunc('month', o_orderdate) AS cohort_month,
          |  o_orderkey, o_totalprice,

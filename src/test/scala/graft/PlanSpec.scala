@@ -65,6 +65,56 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  // plan toString can truncate a wide ReadSchema mid-struct; capture
+  // to the closing bracket OR end-of-line so pins still see the prefix
+  private def readSchemas(p: String): Seq[String] =
+    "ReadSchema: struct<([^>\n]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("snapshot diff reads back only key + digest-input columns") {
+    val p = plan("snapshot_diff")
+    // payload stays in the files: the diff join's scans carry the key
+    // and the three digested fields, never the full order row
+    val snaps = readSchemas(p).filter(_.contains("o_orderstatus"))
+    assert(snaps.nonEmpty, p)
+    snaps.foreach { sch =>
+      assert(!sch.contains("o_orderdate") && !sch.contains("o_custkey"), sch)
+    }
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("compaction planner packs per-partition windows over manifest columns") {
+    val p = plan("layout_compaction")
+    val sch = readSchemas(p).head
+    assert(sch.contains("l_shipdate") && sch.contains("l_suppkey"), sch)
+    assert(!sch.contains("l_quantity"), sch)
+    // running-size window is keyed by the partition month, not global
+    assert(p.contains("windowspecdefinition(p_month"), p)
+  }
+
+  test("dq suite folds every check into one lineitem scan") {
+    val p = plan("dq_report")
+    assert("FileScan".r.findAllMatchIn(p).size === 1, p)
+    // the scan's column list carries only checked columns (the
+    // ReadSchema string truncates on wide scans — use the attr list)
+    assert(p.contains("l_quantity") && !p.contains("l_partkey"), p)
+  }
+
+  test("rolling distinct prunes events to (user_id, ts)") {
+    val p = plan("window_rolling_distinct")
+    val schemas = readSchemas(p)
+    assert(schemas.exists(_.contains("user_id")), p)
+    schemas.foreach(sch => assert(!sch.contains("props"), sch))
+  }
+
+  test("canonical dedup selection moves ids and lengths, not text") {
+    val p = plan("dedup_canonical")
+    // text reaches only the simhash signature side; the selection join
+    // and window operate on (doc_id, n_chars, cluster_id) alone
+    val sel = readSchemas(p).filter(_.contains("n_chars"))
+    assert(sel.nonEmpty, p)
+    sel.foreach(sch => assert(!sch.contains("text"), sch))
+  }
+
   test("pca Gramian pass reads only the embedding column, no joins") {
     val p = graft.ops.Diagnostics.pcaScan(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
