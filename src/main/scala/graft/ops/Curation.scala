@@ -74,6 +74,69 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // Sampling temperature for source re-balancing (the multilingual-
+  // corpus convention: q_i ∝ p_i^α flattens head sources, α < 1).
+  private val MixAlpha = 0.7
+
+  /** Temperature-scaled source mixing weights — the `q_i ∝ n_i^α`
+    * schedule (α = [[MixAlpha]]) that up-weights tail sources when
+    * assembling a training mix, reported as per-source weight and the
+    * expected document budget at the current corpus size.
+    *
+    * Scale: per-source counts are one map-side-combined aggregate onto
+    * #sources rows; everything after operates on that tiny frame (the
+    * normalizing total rides in as a 1-row broadcast). Cross-engine
+    * determinism: n^α evaluates as exp(α·ln n) with each transcendental
+    * step quantized to 9 dp (the kit's ln/exp recipe), the normalizer
+    * sums those quantized terms as exact DECIMAL(27,18), and weights
+    * quantize to 6 dp before the budget rounds half-up. */
+  private def corpusTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    temperatureMixOf(Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Spec hook: the α-schedule over an arbitrary (source, n_docs)
+    * count frame, so tests can feed skew the uniform testdata lacks. */
+  private[graft] def temperatureMixOf(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val t = counts.withColumn("t",
+      roundHalfUp(exp(roundHalfUp(lit(MixAlpha) *
+        roundHalfUp(log($"n_docs"), 9), 9)), 9))
+    val tot = t.agg(
+      sum($"t".cast("decimal(27,18)")).cast("double").as("tt"),
+      sum($"n_docs").as("n_total"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("weight", roundHalfUp($"t" / $"tt", 6))
+      .select($"source", $"n_docs", $"weight",
+        floor($"weight" * $"n_total" + lit(0.5)).cast("long")
+          .as("expected_docs"))
+      .orderBy($"source")
+  }
+
+  private def temperatureMixOracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+       |),
+       |t AS (
+       |  SELECT source, n_docs,
+       |    ${roundHalfUpSql(
+          s"exp(${roundHalfUpSql(
+            s"$MixAlpha * ${roundHalfUpSql("ln(n_docs)", 9)}", 9)})", 9)} AS t
+       |  FROM counts
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(CAST(t AS DECIMAL(27,18))) AS DOUBLE) AS tt,
+       |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+       |  FROM t
+       |)
+       |SELECT source, n_docs, ${roundHalfUpSql("t / tt", 6)} AS weight,
+       |  CAST(FLOOR(${roundHalfUpSql("t / tt", 6)} * n_total + 0.5) AS BIGINT)
+       |    AS expected_docs
+       |FROM t CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
   private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val permille = MixPermille.foldLeft(lit(DefaultPermille)) {
@@ -327,6 +390,8 @@ object Curation {
          |FROM per_lang p CROSS JOIN total t
          |LEFT JOIN target g ON g.lang = p.lang
          |ORDER BY p.lang""".stripMargin),
+    OpDef("corpus_temperature_mix", corpusTemperatureMix _,
+      temperatureMixOracle),
     OpDef("sample_stratified", sampleStratified _,
       s"""WITH quotas AS (
          |  SELECT lang, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS quota

@@ -230,6 +230,10 @@ object Diagnostics {
     val s = emb.sparkSession
     import s.implicits._
     val (n, sums, prods) = pcaGramian(emb)
+    // degenerate corpus (empty, or n=1: zero covariance dof) → empty
+    // report rather than a divide-by-zero NaN vector
+    if (n < 2) return Seq.empty[(Long, Double, Double)]
+      .toDF("pos", "mu", "loading")
     val d = sums.length
     val mu = Array.tabulate(d)(i => rhuLocal(sums(i).doubleValue / n, 9))
     val c = Array.tabulate(d, d) { (i, j) =>
@@ -291,14 +295,20 @@ object Diagnostics {
       }
       if (n == 0) Iterator.empty else Iterator.single((n, s, sp))
     }
-    val (n, s, sp) = parts.reduce { (a, b) =>
+    // one (n, sums, prods) partial per non-empty partition — KB-sized;
+    // collect + local reduce also covers the all-empty corpus (RDD
+    // reduce throws on zero partials)
+    val partials = parts.collect()
+    if (partials.isEmpty)
+      (0L, Array.empty[java.math.BigDecimal],
+        Array.empty[Array[java.math.BigDecimal]])
+    else partials.reduce { (a, b) =>
       val d = a._2.length
       (a._1 + b._1,
         Array.tabulate(d)(i => a._2(i).add(b._2(i))),
         Array.tabulate(d)(i =>
           Array.tabulate(i + 1)(j => a._3(i)(j).add(b._3(i)(j)))))
     }
-    (n, s, sp)
   }
 
   /** Driver-local twin of `sum(x.cast(DecimalType(27,18)))`: Spark's

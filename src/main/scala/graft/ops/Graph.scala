@@ -221,8 +221,56 @@ object Graph {
        |FROM deg d LEFT JOIN pernode p ON p.node = d.node
        |ORDER BY supplier""".stripMargin
 
+  /** Log₂-binned degree distribution of the co-order graph — the
+    * "is this graph power-law?" probe that sizes every downstream
+    * graph job (hub detection, partitioning strategy, whether PageRank
+    * needs skew handling).
+    *
+    * Scale: degree is one keyed count shuffle over the edge list; the
+    * binning collapses nodes onto ≤ 64 rows map-side, and the share
+    * window runs over those bin rows only. The bin index is
+    * `length(bin(degree)) - 1` — INTEGER arithmetic on the binary
+    * string in both engines, immune to the `floor(log2(2^k))`
+    * float-edge ambiguity. */
+  private def graphDegrees(s: SparkSession, d: String) = {
+    import s.implicits._
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    coOrderEdges(s, d)
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+      .groupBy((length(bin($"degree")) - 1).cast("long").as("degree_bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"degree").as("min_degree"), max($"degree").as("max_degree"))
+      .withColumn("share", roundHalfUp(
+        lit(1.0) * $"n_nodes" / sum($"n_nodes").over(all), 6))
+      .orderBy($"degree_bin")
+  }
+
+  private def degreesOracle: String =
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+       |bins AS (
+       |  SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS degree_bin,
+       |    COUNT(*) AS n_nodes, MIN(degree) AS min_degree,
+       |    MAX(degree) AS max_degree
+       |  FROM deg GROUP BY 1
+       |)
+       |SELECT degree_bin, n_nodes, min_degree, max_degree,
+       |  ${roundHalfUpSql("1.0 * n_nodes / SUM(n_nodes) OVER ()", 6)}
+       |    AS share
+       |FROM bins
+       |ORDER BY degree_bin""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
-    OpDef("graph_triangles", graphTriangles _, trianglesOracle)
+    OpDef("graph_triangles", graphTriangles _, trianglesOracle),
+    OpDef("graph_degrees", graphDegrees _, degreesOracle)
   )
 }

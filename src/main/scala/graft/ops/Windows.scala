@@ -163,7 +163,85 @@ object Windows {
       .orderBy($"day")
   }
 
+  /** Per-user exponentially weighted moving average over the trailing
+    * 8 events (half-life decay 1/2 per step) — the smoothed-signal
+    * feature behind rate limiting and anomaly scoring. A recursive
+    * EWMA cannot ride a plain window aggregate (each row needs its own
+    * distance-to-current weights), so the frame's values are collected
+    * and folded row-locally.
+    *
+    * Cross-engine determinism: weights are 1/2^k (shift + divide —
+    * EXACT powers of two, never `pow`'s libm), each weighted term is
+    * quantized to 9 dp and summed as DECIMAL(27,18) (order-free), and
+    * the denominator Σ1/2^k collapses to the closed form 2 − 2^−(n−1)
+    * (exact). The oracle computes the identical terms via a bounded
+    * self-join (its clearer SQL shape); both engines fold the same
+    * decimal sum.
+    *
+    * Scale: one user-keyed shuffle; the collected frame is ≤ 8 doubles
+    * per row, so the row-local fold adds constant work — against the
+    * oracle's 8-way self-join shape this is the plan you want at
+    * 100 TB (no second shuffle, no join amplification). */
+  private def windowEwma(s: SparkSession, d: String) =
+    ewmaOf(Tables.events(s, d))
+
+  /** Spec hook: [[windowEwma]] over an arbitrary
+    * (user_id, event_id, value) frame. */
+  private[graft] def ewmaOf(events: org.apache.spark.sql.DataFrame) = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+      .rowsBetween(-7, Window.currentRow)
+    events
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("vals", collect_list($"value").over(w))
+      .withColumn("num", expr(
+        """aggregate(
+          |  zip_with(vals, sequence(size(vals) - 1, 0),
+          |    (v, k) -> cast(floor((v / cast(shiftleft(1, k) as double))
+          |      * 1000000000.0 + 0.5) as double) / 1000000000.0),
+          |  cast(0 as decimal(27,18)),
+          |  (acc, x) ->
+          |    cast(acc + cast(x as decimal(27,18)) as decimal(27,18)))
+          |""".stripMargin))
+      .select($"user_id", $"event_id", $"value",
+        roundHalfUp($"num".cast("double") /
+          (lit(2.0) - lit(1.0) /
+            expr("cast(shiftleft(1, size(vals) - 1) as double)")), 6)
+          .as("ewma8"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private def ewmaOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC)
+       |      AS rn
+       |  FROM events
+       |),
+       |terms AS (
+       |  SELECT c.user_id, c.event_id, c.value, c.rn,
+       |    p.value AS pv, c.rn - p.rn AS k
+       |  FROM e c JOIN e p
+       |    ON p.user_id = c.user_id AND p.rn BETWEEN c.rn - 7 AND c.rn
+       |),
+       |agg AS (
+       |  SELECT user_id, event_id, value, COUNT(*) AS n,
+       |    SUM(CAST(${roundHalfUpSql(
+          "pv / CAST(1 << CAST(k AS INT) AS DOUBLE)", 9)}
+       |      AS DECIMAL(27,18))) AS num
+       |  FROM terms GROUP BY user_id, event_id, value
+       |)
+       |SELECT user_id, event_id, value,
+       |  ${roundHalfUpSql(
+          "CAST(num AS DOUBLE) / " +
+            "(2.0 - 1.0 / CAST(1 << CAST(n - 1 AS INT) AS DOUBLE))", 6)}
+       |    AS ewma8
+       |FROM agg
+       |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_ewma", windowEwma _, ewmaOracle),
     OpDef("window_rolling_distinct", windowRollingDistinct _,
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

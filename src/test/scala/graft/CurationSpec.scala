@@ -69,6 +69,26 @@ class CurationSpec extends SparkSpecBase {
     w.unpersist()
   }
 
+  test("temperature mixing flattens skew: tail over-sampled, head under-sampled") {
+    import spark.implicits._
+    // 100:1 head/tail skew the uniform testdata never has
+    val counts = Seq(("head", 10000L), ("mid", 1000L), ("tail", 100L))
+      .toDF("source", "n_docs")
+    val m = ops.Curation.temperatureMixOf(counts).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val n = 11100.0
+    // α = 0.7 < 1: weight share must sit above raw share for the tail
+    // source and below it for the head
+    assert(m("tail")._2 > 100.0 / n, m.toString)
+    assert(m("head")._2 < 10000.0 / n, m.toString)
+    // weights normalize and budgets roughly conserve the corpus size
+    val wSum = m.values.map(_._2).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, wSum.toString)
+    val budget = m.values.map(_._3).sum
+    assert(math.abs(budget - 11100L) <= 3, budget.toString)
+  }
+
   test("corpus_shuffle is a permutation: contiguous positions per shard, every doc once") {
     val sh = SparkEntry.queries("corpus_shuffle")(spark, sf01).cache()
     val nDocs = Tables.documents(spark, sf01).count()

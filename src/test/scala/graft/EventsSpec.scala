@@ -14,6 +14,21 @@ import org.apache.spark.sql.types._
   */
 class EventsSpec extends SparkSpecBase {
 
+  test("ewma folds power-of-two weights over the trailing frame exactly") {
+    import spark.implicits._
+    // values 1, 2, 4 → ewma3 = (1·¼ + 2·½ + 4·1) / (¼ + ½ + 1) = 3.0
+    // exactly; a second user pins partition isolation (frame restarts)
+    val ev = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0),
+      (2L, 4L, 8.0)
+    ).toDF("user_id", "event_id", "value")
+    val got = ops.Windows.ewmaOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got === Array(
+      (1L, 1L, 1.0), (1L, 2L, 1.666667), // 2.5/1.5 quantized half-up 6dp
+      (1L, 3L, 3.0), (2L, 4L, 8.0)), got.mkString(","))
+  }
+
   test("join_asof is strict-before with max-event_id tie-break") {
     val dir = Files.createTempDirectory("graft-events").toString
     val schema = StructType(Seq(

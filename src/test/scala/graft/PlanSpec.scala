@@ -106,6 +106,19 @@ class PlanSpec extends SparkSpecBase {
     schemas.foreach(sch => assert(!sch.contains("props"), sch))
   }
 
+  test("ewma is one keyed window, no self-join") {
+    val p = plan("window_ewma")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
+  test("temperature mix broadcasts the 1-row normalizer") {
+    val p = plan("corpus_temperature_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("canonical dedup selection moves ids and lengths, not text") {
     val p = plan("dedup_canonical")
     // text reaches only the simhash signature side; the selection join
