@@ -267,7 +267,13 @@ object Diagnostics {
     import java.math.{BigDecimal => BD, RoundingMode}
     def dec18(x: Double): BD =
       BD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
-    val parts = pcaScan(emb).rdd.mapPartitions { it =>
+    // spread the compute-heavy accumulation across the cluster: a
+    // small parquet file maps to ONE scan partition, which would run
+    // the d²-per-row loop single-threaded; the round-robin exchange
+    // moves each row once and decimal partials are order-free, so the
+    // result is partitioning-invariant
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val parts = pcaScan(emb).repartition(par).rdd.mapPartitions { it =>
       var n = 0L
       var s: Array[BD] = null
       var sp: Array[Array[BD]] = null

@@ -480,6 +480,72 @@ object Events {
     * result is a bounded hours×types aggregate, never data-sized. A
     * production job swaps the sink for files/Kafka in append mode;
     * state stays partitioned by (window, type) either way. */
+  /** Event-type co-occurrence PMI over (user, day) activity groups —
+    * the association-mining primitive behind "users who do X also do
+    * Y" features and anomaly allow-lists: for every type pair, how
+    * much MORE often they share a user-day than independence predicts
+    * (PMI > 0 = attract, < 0 = repel).
+    *
+    * Scale: raw events collapse to distinct (user, day, type) in one
+    * keyed shuffle; pair generation is a self-join KEYED on the
+    * (user, day) group (groups are ≤ |type domain| wide, so the join
+    * amplifies by at most types²/2 per group, never by event volume);
+    * marginals and N ride the same collapsed frame. The PMI table
+    * itself is ≤ types² rows. Determinism: counts are exact integers,
+    * the ratio divides as identical IEEE doubles, and ln() quantizes
+    * to 6 dp (the kit's transcendental recipe). */
+  private def eventsPmi(s: SparkSession, d: String) = {
+    import s.implicits._
+    val udt = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+      .cache()
+    val n = udt.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_days"))
+    val marg = udt.groupBy($"event_type").agg(count(lit(1)).as("c"))
+    val pairs = udt.as("a")
+      .join(udt.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.day" === $"b.day" &&
+          $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select($"event_type".as("type_a"),
+        $"c".as("c_a"))), "type_a")
+      .join(broadcast(marg.select($"event_type".as("type_b"),
+        $"c".as("c_b"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select($"type_a", $"type_b", $"n_ab",
+        roundHalfUp(
+          log(lit(1.0) * $"n_ab" * $"n_days" / ($"c_a" * $"c_b")), 6)
+          .as("pmi"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  private def pmiOracle: String =
+    s"""WITH udt AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+       |  FROM events
+       |),
+       |n AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM udt)),
+       |marg AS (SELECT event_type, COUNT(*) AS c FROM udt GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    COUNT(*) AS n_ab
+       |  FROM udt a JOIN udt b
+       |    ON a.user_id = b.user_id AND a.day = b.day
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.type_a, p.type_b, p.n_ab,
+       |  ${roundHalfUpSql("ln(1.0 * p.n_ab * n.n / (ma.c * mb.c))", 6)}
+       |    AS pmi
+       |FROM pairs p
+       |JOIN marg ma ON ma.event_type = p.type_a
+       |JOIN marg mb ON mb.event_type = p.type_b
+       |CROSS JOIN n
+       |ORDER BY type_a, type_b""".stripMargin
+
   private def streamTumbling(s: SparkSession, d: String) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -500,6 +566,7 @@ object Events {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_pmi", eventsPmi _, pmiOracle),
     OpDef("stream_tumbling", streamTumbling _,
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
