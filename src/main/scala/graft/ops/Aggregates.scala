@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
+import graft.functions.TextFns.{hash60, hash60Sql}
 
 /** Aggregations — SURVEY §2.4 (A1-A12).
   *
@@ -14,6 +15,14 @@ import graft.functions.Exact._
   * aggregate states, not rows — the shape that survives a 100× scale-up.
   */
 object Aggregates {
+
+  // Linear-counting register geometry: 16 words × 60 bits. 60 keeps
+  // every shift strictly below 2^60 — portable signed-BIGINT territory
+  // in both engines (1 << 63 is engine-defined). Declared ahead of
+  // `defs`: the oracle string interpolates these during object init.
+  private val LcWords = 16
+  private val LcBits = 60
+  private val LcM = LcWords * LcBits
 
   /** A1 — group-by + HAVING for duplicate detection (reference
     * `pipeline.py:117-124` app_dupes). */
@@ -310,6 +319,7 @@ object Aggregates {
         |GROUP BY l_orderkey
         |HAVING COUNT(*) >= 5
         |ORDER BY l_orderkey""".stripMargin),
+    OpDef("agg_distinct_sketch", aggDistinctSketch _, distinctSketchOracle),
     OpDef("agg_approx_distinct", aggApproxDistinct _,
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -508,6 +518,91 @@ object Aggregates {
     * key, so memory is O(groups), not O(distinct keys). The exact twin
     * is computed alongside purely as the oracle anchor (see
     * [[HllBound]]); a production job would drop it. */
+  /** [EXT] MERGEABLE distinct-count sketch, fully deterministic —
+    * linear probabilistic counting over md5-derived buckets: per
+    * group, a [[LcM]]-bit register file (as [[LcWords]] OR-able
+    * BIGINT words), estimate −m·ln(empty/m), reported against the
+    * exact recount with relative error. Unlike `approx_count_distinct`
+    * (whose HLL is engine-private, oracle-checkable only as a bound),
+    * every bit here is reproducible in SQL — the oracle verifies the
+    * REGISTERS, not just the estimate.
+    *
+    * Scale: this is the pre-aggregation pattern for distinct counts —
+    * the sketch shuffle carries ≤ groups × 16 longs no matter how
+    * many rows scan (bit_or combines map-side), and stored per-day
+    * registers merge by OR for any date range without rescanning
+    * (the mergeability `COUNT(DISTINCT)` fundamentally lacks). The
+    * exact-recount branch is the verification harness, priced
+    * honestly like `text_heavy_hitters`' recount. */
+  /** Spec hook: the per-(group, word) register file over an arbitrary
+    * (event_type, user_id) frame — the mergeable state itself, so
+    * tests can assert OR-merge semantics across splits. */
+  private[graft] def lcRegisters(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df
+      .select($"event_type",
+        (hash60(concat(lit("lc:"), $"user_id".cast("string"))) % LcM).as("b"))
+      .select($"event_type", expr(s"b div $LcBits").as("word"),
+        expr(s"shiftleft(cast(1 as bigint), cast(b % $LcBits as int))")
+          .as("bit"))
+      .groupBy($"event_type", $"word")
+      .agg(expr("bit_or(bit)").as("w"))
+  }
+
+  private def aggDistinctSketch(s: SparkSession, d: String) = {
+    import s.implicits._
+    val m = LcM
+    val words = lcRegisters(Tables.events(s, d))
+    val sk = words.groupBy($"event_type")
+      .agg(sum(bit_count($"w")).cast("long").as("filled"))
+    val exact = Tables.events(s, d).groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("exact_users"))
+    sk.join(broadcast(exact), "event_type")
+      .withColumn("est_users", roundHalfUp(
+        lit(-1.0) * m * log(
+          nullif(lit(m.toDouble) - $"filled", lit(0.0)) / m), 4))
+      .select($"event_type", lit(m).cast("long").as("m"), $"filled",
+        $"est_users", $"exact_users",
+        roundHalfUp(abs($"est_users" - $"exact_users") / $"exact_users", 4)
+          .as("rel_err"))
+      .orderBy($"event_type")
+  }
+
+  private def distinctSketchOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    ${hash60Sql("'lc:' || user_id")} % $LcM AS b
+       |  FROM events
+       |),
+       |w AS (
+       |  SELECT event_type, b // $LcBits AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(b % $LcBits AS INT)) AS w
+       |  FROM b GROUP BY 1, 2
+       |),
+       |sk AS (
+       |  SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS filled
+       |  FROM w GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1
+       |),
+       |est AS (
+       |  SELECT s.event_type, s.filled, e.exact_users,
+       |    ${roundHalfUpSql(
+          s"-1.0 * $LcM * ln(NULLIF($LcM.0 - s.filled, 0.0) / $LcM)", 4)}
+       |      AS est_users
+       |  FROM sk s JOIN ex e ON e.event_type = s.event_type
+       |)
+       |SELECT event_type, CAST($LcM AS BIGINT) AS m, filled, est_users,
+       |  exact_users,
+       |  ${roundHalfUpSql("ABS(est_users - exact_users) / exact_users", 4)}
+       |    AS rel_err
+       |FROM est
+       |ORDER BY event_type""".stripMargin
+
   private def aggApproxDistinct(s: SparkSession, d: String) = {
     import s.implicits._
     Tables.lineitem(s, d)
@@ -539,4 +634,127 @@ object Aggregates {
           abs($"exact50") * PctBound).as("within_bound"))
       .orderBy($"l_returnflag")
   }
+
+  /** [EXT] Weighted median — the 50% point of the l_quantity-weighted
+    * l_extendedprice distribution per return flag (plain `percentile`
+    * cannot weight rows). Algorithm: collapse to DISTINCT values with
+    * exact decimal weight sums, then one per-group cumulative-weight
+    * window picks the smallest value whose cumulative weight reaches
+    * half the total.
+    *
+    * Scale: the collapse shuffles (group, value) pairs — bounded by
+    * the value domain, not the row count — and the window runs over
+    * those collapsed rows only; raw rows never sort. Ties in the
+    * crossing condition are impossible by construction (cum is summed
+    * over DISTINCT values in value order — no row order ambiguity),
+    * and decimal weights make the 2·cum ≥ tot comparison exact in
+    * both engines. */
+  private def aggWeightedMedian(s: SparkSession, d: String) = {
+    import s.implicits._
+    val byVal = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(sum($"l_quantity".cast("decimal(27,6)")).as("w"))
+    val wCum = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"l_returnflag")
+    byVal
+      .withColumn("cum", sum($"w").over(wCum))
+      .withColumn("tot", sum($"w").over(wTot))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("weighted_median"),
+        max($"tot").cast("double").as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def weightedMedianOracle: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(CAST(l_quantity AS DECIMAL(27,6))) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT l_returnflag, l_extendedprice, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM v
+      |)
+      |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+      |  CAST(MAX(tot) AS DOUBLE) AS total_weight
+      |FROM c
+      |WHERE cum * 2 >= tot
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** [EXT] Per-group OLS fit (slope, intercept, r²) of extended price
+    * on quantity — regression by SUFFICIENT STATISTICS: six decimal
+    * accumulators (n, Σx, Σy, Σxy, Σx², Σy²) in one map-side-combined
+    * pass, closed-form solve on the per-group summary row.
+    *
+    * Scale: this is how regression runs at 100 TB — the shuffle
+    * carries six numbers per group no matter how many rows scan, and
+    * decimal accumulation makes the sums order-free (a double sum
+    * would drift run-to-run at 1000 executors). The closed-form
+    * arithmetic then runs on identical doubles in both engines
+    * (products are quantized to decimal at the row BEFORE summing);
+    * degenerate groups (constant x or y) yield NULL via the shared
+    * NULLIF guard instead of engine-dependent inf/NaN. */
+  private def aggLinearFit(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"l_quantity".cast("decimal(27,6)")).cast("double").as("sx"),
+        sum($"l_extendedprice".cast("decimal(27,6)")).cast("double").as("sy"),
+        sum(($"l_quantity" * $"l_extendedprice").cast("decimal(27,6)"))
+          .cast("double").as("sxy"),
+        sum(($"l_quantity" * $"l_quantity").cast("decimal(27,6)"))
+          .cast("double").as("sxx"),
+        sum(($"l_extendedprice" * $"l_extendedprice").cast("decimal(27,6)"))
+          .cast("double").as("syy"))
+      .withColumn("dxy", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("dxx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("dyy", $"n" * $"syy" - $"sy" * $"sy")
+      .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        roundHalfUp($"dxy" / nullif($"dxx", lit(0.0)), 6).as("slope"),
+        roundHalfUp(
+          ($"sy" - ($"dxy" / nullif($"dxx", lit(0.0))) * $"sx") / $"n", 6)
+          .as("intercept"),
+        roundHalfUp(
+          $"dxy" * $"dxy" / nullif($"dxx" * $"dyy", lit(0.0)), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def linearFitOracle: String =
+    s"""WITH g AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+       |      AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+       |      AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6)))
+       |      AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY 1
+       |),
+       |d AS (
+       |  SELECT l_returnflag, n, sx, sy,
+       |    n * sxy - sx * sy AS dxy,
+       |    n * sxx - sx * sx AS dxx,
+       |    n * syy - sy * sy AS dyy
+       |  FROM g
+       |)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  ${roundHalfUpSql("dxy / NULLIF(dxx, 0.0)", 6)} AS slope,
+       |  ${roundHalfUpSql(
+          "(sy - (dxy / NULLIF(dxx, 0.0)) * sx) / n", 6)} AS intercept,
+       |  ${roundHalfUpSql(
+          "dxy * dxy / NULLIF(dxx * dyy, 0.0)", 6)} AS r2
+       |FROM d
+       |ORDER BY l_returnflag""".stripMargin
 }

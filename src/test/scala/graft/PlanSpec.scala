@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpecBase {
     schemas.foreach(sch => assert(!sch.contains("props"), sch))
   }
 
+  test("distinct sketch combines registers map-side, broadcasts the recount") {
+    val p = plan("agg_distinct_sketch")
+    assert(p.contains("partial_bit_or") || p.contains("merge_bit_or"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ewma is one keyed window, no self-join") {
     val p = plan("window_ewma")
     assert(!p.contains("Join"), p)

@@ -35,6 +35,32 @@ class SketchAggSpec extends SparkSpecBase {
     }
   }
 
+  test("linear-counting registers merge by OR across any split") {
+    import spark.implicits._
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_type"), col("user_id"))
+    val whole = ops.Aggregates.lcRegisters(ev)
+    val a = ops.Aggregates.lcRegisters(ev.filter(col("user_id") % 2 === 0))
+    val b = ops.Aggregates.lcRegisters(ev.filter(col("user_id") % 2 =!= 0))
+    // OR-merge the two halves' register files, compare word-for-word
+    val merged = a.select(col("event_type"), col("word"), col("w"))
+      .unionByName(b.select(col("event_type"), col("word"), col("w")))
+      .groupBy(col("event_type"), col("word"))
+      .agg(expr("bit_or(w)").as("w"))
+    val diff = merged.as("m")
+      .join(whole.as("t"), Seq("event_type", "word"), "full_outer")
+      .filter(col("m.w").isNull || col("t.w").isNull ||
+        col("m.w") =!= col("t.w"))
+    assert(diff.count() === 0)
+  }
+
+  test("linear-counting estimate lands within 10% of exact at sf0.01") {
+    val out = SparkEntry.queries("agg_distinct_sketch")(
+      spark, "/root/testdata/sf0.01")
+    val worst = out.select(max(col("rel_err"))).head().getDouble(0)
+    assert(worst <= 0.10, s"worst rel_err $worst")
+  }
+
   test("catalog entries report within_bound = true everywhere") {
     for (name <- Seq("agg_approx_distinct", "agg_approx_percentile")) {
       val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
