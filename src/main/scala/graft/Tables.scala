@@ -25,15 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as a raw nanos long (legacy conf) and convert to
-    * a microsecond timestamp with integer division (`div`, not `/` —
-    * double division would lose precision on ~1.7e18 nanos values).
-    * DuckDB truncates ns→µs the same way, so oracle parity holds. */
+  /** `events.ts` has shipped as several parquet physical types across
+    * testdata drops; normalize all of them to Spark TimestampType so
+    * every downstream operator (`unix_micros`, watermarks, window
+    * ranges) sees one stable type:
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=false (current drop) —
+    *     reads as TIMESTAMP_NTZ; cast to TIMESTAMP. The session TZ is
+    *     pinned UTC in every entrypoint, so the cast reinterprets the
+    *     same micros value with zero offset (DuckDB reads the file
+    *     natively, so oracle parity holds).
+    *   - TIMESTAMP(NANOS) (older drops) — Spark 4 rejects it outright,
+    *     so read as a raw nanos long via the legacy conf and convert
+    *     with integer division (`div`, not `/`: double division loses
+    *     precision on ~1.7e18 nanos values; DuckDB truncates ns→µs the
+    *     same way).
+    * Branching on the footer type per load means one regenerated file
+    * can't silently break every events-reading operator again. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected TIMESTAMP, TIMESTAMP_NTZ, or legacy nanos LONG")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

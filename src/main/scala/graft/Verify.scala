@@ -24,6 +24,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: surface testdata schema drift as ONE named stderr line
+    // instead of dozens of per-query AnalysisExceptions (round-8 lesson:
+    // events.ts changed parquet physical type and silently zeroed all 24
+    // events-family correctness rows).
+    for (t <- Tables.names) {
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        if (t == "events" &&
+            df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
+          System.err.println(s"[verify][PREFLIGHT] events.ts loads as " +
+            s"${df.schema("ts").dataType}, not TIMESTAMP — testdata schema drift; " +
+            "fix Tables.events before trusting any events-family row")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify][PREFLIGHT] table '$t' failed to load: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

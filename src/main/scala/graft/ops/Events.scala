@@ -553,8 +553,18 @@ object Events {
     // the source path is a single parquet FILE; a non-glob path makes
     // FileStreamSource force basePath = the file itself (which it then
     // rejects), so address it as a glob and the base stays the table dir
-    val src = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
+    // mirror Tables.events: normalize ts to TimestampType whatever the
+    // footer type (legacy nanos long, NTZ micros, or already ltz) —
+    // the watermark below requires TIMESTAMP, and session TZ is UTC so
+    // the NTZ cast is offset-free
+    val src = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
     val q = graft.streaming.EventStream.tumblingCounts(src)
       .writeStream.format("memory").queryName(name)
