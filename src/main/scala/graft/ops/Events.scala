@@ -546,33 +546,80 @@ object Events {
        |CROSS JOIN n
        |ORDER BY type_a, type_b""".stripMargin
 
-  private def streamTumbling(s: SparkSession, d: String) = {
-    import s.implicits._
+  /** Streaming file source over the events table with `ts` normalized
+    * to TimestampType whatever the footer's physical type (legacy
+    * nanos long, NTZ micros, or already ltz — mirrors Tables.events;
+    * watermarks require TIMESTAMP, and the session TZ is pinned UTC so
+    * the NTZ cast is offset-free). */
+  private def streamingEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the source path is a single parquet FILE; a non-glob path makes
     // FileStreamSource force basePath = the file itself (which it then
     // rejects), so address it as a glob and the base stays the table dir
     val raw = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
-    // mirror Tables.events: normalize ts to TimestampType whatever the
-    // footer type (legacy nanos long, NTZ micros, or already ltz) —
-    // the watermark below requires TIMESTAMP, and session TZ is UTC so
-    // the NTZ cast is offset-free
-    val src = schema("ts").dataType match {
+    schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-    val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
-    val q = graft.streaming.EventStream.tumblingCounts(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy($"hour_start", $"event_type")
+  }
+
+  /** Run a finite streaming query (AvailableNow) into a memory sink
+    * and return the sink table.
+    *
+    * The stateful-operator partition count is pinned (for the stream
+    * only — restored after) well below the batch shuffle fan-out: each
+    * micro-batch commits every state-store partition across every
+    * stateful operator, so partitions here price PER-BATCH overhead,
+    * not parallelism — state is keyed by (window, …) groups whose
+    * cardinality is tiny next to the raw stream. At production scale
+    * this is the `spark.sql.shuffle.partitions` the streaming job is
+    * launched with, sized to live-state volume, not to input volume. */
+  private def runStream(s: SparkSession, df: DataFrame, prefix: String,
+                        mode: String): DataFrame = {
+    val name = s"${prefix}_${streamRuns.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+  }
+
+  private def streamTumbling(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.tumblingCounts(
+        streamingEvents(s, d)), "graft_stream_tumbling", "complete")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Oracle-gated run of the two-level streaming quantile twin
+    * ([[graft.streaming.EventStream.windowedValueQuantiles]]). Append
+    * mode emits only windows the final watermark sealed
+    * (window end ≤ max event time − 2 h) — the oracle SQL applies the
+    * same cutoff, so the sealed prefix is compared exactly. */
+  private def streamQuantiles(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.windowedValueQuantiles(
+        streamingEvents(s, d)), "graft_stream_quantiles", "append")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Oracle-gated run of the streaming key-skew twin
+    * ([[graft.streaming.EventStream.windowedKeySkew]]); same sealed-
+    * window contract as [[streamQuantiles]]. */
+  private def streamKeySkew(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.windowedKeySkew(
+        streamingEvents(s, d)), "graft_stream_skew", "append")
+      .orderBy($"hour_start")
   }
 
   val defs: Seq[OpDef] = Seq(
@@ -584,6 +631,44 @@ object Events {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin),
+    OpDef("stream_quantiles", streamQuantiles _,
+      """WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |    CAST(FLOOR(value / 1.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |),
+        |t AS (
+        |  SELECT hour_start, event_type, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY hour_start, event_type) AS n,
+        |    SUM(cnt) OVER (PARTITION BY hour_start, event_type
+        |                   ORDER BY bucket) AS cum
+        |  FROM b
+        |)
+        |SELECT hour_start, event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT))
+        |           THEN bucket END) AS DOUBLE) * 1.0 AS p01_lo,
+        |  CAST(MIN(CASE WHEN cum >= GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+        |           THEN bucket END) AS DOUBLE) * 1.0 AS p99_lo
+        |FROM t
+        |WHERE hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin),
+    OpDef("stream_key_skew", streamKeySkew _,
+      s"""WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+         |kw AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         |    user_id, COUNT(*) AS w
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT hour_start, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(w) AS BIGINT) AS max_width,
+         |  CAST(SUM(w) AS BIGINT) AS n_events,
+         |  ${roundHalfUpSql("1.0 * MAX(w) * COUNT(*) / SUM(w)", 6)} AS skew_ratio
+         |FROM kw
+         |WHERE hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+         |GROUP BY 1
+         |ORDER BY hour_start""".stripMargin),
     OpDef("events_winsorize", eventsWinsorize _,
       """WITH pct AS (
         |  SELECT event_type,

@@ -253,6 +253,75 @@ object EventStream {
       }
   }
 
+  /** Per-(hour, type) bucketed-histogram value quantiles — the
+    * streaming twin of the batch `events_winsorize` percentile pass,
+    * in the SKEW-ROBUST two-level shape (chained windowed
+    * aggregations, the Spark-3.4+ multi-stateful-operator form, append
+    * mode):
+    *
+    *  1. raw rows combine MAP-SIDE into (hour, type, value-bucket)
+    *     counts — a hot (hour, type) pair fans out across its value
+    *     buckets and collapses before the shuffle, so no reducer ever
+    *     sees a hot key's raw rows;
+    *  2. a second windowed agg folds each group's ≤(range/width)-entry
+    *     histogram into interpolation-free p01/p99 bucket bounds via a
+    *     cumulative-count walk (`aggregate` over the bucket-sorted
+    *     entries).
+    *
+    * State: one count per live (hour, type, bucket) at level 1, one
+    * histogram per live (hour, type) at level 2 — both sealed by the
+    * watermark, both independent of row volume. Exact percentiles need
+    * a global sort per group; bucket bounds are the streamable
+    * contract (width = resolution knob), and the SAME plan runs in
+    * batch mode for the parity spec. */
+  def windowedValueQuantiles(events: DataFrame, bucketWidth: Double = 1.0,
+                             watermark: String = "2 hours"): DataFrame = {
+    val bucketed = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        floor(col("value") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // first bucket where the cumulative count reaches ceil(q*n): the
+    // same integer walk the DuckDB oracle runs, so results hash-match
+    def qExpr(q: String): String =
+      s"""CAST(aggregate(hist,
+         |  named_struct('cum', CAST(0 AS BIGINT), 'b', CAST(NULL AS BIGINT)),
+         |  (acc, e) -> IF(acc.b IS NOT NULL, acc, named_struct(
+         |    'cum', acc.cum + e.cnt,
+         |    'b', IF(acc.cum + e.cnt >= GREATEST(CAST(1 AS BIGINT),
+         |                CAST(CEIL($q * n_events) AS BIGINT)),
+         |            e.bucket, CAST(NULL AS BIGINT)))),
+         |  acc -> acc.b) AS DOUBLE) * $bucketWidth""".stripMargin
+    bucketed
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("hist"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"),
+        expr(qExpr("0.01")).as("p01_lo"), expr(qExpr("0.99")).as("p99_lo"))
+  }
+
+  /** Per-hour join-key width/skew report — the streaming twin of the
+    * batch `diag_skew` key-width diagnostic, same two-level chained-
+    * windowed-agg shape as [[windowedValueQuantiles]]: level 1 counts
+    * each (hour, user) width with map-side combine (the hot user's
+    * rows collapse before they move), level 2 reduces KEYS (not rows)
+    * into the per-hour max-width / skew-ratio summary a pipeline
+    * watches to catch a hot key before it melts a downstream join. */
+  def windowedKeySkew(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(count(lit(1)).as("n_keys"), max(col("w")).as("max_width"),
+        sum(col("w")).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("n_keys"),
+        col("max_width"), col("n_events"),
+        graft.functions.Exact.roundHalfUp(
+          lit(1.0) * col("max_width") * col("n_keys") / col("n_events"), 6)
+          .as("skew_ratio"))
+
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-type
     * event counts, emitted every trigger (update mode). The state is
     * one long per key — the minimal template for richer per-key

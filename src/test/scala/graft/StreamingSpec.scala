@@ -264,4 +264,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  // The two-level chained-windowed-agg twins run the SAME plan in batch
+  // mode; streaming parity = the append-mode result equals the batch
+  // result restricted to windows the final watermark sealed
+  // (window end + 2h delay ≤ max event time ⟺ hour_start + 3h ≤ max ts).
+  private def sealedBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, max => fmax}
+    val maxTs = Tables.events(spark, sf).agg(fmax("ts")).head().getTimestamp(0)
+    df.filter(expr("hour_start + INTERVAL 3 HOURS") <= lit(maxTs))
+  }
+
+  test("streaming bucketed quantiles equal the batch plan over sealed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // two chunks so level-1 bucket counts and level-2 histograms both
+    // merge across micro-batches, not in one degenerate batch
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    src.addData(a: _*)
+    src.addData(b: _*)
+    runToTable(EventStream.windowedValueQuantiles(src.toDF()), "squant", "append")
+
+    val got = spark.table("squant")
+    val want = sealedBatch(EventStream.windowedValueQuantiles(
+      Tables.events(spark, sf)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming key-skew report equals the batch plan over sealed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    src.addData(a: _*)
+    src.addData(b: _*)
+    runToTable(EventStream.windowedKeySkew(src.toDF()), "sskew", "append")
+
+    val got = spark.table("sskew")
+    val want = sealedBatch(EventStream.windowedKeySkew(
+      Tables.events(spark, sf)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
