@@ -622,8 +622,169 @@ object Events {
       .orderBy($"hour_start")
   }
 
+  /** Oracle-gated run of the native `session_window` sessionizer
+    * ([[graft.streaming.EventStream.sessionCounts]]). Append mode
+    * emits only sessions the final watermark sealed. Two semantics the
+    * oracle mirrors exactly:
+    *   - `session_window` sessions are half-open [start, last+gap):
+    *     an event landing EXACTLY gap after its predecessor does NOT
+    *     merge (the batch `event_sessions` op merges at exactly gap —
+    *     both conventions are valid; each op's oracle states its own);
+    *   - the watermark is computed in MILLIS (max event time floored
+    *     to ms, minus the delay), so the sealed predicate floors to ms
+    *     before comparing. */
+  private def streamSessions(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.sessionCounts(
+        streamingEvents(s, d)), "graft_stream_sessions", "append")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Oracle-gated run of the stream⋈stream interval join
+    * ([[graft.streaming.EventStream.clickErrorJoin]]). Inner interval
+    * joins emit every match as both sides arrive — the watermark only
+    * bounds buffered state — so once the source drains, the sink holds
+    * exactly the batch join's rows and the oracle needs no sealed
+    * cutoff. */
+  private def streamJoin(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.clickErrorJoin(
+        streamingEvents(s, d)), "graft_stream_join", "append")
+      .orderBy($"error_id", $"click_id")
+  }
+
+  /** Oracle-gated run of the streaming CDC materialized view
+    * ([[graft.streaming.EventStream.latestPerKey]]) against the batch
+    * `cdc_upsert` oracle: replaying the whole changelog through the
+    * keyed-state stream converges to the batch compaction. The memory
+    * sink cannot upsert (update mode APPENDS each trigger's changed
+    * rows), so the wrapper folds the sink to each key's final state —
+    * the row with the greatest version count, exactly what a real
+    * upsert sink (Delta MERGE / JDBC upsert) would retain. */
+  private def streamCdc(s: SparkSession, d: String) = {
+    import s.implicits._
+    val sink = runStream(s, graft.streaming.EventStream.latestPerKey(
+        streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+      "graft_stream_cdc", "update")
+    sink.groupBy($"_1")
+      .agg(expr("max_by(_2, _2.n_versions)").as("last"))
+      .select($"_1".as("user_id"), $"last.ts".as("last_ts"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_type"),
+        $"last.value".as("last_value"),
+        $"last.n_versions".as("n_versions"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle-gated run of the event-time-timeout sessionizer
+    * ([[graft.streaming.EventStream.timeoutSessions]]) — custom
+    * `flatMapGroupsWithState` state through the same DuckDB gate as
+    * the built-in window. Sessions merge at exactly-gap spacing (the
+    * batch op's convention, unlike `session_window`), `session_end` is
+    * the LAST EVENT time (no +gap), and a run is emitted once
+    * `end + gap` falls strictly below the ms-floored watermark —
+    * whether via the per-batch seal check or the state timeout, which
+    * fire under the same horizon. */
+  private def streamSessionsTimeout(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.timeoutSessions(
+        streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+      "graft_stream_sessions_to", "append")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** ms-floored watermark horizon: Spark floors the max event time to
+    * millis before subtracting the delay, so sealed-predicate oracles
+    * must apply the same floor or boundary sessions flip sides. */
+  private def wmCte: String =
+    "wm AS (SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000 AS w_us FROM events)"
+
+  /** Oracle-gated run of the sliding-window twin
+    * ([[graft.streaming.EventStream.slidingCounts]]); append mode,
+    * same sealed-window contract as [[streamQuantiles]] — the oracle
+    * keeps only windows whose end clears the ms-floored watermark. */
+  private def streamSliding(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.slidingCounts(
+        streamingEvents(s, d)), "graft_stream_sliding", "append")
+      .orderBy($"win_start", $"event_type")
+  }
+
   val defs: Seq[OpDef] = Seq(
     OpDef("events_pmi", eventsPmi _, pmiOracle),
+    OpDef("stream_sessions", streamSessions _,
+      s"""WITH $wmCte,
+         |marked AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked
+         |)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |HAVING epoch_us(MAX(ts)) + 1800000000 <= (SELECT w_us FROM wm)
+         |ORDER BY user_id, session_start""".stripMargin),
+    OpDef("stream_join", streamJoin _,
+      """SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+        |ORDER BY error_id, click_id""".stripMargin),
+    OpDef("stream_cdc", streamCdc _,
+      """WITH versioned AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events
+        |)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value, n_versions
+        |FROM versioned WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+    OpDef("stream_sessions_timeout", streamSessionsTimeout _,
+      s"""WITH $wmCte,
+         |marked AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked
+         |)
+         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |HAVING epoch_us(MAX(ts)) + 1800000000 < (SELECT w_us FROM wm)
+         |ORDER BY user_id, session_start""".stripMargin),
+    OpDef("stream_sliding", streamSliding _,
+      s"""WITH $wmCte
+         |SELECT time_bucket(INTERVAL '15 minutes', ts)
+         |    - k.k * INTERVAL '15 minutes' AS win_start,
+         |  event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+         |GROUP BY 1, 2
+         |HAVING epoch_us(win_start + INTERVAL 1 HOUR) <= (SELECT w_us FROM wm)
+         |ORDER BY win_start, event_type""".stripMargin),
     OpDef("stream_tumbling", streamTumbling _,
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,

@@ -689,6 +689,125 @@ object TextAnalysis {
        |FROM agged
        |ORDER BY doc_id""".stripMargin
 
+  // Bigram-LM scorer: bigram table cap and the Stupid Backoff weight.
+  // Like the unigram vocab cap, the pair cap is what makes the model a
+  // fixed-size BROADCAST table at any corpus size — the Brants et al.
+  // "Large Language Models in Machine Translation" recipe: keep the
+  // frequent n-grams exactly, back off everything else with a constant
+  // penalty (0.4) to the lower order.
+  private val BigramTab = 4096
+
+  /** Per-document cross-entropy under a BIGRAM LM with Stupid Backoff —
+    * the order-2 upgrade of [[textLmScore]] that catches word-salad
+    * documents whose unigram distribution looks fine (shuffled text has
+    * identical unigram CE but collapses under a bigram model).
+    *
+    * Model = two capped broadcast tables trained in one pass each:
+    * the top-[[BigramTab]] (prev, cur) pairs carrying their exact pair
+    * AND context counts, and the [[LmVocab]]-capped unigram vocab.
+    * Scoring: a seen pair gets add-one conditional
+    * `ln((c_ab+1)/(c_a+V+1))`; an unseen pair backs off to
+    * `ln(0.4 · p_uni(cur))`; a document's first token scores
+    * `ln(p_uni)` directly. Bigram instances are built ROW-LOCAL from
+    * the token array (adjacent zip — no posexplode, no position
+    * window), so the only shuffles are the two training counts and the
+    * doc-keyed combine; both model joins are broadcast. Per-instance
+    * log-probs quantize to 9 decimals and sum as DECIMAL — combine
+    * order cannot perturb a score. */
+  private def textLmBigram(s: SparkSession, d: String) =
+    lmBigram(s, Tables.documents(s, d))
+
+  /** [[textLmBigram]] over an arbitrary (doc_id, text) frame (spec
+    * hook — pins the backoff and first-token paths on a corpus where
+    * specific pairs are absent). */
+  private[graft] def lmBigram(s: SparkSession, docs: DataFrame) = {
+    import s.implicits._
+    val inst = docs
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(w) < 1 THEN array()
+          |ELSE transform(sequence(1, size(w)), i -> named_struct(
+          |  'a', IF(i = 1, CAST(NULL AS STRING), element_at(w, i - 1)),
+          |  'b', element_at(w, i))) END""".stripMargin)).as("p"))
+      .select($"doc_id", $"p.a", $"p.b")
+    val uni = inst.groupBy($"b".as("term")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum($"c").cast("double").as("n"))
+    val vocab = uni.orderBy($"c".desc, $"term".asc).limit(LmVocab)
+    val pairs = inst.filter($"a".isNotNull)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      .join(uni.select($"term".as("a"), $"c".as("c_a")), Seq("a"))
+      .orderBy($"c_ab".desc, $"a".asc, $"b".asc).limit(BigramTab)
+    inst
+      .join(broadcast(pairs), Seq("a", "b"), "left")
+      .join(broadcast(vocab.select($"term".as("b"), $"c".as("c_b"))),
+        Seq("b"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("p_uni",
+        (coalesce($"c_b", lit(0L)) + 1).cast("double") / ($"n" + lit(LmVocab + 1)))
+      .withColumn("logp", roundHalfUp(
+        when($"a".isNull, log($"p_uni"))
+          .when($"c_ab".isNotNull,
+            log(($"c_ab" + 1).cast("double") / ($"c_a" + lit(LmVocab + 1))))
+          .otherwise(log(lit(0.4) * $"p_uni")), 9))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countWhen($"a".isNotNull && $"c_ab".isNull).as("n_backoff"),
+        sum($"logp".cast("decimal(27,18)")).as("slp"))
+      .select($"doc_id", $"n_tokens", $"n_backoff",
+        roundHalfUp(-($"slp".cast("double")) / $"n_tokens", 6)
+          .as("cross_entropy"))
+      .withColumn("ppl", roundHalfUp(exp($"cross_entropy"), 4))
+      .orderBy($"doc_id")
+  }
+
+  private def lmBigramOracle: String =
+    s"""WITH inst AS (
+       |  SELECT doc_id, s.a, s.b FROM (
+       |    SELECT doc_id,
+       |      unnest([{'a': CASE WHEN i = 1 THEN NULL ELSE w[CAST(i AS INT) - 1] END,
+       |               'b': w[CAST(i AS INT)]}
+       |              for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))
+       |),
+       |uni AS (SELECT b AS term, COUNT(*) AS c FROM inst GROUP BY b),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+       |vocab AS (SELECT term, c FROM uni ORDER BY c DESC, term ASC LIMIT $LmVocab),
+       |pairs AS (
+       |  SELECT p.a, p.b, p.c_ab, u.c AS c_a FROM (
+       |    SELECT a, b, COUNT(*) AS c_ab FROM inst WHERE a IS NOT NULL
+       |    GROUP BY a, b) p
+       |  JOIN uni u ON u.term = p.a
+       |  ORDER BY p.c_ab DESC, p.a ASC, p.b ASC LIMIT $BigramTab
+       |),
+       |scored AS (
+       |  SELECT i.doc_id, i.a IS NOT NULL AND pr.c_ab IS NULL AS backoff,
+       |    ${roundHalfUpSql(
+              s"""CASE
+                 |      WHEN i.a IS NULL
+                 |        THEN ln((COALESCE(v.c, 0) + 1.0) / (t.n + ${LmVocab + 1}))
+                 |      WHEN pr.c_ab IS NOT NULL
+                 |        THEN ln((pr.c_ab + 1.0) / (pr.c_a + ${LmVocab + 1}))
+                 |      ELSE ln(0.4 * (COALESCE(v.c, 0) + 1.0) / (t.n + ${LmVocab + 1}))
+                 |    END""".stripMargin, 9)} AS logp
+       |  FROM inst i
+       |  LEFT JOIN pairs pr ON i.a = pr.a AND i.b = pr.b
+       |  LEFT JOIN vocab v ON i.b = v.term
+       |  CROSS JOIN tot t
+       |),
+       |agged AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |    ${roundHalfUpSql(
+            "-CAST(SUM(CAST(logp AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)",
+            6)} AS cross_entropy
+       |  FROM agged_src GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_backoff, cross_entropy,
+       |  ${roundHalfUpSql("exp(cross_entropy)", 4)} AS ppl
+       |FROM agged
+       |ORDER BY doc_id""".stripMargin
+      .replace("FROM agged_src", "FROM scored")
+
   // Cross-document duplicate-span coverage: span width in tokens. 8
   // whitespace tokens ≈ the 50-character windows the ExactSubstr line
   // of work deduplicates on.
@@ -852,6 +971,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_tfidf", textTfidf _, tfidfOracle),
     OpDef("text_lm_score", textLmScore _, lmScoreOracle),
+    OpDef("text_lm_bigram", textLmBigram _, lmBigramOracle),
     OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),

@@ -102,6 +102,25 @@ object Windows {
     * `epoch_us` — the engines' shared integer time axis); one shuffle
     * on user_id like every partitioned window; DECIMAL value sums so
     * frame evaluation order cannot perturb totals. */
+  /** Sliding event-time windows (1 h window, 15 min slide): each event
+    * lands in window/slide = 4 overlapping buckets. Spark's `window()`
+    * expands the 4 (win_start, row) assignments INSIDE the scan
+    * project (a generator, row-local) and the aggregation map-side
+    * combines per (window, type) — so the shuffle carries ≤ 4×groups
+    * aggregate states, never 4× the data, and the same expression is
+    * the streaming sliding-window form under a watermark. The oracle
+    * mirrors the expansion with an explicit 4-offset cross join. */
+  private def windowSliding(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sumExact($"value").as("total_value"))
+      .select($"window.start".as("win_start"), $"event_type",
+        $"n_events", $"total_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
   private def windowRangeFrame(s: SparkSession, d: String) = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"tsu")
@@ -241,6 +260,14 @@ object Windows {
        |ORDER BY user_id, event_id""".stripMargin
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("window_sliding", windowSliding _,
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |    - k.k * INTERVAL '15 minutes' AS win_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin),
     OpDef("window_ewma", windowEwma _, ewmaOracle),
     OpDef("window_rolling_distinct", windowRollingDistinct _,
       """WITH ud AS (

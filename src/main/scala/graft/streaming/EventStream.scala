@@ -39,6 +39,21 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows on a 15-minute slide — the streaming form
+    * of the batch `window_sliding` op: each event feeds 4 overlapping
+    * windows (expanded row-local by the `window()` generator before
+    * the map-side combine), state is one aggregate per live
+    * (window, type), and the watermark seals windows for append-mode
+    * emission. Same decimal-exact accumulation as [[tumblingCounts]]. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.sumExact(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessions via Spark's native `session_window` — the
     * streaming counterpart of the batch `event_sessions` op (30-minute
     * inactivity gap). */
@@ -224,15 +239,12 @@ object EventStream {
       .flatMapGroupsWithState[Pending, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[Pending]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the LAST run's gap horizon → every
-            // buffered run is sealed; flush them all
-            val all = runs(state.get.ts.toArray.sorted)
-            state.remove()
-            emit(uid, all)
-          } else {
-            val buf = (state.getOption.map(_.ts).getOrElse(Seq.empty[Long]) ++
-              rows.map(e => micros(e.ts))).toArray.sorted
+          // seal-and-rearm shared by both entry paths: emit the closed
+          // prefix, keep the rest, and arm the timeout on the EARLIEST
+          // pending run's gap horizon — arming on the last run's would
+          // hold a user's sealed early sessions hostage to their recent
+          // activity (a perpetually-active key would never flush)
+          def seal(buf: Array[Long]): Iterator[Session] = {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             // run ends increase across runs, so "sealed" is a prefix:
             // a run is closed once no admissible event can reach it
@@ -245,11 +257,14 @@ object EventStream {
               // horizon UP so the timeout never fires a hair early, and
               // keep it strictly above the current watermark (API contract)
               state.setTimeoutTimestamp(Math.max(
-                Math.floorDiv(pending.last.end + gapUs + 999, 1000),
+                Math.floorDiv(pending.head.end + gapUs + 999, 1000),
                 state.getCurrentWatermarkMs() + 1))
             }
             emit(uid, closed)
           }
+          if (state.hasTimedOut) seal(state.get.ts.toArray.sorted)
+          else seal((state.getOption.map(_.ts).getOrElse(Seq.empty[Long]) ++
+            rows.map(e => micros(e.ts))).toArray.sorted)
       }
   }
 

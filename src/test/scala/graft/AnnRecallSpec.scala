@@ -50,4 +50,18 @@ class AnnRecallSpec extends SparkSpecBase {
       .filter(col("c_single") > col("c_floor"))
     assert(demoted.count() === 0)
   }
+
+  test("range search contains every single-probe pair above its radius") {
+    // ann_range_search probes a SUPERSET of ann_lsh's buckets (own +
+    // Hamming-1), so any same-bucket pair at cosine ≥ 0.3 must appear
+    // in the range result — and every returned pair honors the radius.
+    val range = run("ann_range_search").cache()
+    assert(range.filter(col("cosine") < 0.3).count() === 0)
+    val missing = run("ann_lsh")
+      .filter(col("cosine") >= 0.3).select("query_id", "cand_id")
+      .join(range.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+    assert(missing.count() === 0)
+    range.unpersist()
+  }
 }

@@ -44,6 +44,40 @@ class LmCurationSpec extends SparkSpecBase {
     r.unpersist()
   }
 
+  test("lmBigram: rare word order scores worse; past the pair cap, backoff engages") {
+    // 20 copies of one 6-token sentence plus one reversed copy. The
+    // model trains on the whole corpus (pair cap 4096 >> distinct
+    // pairs), so even the reversed doc's pairs are IN the table — with
+    // count 1 against the natural pairs' 20/21. Unigram CE is identical
+    // by construction (same token multiset); only the bigram order
+    // statistics separate them.
+    val docs = spark.range(20)
+      .select(col("id").as("doc_id"), lit("the cat sat on a mat").as("text"))
+      .union(Seq((100L, "mat a on sat cat the")).toDF("doc_id", "text"))
+    val r = ops.TextAnalysis.lmBigram(spark, docs).cache()
+    assert(r.count() === 21)
+    assert(r.filter(col("n_backoff") =!= 0).count() === 0)
+    val ceNat = r.filter(col("doc_id") === 0).head.getAs[Double]("cross_entropy")
+    val ceScr = r.filter(col("doc_id") === 100).head.getAs[Double]("cross_entropy")
+    assert(ceScr > ceNat)
+    r.unpersist()
+
+    // The backoff path needs the cap to bite: 5000 docs "x tN" make
+    // 5000 distinct equal-count pairs; the table keeps 4096, so 904
+    // docs back off — and every backoff doc scores strictly worse than
+    // every table doc (0.4-penalized unigram < add-one conditional).
+    val caps = spark.range(5000)
+      .select(col("id").as("doc_id"), concat(lit("x t"), col("id")).as("text"))
+    val c = ops.TextAnalysis.lmBigram(spark, caps).cache()
+    assert(c.filter(col("n_backoff") === 1).count() === 5000 - 4096)
+    val maxTab = c.filter(col("n_backoff") === 0)
+      .agg(max("cross_entropy")).head.getDouble(0)
+    val minBo = c.filter(col("n_backoff") === 1)
+      .agg(min("cross_entropy")).head.getDouble(0)
+    assert(minBo > maxTab)
+    c.unpersist()
+  }
+
   test("text_dup_spans: n_spans == n_tokens - 7 for every testdata doc") {
     val spans = SparkEntry.queries("text_dup_spans")(spark, sf)
     val toks = SparkEntry.queries("text_stats")(spark, sf)

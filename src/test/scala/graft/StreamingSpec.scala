@@ -178,6 +178,36 @@ class StreamingSpec extends SparkSpecBase {
       (2L, t("2024-06-01 00:45:00"), t("2024-06-01 01:00:00"), 2L)))
   }
 
+  test("a sealed early session flushes while its key's later session stays open") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStream.timeoutSessions(src.toDS()).toDF()
+      .writeStream.format("memory").queryName("earlyflush")
+      .outputMode("append").start()
+    def ev(id: Long, uid: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "view", 0.0)
+    // user 1: session A at 00:00 and session B at 05:00, both parked.
+    // The timeout must arm on A's horizon (00:30), not B's (05:30) —
+    // otherwise a perpetually-active key holds its sealed early
+    // sessions hostage.
+    src.addData(ev(1, 1, "2024-06-01 00:00:00"), ev(2, 1, "2024-06-01 05:00:00"))
+    q.processAllAvailable()
+    // watermark reaches 03:00 (max 05:00 − 2h): past A's horizon,
+    // short of B's. Two sentinel batches: wm updates between batches.
+    src.addData(ev(-1, -1, "2024-06-01 05:00:00"))
+    q.processAllAvailable()
+    src.addData(ev(-2, -1, "2024-06-01 05:00:01"))
+    q.processAllAvailable()
+    val got = spark.table("earlyflush").filter($"user_id" === 1)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    q.stop()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A emitted alone; B still buffered when the query stops
+    assert(got === Set((t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00"), 1L)))
+  }
+
   test("foreachBatch idempotent sink: a replayed batch id never duplicates rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toString
