@@ -74,6 +74,28 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  private val ReservoirK = 500
+
+  /** Exact-K deterministic global sample — the distributed reservoir:
+    * rank every doc by a keyed md5 priority and keep the K smallest.
+    * `orderBy(pri).limit(K)` plans as TakeOrderedAndProject: each
+    * partition keeps a local top-K and the driver merges P×K candidate
+    * rows — no global sort, no corpus shuffle, and the SAME K rows
+    * come back under any partitioning or ingest order (the
+    * reproducibility `TABLESAMPLE`/`rand()` reservoirs lack, and the
+    * exact-count guarantee `sample_hash`'s Bernoulli filter lacks).
+    * K bounds driver memory; for K beyond driver comfort, pre-filter
+    * per partition by rank first (the `domain_cap` shape). */
+  private def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        hash60(concat(lit("rsv:"), $"doc_id".cast("string"))).as("pri"))
+      .orderBy($"pri".asc, $"doc_id".asc)
+      .limit(ReservoirK)
+      .orderBy($"doc_id")
+  }
+
   // Sampling temperature for source re-balancing (the multilingual-
   // corpus convention: q_i ∝ p_i^α flattens head sources, α < 1).
   private val MixAlpha = 0.7
@@ -392,6 +414,14 @@ object Curation {
          |ORDER BY p.lang""".stripMargin),
     OpDef("corpus_temperature_mix", corpusTemperatureMix _,
       temperatureMixOracle),
+    OpDef("sample_reservoir", sampleReservoir _,
+      s"""SELECT doc_id, source, pri FROM (
+         |  SELECT doc_id, source,
+         |    ${hash60Sql("'rsv:' || doc_id")} AS pri
+         |  FROM documents
+         |  ORDER BY pri ASC, doc_id ASC LIMIT $ReservoirK
+         |)
+         |ORDER BY doc_id""".stripMargin),
     OpDef("sample_stratified", sampleStratified _,
       s"""WITH quotas AS (
          |  SELECT lang, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS quota

@@ -624,6 +624,128 @@ object Dedup {
        |WHERE x.doc_id IS NULL
        |ORDER BY e.doc_id""".stripMargin
 
+  /** Per-source pipeline observability report: where each document
+    * EXITS the prep pipeline — quality gate, exact dedup, near-dup
+    * removal, or kept — plus the kept rate. The report a 100 TB
+    * corpus-prep run publishes next to its output: data loss is a
+    * per-source number someone signs off on, and a source whose kept
+    * rate collapses between runs is the first symptom of a bad crawl
+    * or a dedup regression.
+    *
+    * Same stages, constants, and survivor rules as `pipeline_docprep`
+    * (quality ≥ 5 tokens & ≥ 60 % alphabetic → content-hash min-id
+    * exact dedup → width-capped banded minhash, sketch-estimate ≥ 0.75,
+    * drop the larger id). Classification joins the stage frames back
+    * on doc_id (ids + small flags only — text never moves again) and
+    * the final aggregate is one map-side-combined count onto #sources
+    * rows, so the report adds two id-keyed joins to the pipeline it
+    * observes. */
+  private def dedupReport(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val staged = spread
+      .withColumn("norm", normalizeText($"text"))
+      .withColumn("w", tokens($"text"))
+      .withColumn("q_ok", size($"w") >= 5 &&
+        length(regexp_replace($"norm", "[^a-z]", "")) * lit(10) >=
+          length($"norm") * lit(6))
+    val byHash = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
+    val quality = staged.filter($"q_ok")
+      .withColumn("content_hash", md5($"norm"))
+      .withColumn("rn", row_number().over(byHash))
+      .cache()
+    val signed = quality.filter($"rn" === 1)
+      .withColumn("grams", wordShingles("w", 3))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+      .cache()
+    val dropB = bandCandidates(signed, MaxBucket)
+      .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+      .filter(expr("vec_match_count(sa, sb)") / lit(MinHash.H.toDouble) >= 0.75)
+      .select($"doc_b".as("doc_id")).distinct()
+    staged.select($"doc_id", $"source", $"q_ok")
+      .join(quality.select($"doc_id", $"rn"), Seq("doc_id"), "left")
+      .join(dropB.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .withColumn("status",
+        when(!$"q_ok", "quality_fail")
+          .when($"rn" > 1, "exact_dup")
+          .when($"nd", "near_dup")
+          .otherwise("kept"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countWhen($"status" === "quality_fail").as("n_quality_fail"),
+        countWhen($"status" === "exact_dup").as("n_exact_dup"),
+        countWhen($"status" === "near_dup").as("n_near_dup"),
+        countWhen($"status" === "kept").as("n_kept"))
+      .withColumn("kept_rate", roundHalfUp(lit(1.0) * $"n_kept" / $"n_docs", 6))
+      .orderBy($"source")
+  }
+
+  private def dedupReportOracle: String =
+    s"""WITH q0 AS (
+       |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |    ${tokensSql("text")} AS w
+       |  FROM documents
+       |),
+       |quality AS (
+       |  SELECT doc_id, norm, w,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id ASC) AS rn
+       |  FROM q0
+       |  WHERE len(w) >= 5
+       |    AND len(regexp_replace(norm, '[^a-z]', '', 'g')) * 10 >= len(norm) * 6
+       |),
+       |exact AS (SELECT doc_id, w FROM quality WHERE rn = 1),
+       |grams AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS grams
+       |  FROM exact WHERE len(w) >= 3
+       |),
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (SELECT doc_id, ${MinHash.baseSql("g")} AS b FROM gx),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql,
+       |dropb AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b
+       |  WHERE CAST($sigMatchesSql AS BIGINT) / ${MinHash.H}.0 >= 0.75
+       |),
+       |status AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN q.doc_id IS NULL THEN 'quality_fail'
+       |         WHEN q.rn > 1 THEN 'exact_dup'
+       |         WHEN x.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS status
+       |  FROM documents d
+       |  LEFT JOIN quality q ON q.doc_id = d.doc_id
+       |  LEFT JOIN dropb x ON x.doc_id = d.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN status = 'quality_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${roundHalfUpSql(
+            "1.0 * SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) / COUNT(*)",
+            6)} AS kept_rate
+       |FROM status
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   private val SimBits = 32
@@ -1007,6 +1129,7 @@ object Dedup {
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),
-    OpDef("pipeline_docprep", docPrep _, docPrepOracle)
+    OpDef("pipeline_docprep", docPrep _, docPrepOracle),
+    OpDef("dedup_report", dedupReport _, dedupReportOracle)
   )
 }

@@ -129,6 +129,106 @@ object Events {
       .orderBy($"user_id", $"error_id")
   }
 
+  /** Nearest-neighbor as-of join — the symmetric sibling of
+    * [[joinAsof]]: every 'error' matched to the CLOSEST same-user
+    * 'click' in either direction (sensor alignment / "which action is
+    * this error about" semantics, where a click moments after the
+    * error is a better explanation than one an hour before). One
+    * union + two carry windows over the SAME user partitioning — the
+    * backward carry of [[joinAsof]] plus its forward mirror — so the
+    * data shuffles once and sorts twice in-partition; ties between the
+    * two directions break to the earlier (backward) click. Strictly
+    * same-timestamp clicks are excluded on both sides, matching
+    * [[joinAsof]]'s strict bound; tie-on-ts clicks collapse to the max
+    * event_id first so both carries are deterministic. `micros_offset`
+    * is signed (negative = click before error). */
+  private def joinAsofNearest(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"event_type".isin("click", "error"))
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
+      .select($"user_id", $"event_id", $"ts", lit(true).as("is_click"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ts", lit(false).as("is_click"))
+    val wp = Window.partitionBy($"user_id").orderBy($"tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy($"user_id").orderBy($"tsu")
+      .rangeBetween(1, Window.unboundedFollowing)
+    clicks.unionByName(errors)
+      .withColumn("tsu", unix_micros($"ts"))
+      .withColumn("prev_id",
+        last(when($"is_click", $"event_id"), ignoreNulls = true).over(wp))
+      .withColumn("prev_tsu",
+        last(when($"is_click", $"tsu"), ignoreNulls = true).over(wp))
+      .withColumn("next_id",
+        first(when($"is_click", $"event_id"), ignoreNulls = true).over(wn))
+      .withColumn("next_tsu",
+        first(when($"is_click", $"tsu"), ignoreNulls = true).over(wn))
+      .filter(!$"is_click")
+      .withColumn("take_prev", $"next_tsu".isNull ||
+        ($"prev_tsu".isNotNull &&
+          ($"tsu" - $"prev_tsu") <= ($"next_tsu" - $"tsu")))
+      .select($"user_id", $"event_id".as("error_id"), $"ts".as("error_ts"),
+        when($"take_prev", $"prev_id").otherwise($"next_id").as("click_id"),
+        timestamp_micros(
+          when($"take_prev", $"prev_tsu").otherwise($"next_tsu")).as("click_ts"),
+        (when($"take_prev", $"prev_tsu").otherwise($"next_tsu") - $"tsu")
+          .as("micros_offset"))
+      .orderBy($"user_id", $"error_id")
+  }
+
+  private def asofNearestOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type FROM events
+      |  WHERE event_type IN ('click', 'error')
+      |),
+      |clicks AS (
+      |  SELECT user_id, ts, MAX(event_id) AS event_id, TRUE AS is_click
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+      |),
+      |errors AS (
+      |  SELECT user_id, event_id, ts, FALSE AS is_click
+      |  FROM ev WHERE event_type = 'error'
+      |),
+      |u AS (
+      |  SELECT *, epoch_us(ts) AS tsu FROM (
+      |    SELECT user_id, event_id, ts, is_click FROM clicks
+      |    UNION ALL
+      |    SELECT user_id, event_id, ts, is_click FROM errors)
+      |),
+      |c AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+      |      OVER wp AS prev_id,
+      |    last_value(CASE WHEN is_click THEN tsu END IGNORE NULLS)
+      |      OVER wp AS prev_tsu,
+      |    first_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+      |      OVER wn AS next_id,
+      |    first_value(CASE WHEN is_click THEN tsu END IGNORE NULLS)
+      |      OVER wn AS next_tsu
+      |  FROM u
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY tsu
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  wn AS (PARTITION BY user_id ORDER BY tsu
+      |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |),
+      |chosen AS (
+      |  SELECT *,
+      |    next_tsu IS NULL OR (prev_tsu IS NOT NULL
+      |      AND tsu - prev_tsu <= next_tsu - tsu) AS take_prev
+      |  FROM c WHERE NOT is_click
+      |)
+      |SELECT user_id, event_id AS error_id, ts AS error_ts,
+      |  CASE WHEN take_prev THEN prev_id ELSE next_id END AS click_id,
+      |  make_timestamp(CASE WHEN take_prev THEN prev_tsu ELSE next_tsu END)
+      |    AS click_ts,
+      |  (CASE WHEN take_prev THEN prev_tsu ELSE next_tsu END) - tsu
+      |    AS micros_offset
+      |FROM chosen
+      |ORDER BY user_id, error_id""".stripMargin
+
   /** Range join — interval containment of events in a generated table
     * of 2-hour windows (every other 6-hour slot of January 2024, the
     * deterministic stand-in for a maintenance-window dimension). A
@@ -953,6 +1053,7 @@ object Events {
         |ORDER BY stage""".stripMargin),
     OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
     OpDef("join_range", joinRange _, rangeOracle),
+    OpDef("join_asof_nearest", joinAsofNearest _, asofNearestOracle),
     OpDef("join_asof", joinAsof _,
       """WITH clicks AS (
         |  SELECT user_id, MAX(event_id) AS event_id, ts
