@@ -45,6 +45,38 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("rank_bm25").contains("TakeOrderedAndProject"))
   }
 
+  test("reservoir sample plans as TakeOrdered, never a full sort") {
+    assert(plan("sample_reservoir").contains("TakeOrderedAndProject"))
+  }
+
+  test("sliding windows expand row-local and combine map-side") {
+    val p = plan("window_sliding")
+    // the 4-assignment window expansion is an Expand inside the scan
+    // stage, and the aggregate runs partial (map-side) before the
+    // exchange — the shuffle carries states, never 4x the data
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("nearest as-of join is carry windows, never a join") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("Join"), p)
+    // clicks tie-collapse + the shared user-keyed carry windows: at
+    // most two hash exchanges, no nested loop anywhere
+    assert("hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("range search scores through bucket hash joins, not nested loops") {
+    val p = plan("ann_range_search")
+    // the only nested-loops are the planes broadcast (a ≤ 6-row
+    // constant table crossed into the signature pass — every LSH op's
+    // shape; planned once per branch, so ≤ 2); candidate generation
+    // and the vector re-join are hash equi-joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("bm25 broadcasts df and corpus stats; term filter is pushed") {
     val p = plan("rank_bm25")
     assert(p.contains("BroadcastHashJoin"), p)

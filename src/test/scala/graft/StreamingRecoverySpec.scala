@@ -67,4 +67,53 @@ class StreamingRecoverySpec extends SparkSpecBase {
       want.exceptAll(got).count() === 0,
       "recovered totals differ from the batch twin")
   }
+
+  test("session state survives a stop/restart and merges cross-batch runs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_s").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+
+    // split by event_id PARITY so each user's timeline interleaves
+    // across the two file batches: almost every recovered session must
+    // MERGE batch-2 events into batch-1 session state — a lost or
+    // miscarried state shows up as split sessions, not just undercounts
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val firstHalf = events.filter($"event_id" % 2 === 0)
+    val secondHalf = events.filter($"event_id" % 2 =!= 0)
+    firstHalf.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    def startQuery(name: String) = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      EventStream.sessionCounts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    val q1 = startQuery("srecovery_run1")
+    q1.processAllAvailable()
+    q1.stop()
+
+    secondHalf.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val q2 = startQuery("srecovery_run2")
+    q2.processAllAvailable()
+    val progress = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    assert(progress === secondHalf.count(),
+      s"restart re-read old files: $progress rows")
+
+    val got = spark.table("srecovery_run2")
+      .select($"user_id", $"session_start", $"n_events")
+    val want = SparkEntry.queries("event_sessions")(spark, sf)
+      .select($"user_id", $"session_start", $"n_events")
+    assert(got.count() === want.count(), "session count differs")
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "recovered sessions differ from the batch twin")
+  }
 }
