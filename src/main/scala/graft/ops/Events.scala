@@ -776,6 +776,37 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Oracle-gated run of the `transformWithState` CDC processor
+    * ([[graft.streaming.EventStream.latestPerKeyTws]]) — Spark 4's
+    * arbitrary-stateful-processing API through the same DuckDB gate as
+    * the `mapGroupsWithState` form (`stream_cdc`): identical survivor
+    * order, identical oracle. The RocksDB state-store provider is
+    * pinned for the query (the only provider implementing the new
+    * API's state encoding) and restored after. */
+  private def streamCdcTws(s: SparkSession, d: String) = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink =
+      try runStream(s, graft.streaming.EventStream.latestPerKeyTws(
+          streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+        "graft_stream_cdc_tws", "update")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    sink.groupBy($"_1")
+      .agg(expr("max_by(_2, _2.n_versions)").as("last"))
+      .select($"_1".as("user_id"), $"last.ts".as("last_ts"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_type"),
+        $"last.value".as("last_value"),
+        $"last.n_versions".as("n_versions"))
+      .orderBy($"user_id")
+  }
+
   /** Oracle-gated run of the event-time-timeout sessionizer
     * ([[graft.streaming.EventStream.timeoutSessions]]) — custom
     * `flatMapGroupsWithState` state through the same DuckDB gate as
@@ -843,6 +874,18 @@ object Events {
         | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
         |ORDER BY error_id, click_id""".stripMargin),
     OpDef("stream_cdc", streamCdc _,
+      """WITH versioned AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events
+        |)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value, n_versions
+        |FROM versioned WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+    OpDef("stream_cdc_tws", streamCdcTws _,
       """WITH versioned AS (
         |  SELECT user_id, ts, event_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id

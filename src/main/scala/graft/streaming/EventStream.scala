@@ -132,6 +132,55 @@ object EventStream {
       }
   }
 
+  /** [[latestPerKey]] re-expressed on Spark 4's `transformWithState` —
+    * the arbitrary-stateful-processing API that supersedes
+    * `mapGroupsWithState`: named typed state variables (value/list/map)
+    * with optional TTL, timers, and schema evolution, backed by the
+    * RocksDB state store (the only provider implementing the new state
+    * encoding — `runStream` pins it for the query). One
+    * `ValueState[Latest]` per user holds the survivor under the SAME
+    * (ts, event_id) total order as the batch `cdc_upsert`, so replaying
+    * the changelog through this processor converges to the batch
+    * compaction under any micro-batch slicing — proven through the
+    * DuckDB gate (`stream_cdc_tws`). At scale the win over
+    * mapGroupsWithState is operational: per-variable TTL bounds state
+    * without hand-rolled timeout logic, and RocksDB spills state off
+    * the executor heap. */
+  class LatestProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Latest)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Latest] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Latest]("latest",
+        org.apache.spark.sql.Encoders.product[Latest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Latest)] = {
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.foreach { e =>
+        val newer = cur.forall { c =>
+          val cmp = e.ts.compareTo(c.ts)
+          cmp > 0 || (cmp == 0 && e.event_id > c.event_id)
+        }
+        val n = cur.map(_.n_versions).getOrElse(0L) + 1
+        cur =
+          if (newer) Some(Latest(e.ts, e.event_id, e.event_type, e.value, n))
+          else Some(cur.get.copy(n_versions = n))
+      }
+      state.update(cur.get)
+      Iterator.single(key -> cur.get)
+    }
+  }
+
+  def latestPerKeyTws(events: Dataset[Event]): Dataset[(Long, Latest)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: every error event matched to the
     * same user's click events in the preceding 10 minutes — the
     * attribution/funnel join, and the one streaming shape none of the

@@ -295,6 +295,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("transformWithState latest-wins converges to the batch cdc_upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Event]
+      // three chunks: survivors must be carried in RocksDB-backed
+      // ValueState and beaten across micro-batches
+      val third = eventRows.size / 3
+      src.addData(eventRows.take(third): _*)
+      src.addData(eventRows.slice(third, 2 * third): _*)
+      src.addData(eventRows.drop(2 * third): _*)
+      runToTable(
+        EventStream.latestPerKeyTws(src.toDS())
+          .map { case (k, l) =>
+            (k, l.ts, l.event_id, l.event_type, l.value, l.n_versions) }
+          .toDF("user_id", "last_ts", "last_event_id", "last_type",
+            "last_value", "n_versions"),
+        "latest_tws", "update")
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n_versions".desc)
+      val got = spark.table("latest_tws")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      val want = SparkEntry.queries("cdc_upsert")(spark, sf)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   // The two-level chained-windowed-agg twins run the SAME plan in batch
   // mode; streaming parity = the append-mode result equals the batch
   // result restricted to windows the final watermark sealed
