@@ -783,20 +783,28 @@ object Events {
     * order, identical oracle. The RocksDB state-store provider is
     * pinned for the query (the only provider implementing the new
     * API's state encoding) and restored after. */
-  private def streamCdcTws(s: SparkSession, d: String) = {
-    import s.implicits._
+  /** Run `body` with the RocksDB state-store provider pinned (the only
+    * provider implementing transformWithState's state encoding),
+    * restoring the previous provider after. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sink =
-      try runStream(s, graft.streaming.EventStream.latestPerKeyTws(
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private def streamCdcTws(s: SparkSession, d: String) = {
+    import s.implicits._
+    val sink = withRocksDb(s) {
+      runStream(s, graft.streaming.EventStream.latestPerKeyTws(
           streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
         "graft_stream_cdc_tws", "update")
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
+    }
     sink.groupBy($"_1")
       .agg(expr("max_by(_2, _2.n_versions)").as("last"))
       .select($"_1".as("user_id"), $"last.ts".as("last_ts"),
@@ -823,6 +831,45 @@ object Events {
       "graft_stream_sessions_to", "append")
       .orderBy($"user_id", $"session_start")
   }
+
+  /** Oracle-gated run of the timer-based `transformWithState`
+    * sessionizer ([[graft.streaming.EventStream.sessionsTws]]) — same
+    * emission contract as [[streamSessionsTimeout]] (they share one
+    * oracle), with the gap timeout expressed as a registered
+    * event-time TIMER on the new API instead of GroupStateTimeout. */
+  private def streamSessionsTws(s: SparkSession, d: String) = {
+    import s.implicits._
+    withRocksDb(s) {
+      runStream(s, graft.streaming.EventStream.sessionsTws(
+          streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+        "graft_stream_sessions_tws", "append")
+    }.orderBy($"user_id", $"session_start")
+  }
+
+  /** Shared oracle for the two custom-state sessionizers (old and new
+    * API): gaps-and-islands at the batch op's exactly-gap merge
+    * convention, sealed strictly below the ms-floored watermark. */
+  private def timeoutSessionsOracle: String =
+    s"""WITH $wmCte,
+       |marked AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked
+       |)
+       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM sess GROUP BY user_id, sid
+       |HAVING epoch_us(MAX(ts)) + 1800000000 < (SELECT w_us FROM wm)
+       |ORDER BY user_id, session_start""".stripMargin
 
   /** ms-floored watermark horizon: Spark floors the max event time to
     * millis before subtracting the delay, so sealed-predicate oracles
@@ -898,26 +945,8 @@ object Events {
         |FROM versioned WHERE rn = 1
         |ORDER BY user_id""".stripMargin),
     OpDef("stream_sessions_timeout", streamSessionsTimeout _,
-      s"""WITH $wmCte,
-         |marked AS (
-         |  SELECT user_id, ts,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-         |         THEN 1 ELSE 0 END AS is_new
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-         |),
-         |sess AS (
-         |  SELECT user_id, ts,
-         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM marked
-         |)
-         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-         |  COUNT(*) AS n_events
-         |FROM sess GROUP BY user_id, sid
-         |HAVING epoch_us(MAX(ts)) + 1800000000 < (SELECT w_us FROM wm)
-         |ORDER BY user_id, session_start""".stripMargin),
+      timeoutSessionsOracle),
+    OpDef("stream_sessions_tws", streamSessionsTws _, timeoutSessionsOracle),
     OpDef("stream_sliding", streamSliding _,
       s"""WITH $wmCte
          |SELECT time_bucket(INTERVAL '15 minutes', ts)

@@ -317,6 +317,83 @@ object EventStream {
       }
   }
 
+  /** Gap sessionization on `transformWithState` with EVENT-TIME
+    * TIMERS — [[timeoutSessions]] re-expressed on Spark 4's new API:
+    * each user's pending event times ride a `ListState[Long]`
+    * (compacted on every seal), and the "this user went quiet" signal
+    * is a REGISTERED event-time timer at the earliest pending run's
+    * gap horizon, delivered to `handleExpiredTimer` — the first-class
+    * form of what the old API spelled as `GroupStateTimeout`. A timer
+    * that fires after a data batch already sealed its runs finds empty
+    * state and emits nothing (stale timers are harmless by
+    * construction). Emission contract identical to [[timeoutSessions]]
+    * — a run seals once `end + gap` falls strictly below the
+    * ms-floored watermark, on data arrival or on timer expiry — so the
+    * two APIs share one DuckDB oracle. */
+  class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    private val gapUs = gapMinutes * 60000000L
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      pending = getHandle.getListState[Long]("pending",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def runsOf(ts: Array[Long]): List[OpenSession] = {
+      val out = List.newBuilder[OpenSession]
+      var i = 0
+      while (i < ts.length) {
+        var j = i
+        while (j + 1 < ts.length && ts(j + 1) - ts(j) <= gapUs) j += 1
+        out += OpenSession(ts(i), ts(j), j - i + 1)
+        i = j + 1
+      }
+      out.result()
+    }
+
+    private def seal(uid: Long, buf: Array[Long], wmMs: Long): Iterator[Session] = {
+      val wmUs = wmMs * 1000L
+      val (closed, pend) = runsOf(buf).partition(_.end + gapUs < wmUs)
+      if (pend.isEmpty) pending.clear()
+      else {
+        val keepFrom = pend.head.start
+        pending.put(buf.filter(_ >= keepFrom))
+        // event-time timers take MILLIS; round the micros horizon UP so
+        // the timer never fires a hair early, and keep it strictly
+        // above the current watermark (API contract)
+        getHandle.registerTimer(Math.max(
+          Math.floorDiv(pend.head.end + gapUs + 999, 1000), wmMs + 1))
+      }
+      closed.iterator.map(r => Session(uid, tsOf(r.start), tsOf(r.end), r.n))
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val prior = if (pending.exists()) pending.get().toArray else Array.empty[Long]
+      seal(uid, (prior ++ rows.map(e => micros(e.ts))).sorted,
+        timers.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] =
+      if (!pending.exists()) Iterator.empty
+      else seal(uid, pending.get().toArray.sorted, timers.getCurrentWatermarkInMs())
+  }
+
+  def sessionsTws(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Per-(hour, type) bucketed-histogram value quantiles — the
     * streaming twin of the batch `events_winsorize` percentile pass,
     * in the SKEW-ROBUST two-level shape (chained windowed

@@ -208,6 +208,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Set((t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00"), 1L)))
   }
 
+  test("timer-based tws sessionizer seals early sessions and matches the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Event]
+      val q = EventStream.sessionsTws(src.toDS()).toDF()
+        .writeStream.format("memory").queryName("twssessions")
+        .outputMode("append").start()
+      def ev(id: Long, uid: Long, t: String) =
+        Event(id, java.sql.Timestamp.valueOf(t), uid, "view", 0.0)
+      // user 1 has sessions at 00:00 and 05:00; the registered timer
+      // must sit at session A's horizon (00:30), so the 03:00 watermark
+      // fires it and flushes A while B stays pending
+      src.addData(ev(1, 1, "2024-06-01 00:00:00"), ev(2, 1, "2024-06-01 05:00:00"))
+      q.processAllAvailable()
+      src.addData(ev(-1, -1, "2024-06-01 05:00:00"))
+      q.processAllAvailable()
+      src.addData(ev(-2, -1, "2024-06-01 05:00:01"))
+      q.processAllAvailable()
+      val got = spark.table("twssessions").filter($"user_id" === 1)
+        .select($"session_start", $"session_end", $"n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      q.stop()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      assert(got === Set((t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00"), 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch idempotent sink: a replayed batch id never duplicates rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toString
