@@ -846,6 +846,54 @@ object Events {
     }.orderBy($"user_id", $"session_start")
   }
 
+  /** Oracle-gated run of the TTL-bounded first-seen dedup
+    * ([[graft.streaming.EventStream.firstSeenTtl]]): each (user, type)
+    * key's first event by (ts, event_id), with the dedup window
+    * declared as a per-variable state TTL. The 24 h processing-time
+    * TTL cannot expire inside a drained AvailableNow run, so the
+    * result equals global first-seen — which is what the oracle
+    * states; the TTL is the production bounded-state knob, not an
+    * observable of this run. */
+  private def streamFirstSeenTtl(s: SparkSession, d: String) = {
+    import s.implicits._
+    // ProcessingTime time mode (required by TTL) re-triggers no-data
+    // batches forever under AvailableNow — disable them for the drain;
+    // an always-on deployment keeps them (they fire TTL eviction)
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, "false")
+    val sink =
+      try withRocksDb(s) {
+        runStream(s, graft.streaming.EventStream.firstSeenTtl(
+            streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+          "graft_stream_first_seen", "append")
+      } finally ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None    => s.conf.unset(ndKey)
+      }
+    sink.select($"_1".as("user_id"), $"_2".as("event_type"),
+        $"_3".as("first_ts"), $"_4".as("first_event_id"),
+        $"_5".as("first_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Oracle-gated run of the MapState per-user type matrix
+    * ([[graft.streaming.EventStream.typeMatrix]]): update mode
+    * re-emits changed entries per trigger and the counts are monotone,
+    * so the max per (user, type) in the sink is the final matrix —
+    * compared against the plain batch GROUP BY. */
+  private def streamTypeMatrix(s: SparkSession, d: String) = {
+    import s.implicits._
+    withRocksDb(s) {
+      runStream(s, graft.streaming.EventStream.typeMatrix(
+          streamingEvents(s, d).as[graft.streaming.EventStream.Event]).toDF(),
+        "graft_stream_type_matrix", "update")
+    }.groupBy($"_1", $"_2")
+      .agg(max($"_3").as("n_events"))
+      .select($"_1".as("user_id"), $"_2".as("event_type"), $"n_events")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** Shared oracle for the two custom-state sessionizers (old and new
     * API): gaps-and-islands at the batch op's exactly-gap merge
     * convention, sealed strictly below the ms-floored watermark. */
@@ -947,6 +995,21 @@ object Events {
     OpDef("stream_sessions_timeout", streamSessionsTimeout _,
       timeoutSessionsOracle),
     OpDef("stream_sessions_tws", streamSessionsTws _, timeoutSessionsOracle),
+    OpDef("stream_first_seen_ttl", streamFirstSeenTtl _,
+      """SELECT user_id, event_type, ts AS first_ts,
+        |  event_id AS first_event_id, value AS first_value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin),
+    OpDef("stream_type_matrix", streamTypeMatrix _,
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin),
     OpDef("stream_sliding", streamSliding _,
       s"""WITH $wmCte
          |SELECT time_bucket(INTERVAL '15 minutes', ts)

@@ -394,6 +394,96 @@ object EventStream {
         OutputMode.Append())
   }
 
+  /** First event per (user, type) with TTL-BOUNDED state — the
+    * transformWithState form of streaming dedup where the dedup window
+    * is declared as a per-variable `TTLConfig` instead of hand-rolled
+    * timeout logic: the store evicts a key's seen-marker `ttl` after
+    * its last update, so a duplicate arriving later re-emits — the
+    * standard bounded-state tradeoff, now one configuration line.
+    * Within a batch the survivor is the min-(ts, event_id) row (the
+    * batch op's deterministic rule); across batches it is first-seen.
+    * State is one small marker per live (user, type) inside the TTL
+    * horizon — the knob that keeps dedup state finite on an unbounded
+    * stream. */
+  case class FirstSeen(ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  class FirstSeenProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), Event, (Long, String, java.sql.Timestamp, Long, Double)] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[FirstSeen] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[FirstSeen]("seen",
+        org.apache.spark.sql.Encoders.product[FirstSeen],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, java.sql.Timestamp, Long, Double)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(e => (micros(e.ts), e.event_id))
+        seen.update(FirstSeen(first.ts, first.event_id, first.value))
+        Iterator.single((key._1, key._2, first.ts, first.event_id, first.value))
+      }
+    }
+  }
+
+  // State TTL is only legal in ProcessingTime mode ([STATEFUL_PROCESSOR_
+  // INCORRECT_TIME_MODE_TO_ASSIGN_TTL]) — and in that mode a drained
+  // AvailableNow run keeps scheduling no-data micro-batches (each paying
+  // a full per-partition RocksDB checkpoint commit), so the GATE wrapper
+  // disables no-data batches for the query; a real always-on deployment
+  // WANTS them (they are what fires TTL eviction between arrivals).
+  def firstSeenTtl(events: Dataset[Event],
+                   ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[(Long, String, java.sql.Timestamp, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new FirstSeenProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Per-user event-type count matrix on `MapState` — the new API's
+    * keyed sub-map state (one map entry per type under each user key,
+    * individually updatable — a `ValueState[Map]` would rewrite the
+    * whole map per event): the per-entity feature-vector shape a
+    * training pipeline streams (user × action counts). Update mode
+    * re-emits a user's changed entries each trigger; the entries are
+    * monotone counts, so the max per (user, type) in the sink is the
+    * final matrix. */
+  class TypeMatrixProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => (uid, t, counts.getValue(t)))
+    }
+  }
+
+  def typeMatrix(events: Dataset[Event]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeMatrixProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Per-(hour, type) bucketed-histogram value quantiles — the
     * streaming twin of the batch `events_winsorize` percentile pass,
     * in the SKEW-ROBUST two-level shape (chained windowed
