@@ -566,6 +566,54 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** DAU / WAU / MAU + stickiness per observed day — the canonical
+    * product-analytics activity report, built on the same
+    * contribution-explode that powers `window_rolling_distinct`
+    * (trailing COUNT(DISTINCT) has no window-frame form in either
+    * engine): raw events collapse once to distinct (user, day) pairs,
+    * each pair contributes to the 7 / 30 trailing-window end-days it
+    * is active in, and distinct users are counted per end-day.
+    * Stickiness = DAU/MAU, the classic engagement ratio.
+    *
+    * Scale: the pair-collapse is one keyed shuffle that absorbs event
+    * volume (at most users × days rows survive); the ×30 explode
+    * amplifies only the COLLAPSED pairs; the per-day distinct counts
+    * are keyed shuffles over those. Flat as events-per-user-day grow —
+    * the range-self-join alternative re-scans raw events 30×. */
+  private def eventsDauMau(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    def trailing(n: Int, name: String) = ud
+      .select($"user_id",
+        explode(expr(s"sequence(day, date_add(day, ${n - 1}))")).as("day"))
+      .groupBy($"day").agg(count_distinct($"user_id").as(name))
+    ud.groupBy($"day").agg(count_distinct($"user_id").as("dau"))
+      .join(trailing(7, "wau"), "day")
+      .join(trailing(30, "mau"), "day")
+      .select($"day", $"dau", $"wau", $"mau",
+        roundHalfUp(lit(1.0) * $"dau" / $"mau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  private def dauMauOracle: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+       |),
+       |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+       |wau AS (
+       |  SELECT u.day + CAST(t.k AS INT) AS day, COUNT(DISTINCT u.user_id) AS wau
+       |  FROM ud u CROSS JOIN range(7) t(k) GROUP BY 1
+       |),
+       |mau AS (
+       |  SELECT u.day + CAST(t.k AS INT) AS day, COUNT(DISTINCT u.user_id) AS mau
+       |  FROM ud u CROSS JOIN range(30) t(k) GROUP BY 1
+       |)
+       |SELECT d.day, d.dau, w.wau, m.mau,
+       |  ${roundHalfUpSql("1.0 * d.dau / m.mau", 6)} AS stickiness
+       |FROM dau d JOIN wau w ON w.day = d.day JOIN mau m ON m.day = d.day
+       |ORDER BY d.day""".stripMargin
+
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The Structured Streaming path run to completion through the batch
@@ -938,6 +986,7 @@ object Events {
 
   val defs: Seq[OpDef] = Seq(
     OpDef("events_pmi", eventsPmi _, pmiOracle),
+    OpDef("events_dau_mau", eventsDauMau _, dauMauOracle),
     OpDef("stream_sessions", streamSessions _,
       s"""WITH $wmCte,
          |marked AS (

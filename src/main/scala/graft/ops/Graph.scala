@@ -268,9 +268,74 @@ object Graph {
        |FROM bins
        |ORDER BY degree_bin""".stripMargin
 
+  private val CcRounds = 6
+
+  /** Connected components of the co-order graph by bounded min-label
+    * propagation — the explicit graph-family form of the machinery
+    * `dedup_clusters` applies to the near-dup pair graph: every node's
+    * label is the MINIMUM node id reachable within [[CcRounds]] hops
+    * (labels shrink monotonically; on this graph's diameter the bound
+    * converges to true components, and the bound itself is the latency
+    * knob a 1000-executor job tunes — `Dedup.clustersConverged` shows
+    * the iterate-to-fixpoint variant of the same loop).
+    *
+    * Scale: per round one src-keyed join ships labels along edges and
+    * one map-side-combined min-aggregate collapses them — the same two
+    * shuffles per superstep as [[graphPagerank]], state = one
+    * (node, label) row per vertex. Labels are exact integers, so no
+    * quantization is needed for cross-engine identity. */
+  private def graphComponents(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges = coOrderEdges(s, d).cache()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to CcRounds) {
+      val viaEdge = edges.join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"label")
+      labels = labels.unionByName(viaEdge)
+        .groupBy($"node").agg(min($"label").as("label"))
+    }
+    labels
+      .select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"),
+        $"label".as("component"))
+      .orderBy($"node_type", $"node_key")
+  }
+
+  private def componentsOracle: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, MIN(label) AS label FROM (
+         |    SELECT node, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.src)
+         |  GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, label AS component
+       |FROM l$CcRounds
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
-    OpDef("graph_degrees", graphDegrees _, degreesOracle)
+    OpDef("graph_degrees", graphDegrees _, degreesOracle),
+    OpDef("graph_components", graphComponents _, componentsOracle)
   )
 }

@@ -59,4 +59,31 @@ class GraphSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(means("supplier") > means("customer"), means.toString)
   }
+
+  test("components: labels are min-reachable ids and edges connect same-component nodes") {
+    import spark.implicits._
+    val comp = SparkEntry.queries("graph_components")(spark, sf)
+      .select(
+        when($"node_type" === "customer", $"node_key" * 2)
+          .otherwise($"node_key" * 2 + 1).as("node"),
+        $"component").cache()
+    // the label is a MIN over a set containing the node itself
+    assert(comp.filter($"component" > $"node").count() === 0)
+    // co-order graphs are connected enough that labels actually merge
+    assert(comp.select($"component").distinct().count() < comp.count())
+    // within 6 rounds on this graph, direct neighbors must share labels:
+    // re-derive one hop and check no edge crosses components
+    val co = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val crossing = co
+      .join(comp.select($"node".as("a"), $"component".as("ca")), "a")
+      .join(comp.select($"node".as("b"), $"component".as("cb")), "b")
+      .filter($"ca" =!= $"cb")
+    assert(crossing.count() === 0,
+      "bounded rounds did not converge on testdata — raise CcRounds")
+    comp.unpersist()
+  }
 }
