@@ -295,6 +295,96 @@ object Events {
       .orderBy($"window_id")
   }
 
+  /** Interval-OVERLAP join — the general two-interval-set member of
+    * the range-join family (`join_range` is point-in-interval): user
+    * SESSIONS (spans, from the same sessionization as
+    * `event_sessions`) joined to the 2-hour maintenance windows they
+    * overlap — the SCD2⋈SCD2 / downtime-impact shape. Both interval
+    * sets explode to the coarse 1-hour buckets they cover, the join is
+    * a plain shuffled equi-join on the bucket, the exact overlap
+    * predicate filters inside matched buckets, and pairs matched in
+    * several buckets collapse via one distinct — so per-bucket work is
+    * bounded by bucket occupancy with NO nested loop, the form that
+    * survives two 100 TB interval tables. Long intervals explode to
+    * more buckets; a production job splits or caps outliers first
+    * (the `domain_cap` pattern). Second-granularity bounds (timestamp
+    * cast truncates toward 1970) are mirrored exactly in the oracle
+    * via `epoch_us // 1000000`. */
+  private def joinInterval(s: SparkSession, d: String) = {
+    import s.implicits._
+    val bucketSecs = 3600L
+    val epoch = to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("is_new",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts".cast("long")).as("s_start"),
+        max($"ts".cast("long")).as("s_end"))
+    val windows = s.range(31).toDF("wid")
+      .select($"wid".cast("int").as("window_id"),
+        (epoch + $"wid" * 6L * 3600).as("w_start_s"))
+      .withColumn("w_end_s", $"w_start_s" + 2L * 3600)
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(floor($"s_start" / bucketSecs).cast("long"),
+        floor($"s_end" / bucketSecs).cast("long"))))
+    val winB = windows.withColumn("bucket",
+      explode(sequence(floor($"w_start_s" / bucketSecs).cast("long"),
+        floor(($"w_end_s" - 1) / bucketSecs).cast("long"))))
+    sessB.join(winB.hint("shuffle_hash"), Seq("bucket"))
+      .filter($"s_start" < $"w_end_s" && $"w_start_s" <= $"s_end")
+      .select($"window_id", $"w_start_s", $"user_id", $"session_id").distinct()
+      .groupBy($"window_id", $"w_start_s")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"window_id", $"w_start_s".cast("timestamp").as("w_start"),
+        $"n_sessions", $"n_users")
+      .orderBy($"window_id")
+  }
+
+  private def intervalOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |    ts
+      |  FROM marked
+      |),
+      |spans AS (
+      |  SELECT user_id, sid,
+      |    MIN(epoch_us(ts) // 1000000) AS s_start,
+      |    MAX(epoch_us(ts) // 1000000) AS s_end
+      |  FROM sess GROUP BY user_id, sid
+      |),
+      |windows AS (
+      |  SELECT CAST(w AS INT) AS window_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours' AS w_start,
+      |    epoch_us(TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL '6 hours')
+      |      // 1000000 AS w_start_s
+      |  FROM range(31) t(w)
+      |)
+      |SELECT w.window_id, w.w_start,
+      |  COUNT(*) AS n_sessions,
+      |  COUNT(DISTINCT s.user_id) AS n_users
+      |FROM windows w
+      |JOIN spans s
+      |  ON s.s_start < w.w_start_s + 7200 AND w.w_start_s <= s.s_end
+      |GROUP BY w.window_id, w.w_start
+      |ORDER BY w.window_id""".stripMargin
+
   private val rangeOracle: String =
     """WITH windows AS (
       |  SELECT CAST(w AS INT) AS window_id,
@@ -613,6 +703,94 @@ object Events {
        |  ${roundHalfUpSql("1.0 * d.dau / m.mau", 6)} AS stickiness
        |FROM dau d JOIN wau w ON w.day = d.day JOIN mau m ON m.day = d.day
        |ORDER BY d.day""".stripMargin
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-scoring primitive, in the SCALE-HONEST form: quintile
+    * scores come from exact percentile BOUNDARIES computed on the
+    * per-user aggregate and broadcast back (one tiny 1-row table), not
+    * from a global `ntile` window, which would be a single-partition
+    * sort of every user at 100 TB. Recency scores invert (recent =
+    * high); the 3-digit segment code is the standard R·100+F·10+M.
+    *
+    * Shuffles: one user-keyed aggregate (map-side combined, exact
+    * decimal monetary), one 1-row percentile aggregate, and the output
+    * sort. Boundaries quantize to 6 dp (the winsorize recipe) so both
+    * engines cut the quintiles at identical doubles, and every
+    * comparison is value > boundary with exact-integer or decimal-exact
+    * left sides — a tie lands the same side in both engines. */
+  private def eventsRfm(s: SparkSession, d: String) = {
+    import s.implicits._
+    val maxDay = Tables.events(s, d).agg(max(to_date($"ts")).as("max_day"))
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        roundHalfUp(sumExact($"value"), 6).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select($"user_id",
+        datediff($"max_day", $"last_day").cast("long").as("recency_days"),
+        $"frequency", $"monetary")
+    // literal "0.2"/"0.4"/"0.6"/"0.8" text in BOTH engines — computing
+    // i * 0.2 would give 0.6000000000000001 here and 0.6 there
+    val qCols = for {
+      (col0, pfx) <- Seq("recency_days" -> "r", "frequency" -> "f",
+        "monetary" -> "m")
+      i <- 1 to 4
+    } yield roundHalfUp(expr(s"percentile($col0, 0.${2 * i})"), 6)
+      .as(s"$pfx$i")
+    val qs = per.agg(qCols.head, qCols.tail: _*)
+    def above(pfx: String,
+              v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 to 4).map(i => (v > org.apache.spark.sql.functions.col(s"$pfx$i"))
+        .cast("int")).reduce(_ + _)
+    per.crossJoin(broadcast(qs))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        (lit(5) - above("r", $"recency_days")).as("r_score"),
+        (lit(1) + above("f", $"frequency")).as("f_score"),
+        (lit(1) + above("m", $"monetary")).as("m_score"))
+      .withColumn("segment",
+        ($"r_score" * 100 + $"f_score" * 10 + $"m_score").cast("long"))
+      .orderBy($"user_id")
+  }
+
+  private def rfmOracle: String = {
+    val qDefs = (for {
+      (col0, pfx) <- Seq("recency_days" -> "r", "frequency" -> "f",
+        "monetary" -> "m")
+      i <- 1 to 4
+    } yield s"${roundHalfUpSql(s"quantile_cont($col0, 0.${2 * i})", 6)} AS $pfx$i")
+      .mkString(",\n    ")
+    def above(col0: String, pfx: String) = (1 to 4)
+      .map(i => s"CASE WHEN $col0 > $pfx$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    CAST(datediff('day', MAX(CAST(ts AS DATE)),
+       |      (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS BIGINT)
+       |      AS recency_days,
+       |    COUNT(*) AS frequency,
+       |    ${roundHalfUpSql(
+            "CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)", 6)} AS monetary
+       |  FROM events GROUP BY user_id
+       |),
+       |qs AS (
+       |  SELECT
+       |    $qDefs
+       |  FROM per
+       |),
+       |scored AS (
+       |  SELECT user_id, recency_days, frequency, monetary,
+       |    5 - (${above("recency_days", "r")}) AS r_score,
+       |    1 + (${above("frequency", "f")}) AS f_score,
+       |    1 + (${above("monetary", "m")}) AS m_score
+       |  FROM per CROSS JOIN qs
+       |)
+       |SELECT user_id, recency_days, frequency, monetary,
+       |  r_score, f_score, m_score,
+       |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+       |FROM scored
+       |ORDER BY user_id""".stripMargin
+  }
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -987,6 +1165,7 @@ object Events {
   val defs: Seq[OpDef] = Seq(
     OpDef("events_pmi", eventsPmi _, pmiOracle),
     OpDef("events_dau_mau", eventsDauMau _, dauMauOracle),
+    OpDef("events_rfm", eventsRfm _, rfmOracle),
     OpDef("stream_sessions", streamSessions _,
       s"""WITH $wmCte,
          |marked AS (
@@ -1236,6 +1415,7 @@ object Events {
         |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p
         |ORDER BY stage""".stripMargin),
     OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
+    OpDef("join_interval", joinInterval _, intervalOracle),
     OpDef("join_range", joinRange _, rangeOracle),
     OpDef("join_asof_nearest", joinAsofNearest _, asofNearestOracle),
     OpDef("join_asof", joinAsof _,
