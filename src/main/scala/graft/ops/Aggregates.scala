@@ -24,6 +24,14 @@ object Aggregates {
   private val LcBits = 60
   private val LcM = LcWords * LcBits
 
+  // Count-min geometry: 3 independent hash60 rows × 256 counters.
+  // Small on purpose — collisions must actually occur at sf0.01 so the
+  // overcount column exercises the min-across-rows recovery. Like LcM,
+  // declared ahead of `defs` (the oracle interpolates at object init).
+  private val CmDepth = 3
+  private val CmWidth = 256
+  private val CmTopK = 10
+
   /** A1 — group-by + HAVING for duplicate detection (reference
     * `pipeline.py:117-124` app_dupes). */
   private def aggHaving(s: SparkSession, d: String) = {
@@ -320,6 +328,7 @@ object Aggregates {
         |HAVING COUNT(*) >= 5
         |ORDER BY l_orderkey""".stripMargin),
     OpDef("agg_distinct_sketch", aggDistinctSketch _, distinctSketchOracle),
+    OpDef("agg_countmin", aggCountMin _, countMinOracle),
     OpDef("agg_approx_distinct", aggApproxDistinct _,
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -602,6 +611,83 @@ object Aggregates {
        |    AS rel_err
        |FROM est
        |ORDER BY event_type""".stripMargin
+
+  /** [EXT] MERGEABLE count-min sketch — the frequency twin of
+    * [[aggDistinctSketch]]: per-key counts folded into a fixed
+    * [[CmDepth]]×[[CmWidth]] counter grid (row i's counter =
+    * `hash60(i, key) % width`), point-estimate = MIN across rows.
+    * Estimates only ever OVERcount (collisions add, min can't
+    * undershoot), so `cms_est ≥ exact` is an invariant the spec pins.
+    *
+    * Scale: the sketch shuffle carries ≤ depth×width counters no
+    * matter how many rows scan (counts combine map-side; cells SUM
+    * across shards or time windows, which is the mergeability
+    * `GROUP BY key` lacks when the key space itself won't fit). The
+    * exact-count branch exists purely as the verification anchor,
+    * priced honestly like the sketch family's other recounts; the
+    * top-K window runs over the already-aggregated per-key table,
+    * never the raw scan. Deterministic: hash60 is md5-derived —
+    * bit-identical counters in both engines, no seed/partition
+    * dependence. */
+  private def aggCountMin(s: SparkSession, d: String) = {
+    import s.implicits._
+    val k = $"l_partkey".cast("string")
+    def probes(df: org.apache.spark.sql.DataFrame) = df
+      .select(df.columns.map(col) :+ posexplode(array(
+        (1 to CmDepth).map(i => hash60(i, k) % CmWidth): _*)): _*)
+      .withColumnRenamed("pos", "dep").withColumnRenamed("col", "bucket")
+    val li = Tables.lineitem(s, d).select($"l_partkey")
+    val sketch = probes(li)
+      .groupBy($"dep", $"bucket").agg(count(lit(1)).as("c"))
+    val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_cnt"))
+    val topk = exact
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"exact_cnt".desc, $"l_partkey".asc)).cast("int"))
+      .filter($"rn" <= CmTopK)
+    probes(topk)
+      .join(broadcast(sketch), Seq("dep", "bucket"))
+      .groupBy($"l_partkey", $"exact_cnt", $"rn")
+      .agg(min($"c").as("cms_est"))
+      .select($"rn", $"l_partkey", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"rn")
+  }
+
+  private def countMinOracle: String = {
+    def bucketSql(i: Int) =
+      s"${hash60Sql(i, "CAST(l_partkey AS VARCHAR)")} % $CmWidth"
+    val rowProbes = (1 to CmDepth).map(i =>
+      s"SELECT ${i - 1} AS dep, ${bucketSql(i)} AS bucket FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    val keyProbes = (1 to CmDepth).map(i =>
+      s"SELECT rn, l_partkey, exact_cnt, ${i - 1} AS dep, ${bucketSql(i)} AS bucket FROM topk")
+      .mkString("\n  UNION ALL ")
+    s"""WITH rowprobes AS (
+       |  $rowProbes
+       |),
+       |sketch AS (
+       |  SELECT dep, bucket, COUNT(*) AS c FROM rowprobes GROUP BY 1, 2
+       |),
+       |exact AS (
+       |  SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1
+       |),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT l_partkey, exact_cnt, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY exact_cnt DESC, l_partkey ASC) AS INT) AS rn
+       |    FROM exact
+       |  ) WHERE rn <= $CmTopK
+       |),
+       |keyprobes AS (
+       |  $keyProbes
+       |)
+       |SELECT p.rn, p.l_partkey, p.exact_cnt, MIN(s.c) AS cms_est,
+       |  MIN(s.c) - p.exact_cnt AS overcount
+       |FROM keyprobes p
+       |JOIN sketch s ON s.dep = p.dep AND s.bucket = p.bucket
+       |GROUP BY p.rn, p.l_partkey, p.exact_cnt
+       |ORDER BY p.rn""".stripMargin
+  }
 
   private def aggApproxDistinct(s: SparkSession, d: String) = {
     import s.implicits._

@@ -1162,7 +1162,120 @@ object Events {
       .orderBy($"win_start", $"event_type")
   }
 
+  /** Audience-overlap matrix — for every unordered pair of event
+    * types, how many users did BOTH, with the Jaccard overlap of the
+    * two audiences. The cross-sell / feature-co-occurrence query every
+    * product-analytics surface ships.
+    *
+    * Scale: distinct (user, type) first (one keyed shuffle, map-side
+    * combined — the table shrinks to ≤ users × |types| rows), then a
+    * SELF-join on user_id expands each user to their own type-pairs
+    * only (≤ |types|² rows per user, co-partitioned on the join key —
+    * no broadcast of anything data-sized, no all-pairs across users),
+    * and the pair counts aggregate map-side. Per-type audience sizes
+    * ride the same distinct table; the |types|-row result joins as a
+    * broadcast for the Jaccard denominator. Jaccard is the only
+    * float: exact integer counts divided once, half-up 6 dp. */
+  private def eventsOverlap(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ut = Tables.events(s, d)
+      .select($"user_id", $"event_type").distinct().cache()
+    val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.as("x").join(ut.as("y"), "user_id")
+      .filter($"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select($"event_type".as("type_a"), $"n".as("n_a"))), "type_a")
+      .join(broadcast(sizes.select($"event_type".as("type_b"), $"n".as("n_b"))), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        roundHalfUp($"n_both" / ($"n_a" + $"n_b" - $"n_both"), 6)
+          .as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  private def overlapOracle: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |),
+      |sizes AS (
+      |  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+      |),
+      |pairs AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, a.n AS n_a, b.n AS n_b, p.n_both,
+      |  CAST(FLOOR(1.0 * p.n_both / (a.n + b.n - p.n_both) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS jaccard
+      |FROM pairs p
+      |JOIN sizes a ON a.event_type = p.type_a
+      |JOIN sizes b ON b.event_type = p.type_b
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+
+  /** Hourly OHLC bars per event type — the downsampling shape metric
+    * stores and trading systems use: first/last (by event time, id
+    * tie-break) plus min/max of `value` per (type, hour), with the
+    * exact-decimal turnover alongside. Complements [[timeseriesFill]]
+    * (which fills the spine) by compressing the within-bucket shape.
+    *
+    * Scale: the two row_number windows and the final aggregate all key
+    * on (event_type, hour) — Catalyst reuses ONE exchange for all
+    * three, so the whole query is a single data-sized shuffle; open /
+    * close picks and min/max combine per bucket, output is
+    * bucket-sized. Open/close are PICKED doubles (no summation) and
+    * the turnover sums exactly, so every column is bit-reproducible
+    * under any partitioning. */
+  private def timeseriesOhlc(s: SparkSession, d: String) = {
+    import s.implicits._
+    val keyed = Tables.events(s, d)
+      .select($"event_type", date_trunc("hour", $"ts").as("hour"),
+        $"ts", $"event_id", $"value")
+    val wAsc = Window.partitionBy($"event_type", $"hour")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wDesc = Window.partitionBy($"event_type", $"hour")
+      .orderBy($"ts".desc, $"event_id".desc)
+    keyed
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy($"event_type", $"hour")
+      .agg(
+        max(when($"ra" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rd" === 1, $"value")).as("close"),
+        count(lit(1)).as("n_events"),
+        roundHalfUp(sumExact($"value"), 6).as("turnover"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  private def ohlcOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts ASC, event_id ASC) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events
+      |)
+      |SELECT event_type, hour,
+      |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS turnover
+      |FROM ranked
+      |GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_overlap", eventsOverlap _, overlapOracle),
+    OpDef("timeseries_ohlc", timeseriesOhlc _, ohlcOracle),
     OpDef("events_pmi", eventsPmi _, pmiOracle),
     OpDef("events_dau_mau", eventsDauMau _, dauMauOracle),
     OpDef("events_rfm", eventsRfm _, rfmOracle),

@@ -342,10 +342,88 @@ object Graph {
        |ORDER BY node_type, node_key""".stripMargin
   }
 
+  private val SsspRounds = 4
+
+  /** Bounded multi-source BFS: hop distance from the nearest
+    * nation-0 customer, over the co-order graph — the "blast radius /
+    * nearest-seed" query behind contamination tracing and influence
+    * caps. Nodes farther than [[SsspRounds]] hops are absent from the
+    * output (the bound is the latency knob, as in [[graphComponents]]).
+    *
+    * Scale: the same closed-neighborhood superstep as
+    * [[graphComponents]] — weighted self-loops (w=0) fold "keep my
+    * current distance" into the single per-round join + min-aggregate,
+    * so the distance table is consumed ONCE per round (no
+    * union-with-previous recompute blow-up) and the reached set grows
+    * frontier-by-frontier: round i touches only nodes within i hops,
+    * never the whole graph. Distances are exact integers — no
+    * quantization needed for cross-engine identity. */
+  private def graphSssp(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges = coOrderEdges(s, d)
+    val nodes = edges.select($"src".as("node")).distinct()
+    val closed = edges.withColumn("w", lit(1L))
+      .unionByName(
+        nodes.select($"node".as("src"), $"node".as("dst"), lit(0L).as("w")))
+      .cache()
+    val seeds = Tables.customer(s, d)
+      .filter($"c_nationkey" === 0)
+      .select(($"c_custkey" * 2).as("seed"))
+    var dist = nodes.join(seeds, $"node" === $"seed", "leftsemi")
+      .select($"node", lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      dist = closed.join(dist, $"src" === $"node")
+        .groupBy($"dst").agg(min($"dist" + $"w").as("dist"))
+        .withColumnRenamed("dst", "node")
+    }
+    dist
+      .select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"), $"dist")
+      .orderBy($"node_type", $"node_key")
+  }
+
+  private def ssspOracle: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT c.dst AS node, MIN(d.dist + c.w) AS dist
+         |  FROM closed c JOIN d${i - 1} d ON c.src = d.node
+         |  GROUP BY c.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |closed AS (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+       |),
+       |d0 AS (
+       |  SELECT n.node, CAST(0 AS BIGINT) AS dist
+       |  FROM nodes n
+       |  WHERE EXISTS (SELECT 1 FROM customer c
+       |                WHERE n.node = c.c_custkey * 2 AND c.c_nationkey = 0)
+       |),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, dist
+       |FROM d$SsspRounds
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
     OpDef("graph_degrees", graphDegrees _, degreesOracle),
-    OpDef("graph_components", graphComponents _, componentsOracle)
+    OpDef("graph_components", graphComponents _, componentsOracle),
+    OpDef("graph_sssp", graphSssp _, ssspOracle)
   )
 }

@@ -121,6 +121,31 @@ object Scalars {
       .orderBy($"o_orderkey")
   }
 
+  /** JSON path extraction — `get_json_object` over a JSON payload
+    * column, the half-structured-ingest counterpart of [[fnToJsonMap]]
+    * (non-reference extra; every log/event pipeline starts here). The
+    * payload is assembled with `concat` from table columns so both
+    * engines extract from byte-identical documents (serializer
+    * whitespace/number formatting never enters the comparison); the
+    * extracts are a top-level string, a nested path, and a numeric
+    * path cast back to BIGINT. Scale: row-local, codegen'd, no
+    * shuffle beyond the output sort. */
+  private def fnJsonExtract(s: SparkSession, d: String) = {
+    import s.implicits._
+    val payload = concat(
+      lit("{\"cust\":{\"id\":"), $"c_custkey",
+      lit(",\"name\":\""), $"c_name",
+      lit("\"},\"segment\":\""), $"c_mktsegment", lit("\"}"))
+    Tables.customer(s, d)
+      .select($"c_custkey", payload.as("payload"))
+      .select(
+        $"c_custkey",
+        get_json_object($"payload", "$.segment").as("segment"),
+        get_json_object($"payload", "$.cust.name").as("cust_name"),
+        get_json_object($"payload", "$.cust.id").cast("long").as("cust_id"))
+      .orderBy($"c_custkey")
+  }
+
   /** F17 — NULLIF / COALESCE guards (reference `queries.sql:56`). */
   private def fnNullif(s: SparkSession, d: String) = {
     import s.implicits._
@@ -179,6 +204,19 @@ object Scalars {
         |    [o_totalprice > 100000.0, o_orderstatus = 'F', o_orderpriority = '1-URGENT']
         |  )) AS quality_flags
         |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_json_extract", fnJsonExtract _,
+      """WITH docs AS (
+        |  SELECT c_custkey,
+        |    '{"cust":{"id":' || c_custkey || ',"name":"' || c_name ||
+        |    '"},"segment":"' || c_mktsegment || '"}' AS payload
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  payload ->> '$.segment' AS segment,
+        |  payload ->> '$.cust.name' AS cust_name,
+        |  CAST(payload ->> '$.cust.id' AS BIGINT) AS cust_id
+        |FROM docs
+        |ORDER BY c_custkey""".stripMargin),
     OpDef("fn_nullif", fnNullif _,
       """SELECT l_orderkey, l_linenumber,
         |  NULLIF(l_discount, 0.0) AS discount_or_null,

@@ -65,6 +65,41 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Edge-of-partition values: first/last/2nd order price per customer
+    * over the FULL partition frame — `last_value` silently defaults to
+    * the running frame (unbounded-preceding..current-row) in both
+    * engines, so the explicit unbounded-following frame is the whole
+    * point of the demo. Total order (date, orderkey) keeps every
+    * navigation deterministic (non-reference extra). */
+  private def windowFirstLast(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** Forward navigation: next order date + inter-order gap in days per
+    * customer via `lead` — the mirror of [[windowLag]]; the gap column
+    * is the raw material for churn/repeat-purchase features
+    * (non-reference extra). */
+  private def windowLead(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        lead($"o_orderdate", 1).over(w).as("next_orderdate"))
+      .withColumn("days_to_next",
+        datediff($"next_orderdate", $"o_orderdate").cast("long"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
   /** Running total per customer with an explicit rows frame
     * (non-reference extra; exact decimal accumulation keeps the prefix
     * sums reproducible). */
@@ -330,6 +365,25 @@ object Windows {
         |SELECT cohort_month, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
         |FROM ranked WHERE rn <= 3
         |ORDER BY cohort_month, rn""".stripMargin),
+    OpDef("window_first_last", windowFirstLast _,
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+    OpDef("window_lead", windowLead _,
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  LEAD(o_orderdate, 1) OVER w AS next_orderdate,
+        |  date_diff('day', o_orderdate,
+        |    LEAD(o_orderdate, 1) OVER w) AS days_to_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
     OpDef("window_lag", windowLag _,
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey

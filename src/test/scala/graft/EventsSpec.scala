@@ -73,4 +73,27 @@ class EventsSpec extends SparkSpecBase {
       val z = r.getDouble(3); !z.isNaN && !z.isInfinite
     })
   }
+
+  test("overlap matrix: pair counts bounded by audiences, all pairs present") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_overlap")(spark, sf).cache()
+    // 5 event types → C(5,2) = 10 unordered pairs, canonical a < b
+    assert(out.count() === 10)
+    assert(out.filter($"type_a" >= $"type_b").count() === 0)
+    assert(out.filter($"n_both" > least($"n_a", $"n_b")).count() === 0)
+    assert(out.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).count() === 0)
+    out.unpersist()
+  }
+
+  test("ohlc bars: low ≤ open/close ≤ high, bucket grid matches tumbling") {
+    import spark.implicits._
+    val out = SparkEntry.queries("timeseries_ohlc")(spark, sf).cache()
+    assert(out.filter($"low" > $"open" || $"low" > $"close" ||
+      $"high" < $"open" || $"high" < $"close").count() === 0)
+    // same (type, hour) bucketing as window_tumbling → same bucket count
+    val tumbling = SparkEntry.queries("window_tumbling")(spark, sf).count()
+    assert(out.count() === tumbling)
+    out.unpersist()
+  }
 }

@@ -86,4 +86,33 @@ class GraphSpec extends SparkSpecBase {
       "bounded rounds did not converge on testdata — raise CcRounds")
     comp.unpersist()
   }
+
+  test("sssp: seeds at 0, hops bounded, triangle inequality holds per edge") {
+    import spark.implicits._
+    val dist = SparkEntry.queries("graph_sssp")(spark, sf)
+      .select(
+        when($"node_type" === "customer", $"node_key" * 2)
+          .otherwise($"node_key" * 2 + 1).as("node"),
+        $"dist").cache()
+    // every nation-0 customer that trades at all is a seed at distance 0
+    val seeds = Tables.customer(spark, sf).filter($"c_nationkey" === 0)
+      .select(($"c_custkey" * 2).as("node"))
+      .join(dist, "node")
+    assert(seeds.filter($"dist" =!= 0).count() === 0)
+    assert(seeds.count() > 0, "no seed reached the graph — degenerate testdata")
+    // the round bound caps every reported distance
+    assert(dist.filter($"dist" > 4 || $"dist" < 0).count() === 0)
+    // BFS correctness: adjacent reached nodes differ by at most 1 hop
+    val co = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    val slack = co
+      .join(dist.select($"node".as("a"), $"dist".as("da")), "a")
+      .join(dist.select($"node".as("b"), $"dist".as("db")), "b")
+      .filter(abs($"da" - $"db") > 1)
+    assert(slack.count() === 0, "an edge spans a >1 hop gap")
+    dist.unpersist()
+  }
 }

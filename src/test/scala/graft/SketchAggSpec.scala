@@ -61,6 +61,24 @@ class SketchAggSpec extends SparkSpecBase {
     assert(worst <= 0.10, s"worst rel_err $worst")
   }
 
+  test("count-min never undercounts, and top-1 is estimated tightly") {
+    val out = SparkEntry.queries("agg_countmin")(
+      spark, "/root/testdata/sf0.01").cache()
+    // CMS is one-sided by construction: min across rows of summed
+    // collisions can only meet or exceed the true count
+    assert(out.filter(col("overcount") < 0).count() === 0)
+    assert(out.count() === 10)
+    // CMS error bound: overcount per key ≤ O(N/width); with N ≈ 60k
+    // and width 256 the expected colliding mass per cell is ~234, and
+    // the min across 3 independent rows sits at or below that — 6×N/w
+    // is a generous-but-bounded ceiling that a broken sketch (e.g. a
+    // sum instead of a min) blows through immediately
+    val n = Tables.lineitem(spark, "/root/testdata/sf0.01").count()
+    val worst = out.select(max(col("overcount"))).head().getLong(0)
+    assert(worst <= 6 * n / 256, s"worst overcount $worst vs N=$n")
+    out.unpersist()
+  }
+
   test("catalog entries report within_bound = true everywhere") {
     for (name <- Seq("agg_approx_distinct", "agg_approx_percentile")) {
       val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
