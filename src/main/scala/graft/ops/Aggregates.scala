@@ -626,15 +626,19 @@ object Aggregates {
     * exact-count branch exists purely as the verification anchor,
     * priced honestly like the sketch family's other recounts; the
     * top-K window runs over the already-aggregated per-key table,
-    * never the raw scan. Deterministic: hash60 is md5-derived —
-    * bit-identical counters in both engines, no seed/partition
-    * dependence. */
+    * never the raw scan. Deterministic: all [[CmDepth]] hash rows
+    * slice DISJOINT 10-hex-digit (40-bit) windows of ONE md5 per key —
+    * one hash computation per row instead of depth, bit-identical
+    * counters in both engines, no seed/partition dependence. */
   private def aggCountMin(s: SparkSession, d: String) = {
     import s.implicits._
     val k = $"l_partkey".cast("string")
     def probes(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", md5(k))
       .select(df.columns.map(col) :+ posexplode(array(
-        (1 to CmDepth).map(i => hash60(i, k) % CmWidth): _*)): _*)
+        (1 to CmDepth).map(i =>
+          conv(substring($"h", 1 + 10 * (i - 1), 10), 16, 10)
+            .cast("long") % CmWidth): _*)): _*)
       .withColumnRenamed("pos", "dep").withColumnRenamed("col", "bucket")
     val li = Tables.lineitem(s, d).select($"l_partkey")
     val sketch = probes(li)
@@ -655,7 +659,8 @@ object Aggregates {
 
   private def countMinOracle: String = {
     def bucketSql(i: Int) =
-      s"${hash60Sql(i, "CAST(l_partkey AS VARCHAR)")} % $CmWidth"
+      s"CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), " +
+        s"${1 + 10 * (i - 1)}, 10)) AS BIGINT) % $CmWidth"
     val rowProbes = (1 to CmDepth).map(i =>
       s"SELECT ${i - 1} AS dep, ${bucketSql(i)} AS bucket FROM lineitem")
       .mkString("\n  UNION ALL ")

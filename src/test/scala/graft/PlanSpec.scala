@@ -441,6 +441,38 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ohlc bars reuse one exchange across both windows and the aggregate") {
+    // both row_number windows and the groupBy key on (event_type, hour)
+    // — exactly ONE data-sized hash-partitioning exchange may appear
+    val p = plan("timeseries_ohlc")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"$exchanges hash exchanges:\n$p")
+  }
+
+  test("audience overlap self-join is keyed on user_id, never cartesian") {
+    // at sf0.001 the distinct (user, type) side is broadcast-small, so
+    // the join STRATEGY is scale-dependent; the pinned property is the
+    // equi-join key (a lost key degrades to a cartesian pairing)
+    val p = plan("events_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("user_id"), p)
+  }
+
+  test("count-min probes broadcast the fixed-size sketch, never the scan") {
+    val p = plan("agg_countmin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the raw lineitem scan reads only the key column
+    val schema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(schema === "l_partkey:bigint", schema)
+  }
+
+  test("sssp rounds are keyed join+agg, no cartesian, no window") {
+    val p = plan("graph_sssp")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("IVF coarse assignment is a map stage: no window, no shuffle") {
     // the N-side nearest-centroid assignment must be the row-local
     // pq_argmin over the packed broadcast codebook — a crossJoin×K +
