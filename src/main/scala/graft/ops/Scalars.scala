@@ -146,6 +146,28 @@ object Scalars {
       .orderBy($"c_custkey")
   }
 
+  /** Array-function surface — sort / dedup / slice / membership /
+    * flatten-free length over the per-document token array, all
+    * row-local codegen'd higher-order builtins (non-reference extra;
+    * the list-column toolkit nested ingest relies on). Dialect parity:
+    * DuckDB's `list_distinct` does not pin element order, so BOTH
+    * engines sort after dedup (`sort_array(array_distinct(..))` vs
+    * `list_sort(list_distinct(..))`) — set semantics, stable output.
+    * Scale: no shuffle beyond the output sort. */
+  private def fnArray(s: SparkSession, d: String) = {
+    import s.implicits._
+    val toks = graft.functions.TextFns.tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", toks.as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_unique"),
+        slice(sort_array(array_distinct($"toks")), 1, 3).as("first3_sorted"),
+        array_contains($"toks", "the").as("has_the"))
+      .orderBy($"doc_id")
+  }
+
   /** F17 — NULLIF / COALESCE guards (reference `queries.sql:56`). */
   private def fnNullif(s: SparkSession, d: String) = {
     import s.implicits._
@@ -204,6 +226,18 @@ object Scalars {
         |    [o_totalprice > 100000.0, o_orderstatus = 'F', o_orderpriority = '1-URGENT']
         |  )) AS quality_flags
         |FROM orders ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_array", fnArray _,
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${graft.functions.TextFns.tokensSql("text")} AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+         |  list_slice(list_sort(list_distinct(t)), 1, 3) AS first3_sorted,
+         |  list_contains(t, 'the') AS has_the
+         |FROM toks
+         |ORDER BY doc_id""".stripMargin),
     OpDef("fn_json_extract", fnJsonExtract _,
       """WITH docs AS (
         |  SELECT c_custkey,

@@ -79,6 +79,19 @@ class SketchAggSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("daily-register rollup answers 7-day distinct within 10% at sf0.01") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sketch_rolling_distinct")(
+      spark, "/root/testdata/sf0.01").cache()
+    val worst = out.select(max(col("rel_err"))).head().getDouble(0)
+    assert(worst <= 0.10, s"worst rel_err $worst")
+    // one row per OBSERVED day (the spine excludes empty calendar days)
+    val days = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(to_date($"ts")).distinct().count()
+    assert(out.count() === days)
+    out.unpersist()
+  }
+
   test("catalog entries report within_bound = true everywhere") {
     for (name <- Seq("agg_approx_distinct", "agg_approx_percentile")) {
       val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
