@@ -358,25 +358,34 @@ object Graph {
     * frontier-by-frontier: round i touches only nodes within i hops,
     * never the whole graph. Distances are exact integers — no
     * quantization needed for cross-engine identity. */
-  private def graphSssp(s: SparkSession, d: String) = {
+  /** Spec hook: [[SsspRounds]]-bounded BFS over an arbitrary directed
+    * (src, dst) edge list from a (seed) frame — the superstep loop
+    * alone, so tests can drive random graphs against a reference BFS. */
+  private[graft] def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
-    val edges = coOrderEdges(s, d)
     val nodes = edges.select($"src".as("node")).distinct()
     val closed = edges.withColumn("w", lit(1L))
       .unionByName(
         nodes.select($"node".as("src"), $"node".as("dst"), lit(0L).as("w")))
       .cache()
-    val seeds = Tables.customer(s, d)
-      .filter($"c_nationkey" === 0)
-      .select(($"c_custkey" * 2).as("seed"))
     var dist = nodes.join(seeds, $"node" === $"seed", "leftsemi")
       .select($"node", lit(0L).as("dist"))
-    for (_ <- 1 to SsspRounds) {
+    for (_ <- 1 to rounds) {
       dist = closed.join(dist, $"src" === $"node")
         .groupBy($"dst").agg(min($"dist" + $"w").as("dist"))
         .withColumnRenamed("dst", "node")
     }
     dist
+  }
+
+  private def graphSssp(s: SparkSession, d: String) = {
+    import s.implicits._
+    val seeds = Tables.customer(s, d)
+      .filter($"c_nationkey" === 0)
+      .select(($"c_custkey" * 2).as("seed"))
+    bfsDistances(coOrderEdges(s, d), seeds, SsspRounds)
       .select(
         when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),

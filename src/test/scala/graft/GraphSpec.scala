@@ -115,4 +115,34 @@ class GraphSpec extends SparkSpecBase {
     assert(slack.count() === 0, "an edge spans a >1 hop gap")
     dist.unpersist()
   }
+
+  test("sssp matches a reference BFS on seeded random graphs") {
+    import spark.implicits._
+    // 20 deterministic pseudo-random undirected graphs on ≤ 10 nodes;
+    // compare the bounded superstep loop against a plain queue BFS
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 3 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      if (und.nonEmpty) {
+        val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+        val seed = und.head._1
+        val got = ops.Graph.bfsDistances(
+          edges, Seq(seed).toDF("seed"), rounds = n)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference BFS over the same adjacency, from the same seed
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2) }
+        val want = scala.collection.mutable.Map(seed -> 0L)
+        var frontier = List(seed)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)
+            .filterNot(want.contains).map { v => want(v) = want(u) + 1; v })
+        }
+        assert(got === want.toMap, s"trial $trial, n=$n, edges=$und")
+      }
+    }
+  }
 }
