@@ -54,6 +54,13 @@ object Graph {
     import s.implicits._
     val edges = coOrderEdges(s, d)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // NOTE the loop-invariant edges⋈deg subtree is deliberately NOT
+    // hoisted into a repartitioned cache: the round chain's identical
+    // subtrees dedup via ReuseExchange, and an A/B measured the
+    // explicit repartition+cache SLOWER (extra wide shuffle + cache
+    // write per bench run: 4.4-5.4 s → 6.8 s) — the opposite outcome
+    // from [[bfsDistances]]/[[graphComponents]], whose closed tables
+    // were cached anyway so pre-partitioning them was free.
     val nStats = deg.agg(count(lit(1)).as("n_nodes")) // 1 row
     var ranks = deg.crossJoin(broadcast(nStats))
       .select($"src".as("node"),
@@ -294,8 +301,14 @@ object Graph {
     import s.implicits._
     val edges = coOrderEdges(s, d)
     val nodes = edges.select($"src".as("node")).distinct()
+    // Partition + sort by the join key ONCE before caching: the cached
+    // relation then SATISFIES every round's sort-merge requirement, so
+    // the per-round exchanges+sorts of the edge table vanish (plan-
+    // verified) — one edge shuffle total instead of one per superstep,
+    // the partitioning-reuse pattern a 1000-executor Pregel job lives by.
     val closed = edges
       .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
+      .repartition($"src").sortWithinPartitions($"src")
       .cache()
     var labels = nodes.select($"node", $"node".as("label"))
     for (_ <- 1 to CcRounds) {
@@ -366,9 +379,12 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val nodes = edges.select($"src".as("node")).distinct()
+    // Same partitioning-reuse as [[graphComponents]]: one edge shuffle
+    // total, every round's SMJ reads the cached src-partitioned runs.
     val closed = edges.withColumn("w", lit(1L))
       .unionByName(
         nodes.select($"node".as("src"), $"node".as("dst"), lit(0L).as("w")))
+      .repartition($"src").sortWithinPartitions($"src")
       .cache()
     var dist = nodes.join(seeds, $"node" === $"seed", "leftsemi")
       .select($"node", lit(0L).as("dist"))
