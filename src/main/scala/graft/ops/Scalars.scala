@@ -168,6 +168,42 @@ object Scalars {
       .orderBy($"doc_id")
   }
 
+  /** Regex group extraction — `regexp_extract` with an explicit group
+    * index, the parse-don't-split primitive for semi-structured
+    * strings (non-reference extra). Pulls the numeric rank and the
+    * word out of priorities like "1-URGENT"; no-match yields '' in
+    * both engines with a group index present. Row-local codegen. */
+  private def fnRegexExtract(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        regexp_extract($"o_orderpriority", "^(\\d+)-(.+)$", 1)
+          .as("prio_rank"),
+        regexp_extract($"o_orderpriority", "^(\\d+)-(.+)$", 2)
+          .as("prio_word"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Date-part extraction — year/quarter/month/day-of-week/day-of-year
+    * (non-reference extra). Dialect parity pinned where engines
+    * disagree on NUMBERING: Spark `dayofweek` is 1=Sunday while DuckDB
+    * `dayofweek` is 0=Sunday — the engine subtracts 1 so both sides
+    * speak the 0=Sunday convention. Row-local codegen. */
+  private def fnDatePart(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderdate".isNotNull)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        month($"o_orderdate").cast("long").as("m"),
+        (dayofweek($"o_orderdate") - 1).cast("long").as("dow_sun0"),
+        dayofyear($"o_orderdate").cast("long").as("doy"))
+      .orderBy($"o_orderkey")
+  }
+
   /** F17 — NULLIF / COALESCE guards (reference `queries.sql:56`). */
   private def fnNullif(s: SparkSession, d: String) = {
     import s.implicits._
@@ -251,6 +287,21 @@ object Scalars {
         |  CAST(payload ->> '$.cust.id' AS BIGINT) AS cust_id
         |FROM docs
         |ORDER BY c_custkey""".stripMargin),
+    OpDef("fn_regex_extract", fnRegexExtract _,
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 1) AS prio_rank,
+        |  regexp_extract(o_orderpriority, '^(\d+)-(.+)$', 2) AS prio_word
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin),
+    OpDef("fn_date_part", fnDatePart _,
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin),
     OpDef("fn_nullif", fnNullif _,
       """SELECT l_orderkey, l_linenumber,
         |  NULLIF(l_discount, 0.0) AS discount_or_null,
