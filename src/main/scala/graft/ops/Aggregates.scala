@@ -194,7 +194,67 @@ object Aggregates {
       .orderBy($"source")
   }
 
+  // Bitmap-distinct geometry: 60 bits per word (same portable-BIGINT
+  // rationale as [[LcBits]] — 1 << 63 is engine-defined).
+  private val BmBits = 60
+
+  /** EXACT distinct users per event type via a two-level bitmap OR —
+    * the ClickHouse/roaring-bitmap pattern for exact COUNT(DISTINCT)
+    * at scale without a distinct-sort: map ids to (word = id div 60,
+    * bit = id mod 60), OR the masks per (type, word), then SUM the
+    * popcounts per type.
+    *
+    * Scale: both aggregates are map-side combined; the first shuffle
+    * carries one 8-byte word per (type, word-bucket) — bounded by the
+    * id-space density, NOT by event count — and the word key shards
+    * any hot type across partitions, so a mega-type never concentrates
+    * on one task the way `COUNT(DISTINCT)`'s single per-type state
+    * does. `bit_count`/`bit_or` are codegen'd integer ops in both
+    * engines; bits stay below 2^60 so every mask is portable signed
+    * BIGINT. Exactness is self-checked against the built-in
+    * COUNT(DISTINCT) in the same row. */
+  private def aggBitmapDistinct(s: SparkSession, d: String) = {
+    import s.implicits._
+    val words = Tables.events(s, d)
+      .select($"event_type", expr(s"user_id div $BmBits").as("word"),
+        expr(s"shiftleft(1L, CAST(user_id % $BmBits AS INT))").as("mask"))
+      .groupBy($"event_type", $"word")
+      .agg(expr("bit_or(mask)").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n_distinct_bitmap"),
+        count(lit(1)).as("n_words"))
+    val exact = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(count_distinct($"user_id").as("n_distinct_exact"))
+    words.join(exact, "event_type")
+      .select($"event_type", $"n_distinct_bitmap", $"n_distinct_exact",
+        $"n_words")
+      .orderBy($"event_type")
+  }
+
+  private def bitmapDistinctOracle: String =
+    s"""WITH words AS (
+       |  SELECT event_type, user_id // $BmBits AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % $BmBits AS INT)) AS bm
+       |  FROM events
+       |  GROUP BY 1, 2
+       |),
+       |bitmap AS (
+       |  SELECT event_type,
+       |    CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap,
+       |    COUNT(*) AS n_words
+       |  FROM words GROUP BY event_type
+       |),
+       |exact AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT b.event_type, b.n_distinct_bitmap, e.n_distinct_exact, b.n_words
+       |FROM bitmap b JOIN exact e ON e.event_type = b.event_type
+       |ORDER BY b.event_type""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("agg_bitmap_distinct", aggBitmapDistinct _, bitmapDistinctOracle),
     OpDef("agg_mode", aggMode _,
       """WITH counts AS (
         |  SELECT source, lang, COUNT(*) AS n_docs

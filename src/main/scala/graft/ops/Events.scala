@@ -1273,7 +1273,228 @@ object Events {
       |GROUP BY event_type, hour
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Seasonality profile: event volume by (event_type, ISO day-of-week,
+    * hour-of-day) with each cell's share of its type's total — the
+    * "when does this event happen" heatmap that sizes every
+    * time-partitioned downstream job (batch windows, on-call load,
+    * anomaly baselines).
+    *
+    * Scale: one map-side-combined hash aggregate on the (type, dow,
+    * hour) key — at most |types|×168 cells regardless of N — plus a
+    * window over those CELLS only for the share. Hour/weekday extract
+    * row-local in codegen; session TZ is pinned UTC so both engines
+    * bucket identically. ISO dow = Spark `weekday()+1` = DuckDB
+    * `isodow()` (1 = Monday … 7 = Sunday). */
+  private def eventsSeasonality(s: SparkSession, d: String) = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select($"event_type",
+        (expr("weekday(ts)") + 1).cast("int").as("isodow"),
+        hour($"ts").cast("int").as("hod"),
+        $"value")
+      .groupBy($"event_type", $"isodow", $"hod")
+      .agg(count(lit(1)).as("n_events"), sumExact($"value").as("total_value"))
+    val wt = Window.partitionBy($"event_type")
+    cells
+      .withColumn("share",
+        roundHalfUp(lit(1.0) * $"n_events" / sum($"n_events").over(wt), 6))
+      .orderBy($"event_type", $"isodow", $"hod")
+  }
+
+  private def seasonalityOracle: String =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |    CAST(isodow(ts) AS INT) AS isodow,
+       |    CAST(hour(ts) AS INT) AS hod,
+       |    COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+       |  FROM events
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, isodow, hod, n_events, total_value,
+       |  ${roundHalfUpSql(
+      "1.0 * n_events / SUM(n_events) OVER (PARTITION BY event_type)", 6)}
+       |    AS share
+       |FROM cells
+       |ORDER BY event_type, isodow, hod""".stripMargin
+
+  /** Peak concurrency per day over gap-based sessions — the classic
+    * interval-sweep: every session contributes +1 at its (clipped)
+    * start and -1 at its (clipped) end, and the day's peak is the max
+    * of the running sum. Sessions spanning midnight are split across
+    * their days (explode day INDEXES, clip to [day, next midnight)),
+    * so the sweep partitions cleanly by day.
+    *
+    * Scale: sessionization is the engine's standard per-user window;
+    * the sweep is one shuffle keyed on DAY with an in-partition sort
+    * of that day's ±1 deltas — never a global sort. Tie rule: at equal
+    * timestamps starts sort before ends (delta DESC), so touching
+    * intervals count as overlapping and the sum never dips negative;
+    * (user_id, session_id) breaks remaining ties deterministically in
+    * both engines. */
+  private def eventsConcurrency(s: SparkSession, d: String) =
+    concurrencyOf(Tables.events(s, d))
+
+  private[graft] def concurrencyOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("is_new",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+    val clipped = sessions
+      .withColumn("i", explode(expr(
+        "sequence(0, datediff(to_date(s_end), to_date(s_start)))")))
+      .withColumn("day", expr("date_add(to_date(s_start), i)"))
+      .select($"user_id", $"session_id", $"day",
+        greatest($"s_start", $"day".cast("timestamp")).as("c_start"),
+        least($"s_end", expr("date_add(day, 1)").cast("timestamp")).as("c_end"))
+    val deltas = clipped
+      .select($"day", $"c_start".as("t"), lit(1).as("delta"),
+        $"user_id", $"session_id")
+      .unionByName(clipped.select($"day", $"c_end".as("t"),
+        lit(-1).as("delta"), $"user_id", $"session_id"))
+    val sweep = Window.partitionBy($"day")
+      .orderBy($"t".asc, $"delta".desc, $"user_id".asc, $"session_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("load", sum($"delta").over(sweep))
+      .groupBy($"day")
+      .agg(max($"load").cast("long").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .orderBy($"day")
+  }
+
+  private def concurrencyOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapMicros
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |),
+       |sess AS (
+       |  SELECT user_id,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id,
+       |    ts
+       |  FROM marked
+       |),
+       |spans AS (
+       |  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+       |  FROM sess GROUP BY user_id, session_id
+       |),
+       |offs AS (
+       |  SELECT user_id, session_id, s_start, s_end,
+       |    unnest(range(0, datediff('day', CAST(s_start AS DATE),
+       |      CAST(s_end AS DATE)) + 1)) AS k
+       |  FROM spans
+       |),
+       |clipped AS (
+       |  SELECT user_id, session_id,
+       |    CAST(s_start AS DATE) + CAST(k AS INT) AS day,
+       |    GREATEST(s_start, CAST(CAST(s_start AS DATE) + CAST(k AS INT)
+       |      AS TIMESTAMP)) AS c_start,
+       |    LEAST(s_end, CAST(CAST(s_start AS DATE) + CAST(k AS INT) + 1
+       |      AS TIMESTAMP)) AS c_end
+       |  FROM offs
+       |),
+       |deltas AS (
+       |  SELECT day, c_start AS t, 1 AS delta, user_id, session_id FROM clipped
+       |  UNION ALL
+       |  SELECT day, c_end, -1, user_id, session_id FROM clipped
+       |),
+       |swept AS (
+       |  SELECT day,
+       |    SUM(delta) OVER (PARTITION BY day
+       |      ORDER BY t ASC, delta DESC, user_id ASC, session_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+       |  FROM deltas
+       |)
+       |SELECT day, CAST(MAX(load) AS BIGINT) AS peak_concurrent,
+       |  CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+       |FROM swept
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
+  /** Seasonal-naive forecast baseline: per (event_type, day) the
+    * actual daily event count vs the count 7 days earlier (lag-7 over
+    * a DENSE per-type calendar, absent days = 0), with the absolute
+    * error — the baseline every real forecasting model must beat, and
+    * the cheapest drift alarm (sustained large errors = regime
+    * change).
+    *
+    * Scale: the daily rollup is one map-side-combined aggregate to
+    * |types|×|days| rows; the dense calendar explodes day INDEXES off
+    * a 1-row-per-type span table; the lag runs over those daily rows
+    * only (per-type partitions), never over raw events. */
+  private def eventsForecast(s: SparkSession, d: String) = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val dense = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn("i", explode(expr("sequence(0, datediff(d1, d0))")))
+      .select($"event_type", expr("date_add(d0, i)").as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce($"n", lit(0L)))
+    val wt = Window.partitionBy($"event_type").orderBy($"day".asc)
+    dense
+      .withColumn("forecast", lag($"n_events", 7).over(wt))
+      .filter($"forecast".isNotNull)
+      .select($"event_type", $"day", $"n_events", $"forecast",
+        abs($"n_events" - $"forecast").as("abs_err"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private def forecastOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |),
+       |span AS (
+       |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+       |  FROM daily GROUP BY event_type
+       |),
+       |cal AS (
+       |  SELECT event_type, d0,
+       |    unnest(range(0, datediff('day', d0, d1) + 1)) AS k
+       |  FROM span
+       |),
+       |dense AS (
+       |  SELECT c.event_type, c.d0 + CAST(c.k AS INT) AS day,
+       |    COALESCE(d.n, 0) AS n_events
+       |  FROM cal c
+       |  LEFT JOIN daily d
+       |    ON d.event_type = c.event_type AND d.day = c.d0 + CAST(c.k AS INT)
+       |),
+       |lagged AS (
+       |  SELECT event_type, day, n_events,
+       |    lag(n_events, 7) OVER (PARTITION BY event_type ORDER BY day ASC)
+       |      AS forecast
+       |  FROM dense
+       |)
+       |SELECT event_type, day, n_events, forecast,
+       |  abs(n_events - forecast) AS abs_err
+       |FROM lagged
+       |WHERE forecast IS NOT NULL
+       |ORDER BY event_type, day""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_seasonality", eventsSeasonality _, seasonalityOracle),
+    OpDef("events_concurrency", eventsConcurrency _, concurrencyOracle),
+    OpDef("events_forecast", eventsForecast _, forecastOracle),
     OpDef("events_overlap", eventsOverlap _, overlapOracle),
     OpDef("timeseries_ohlc", timeseriesOhlc _, ohlcOracle),
     OpDef("events_pmi", eventsPmi _, pmiOracle),

@@ -91,4 +91,37 @@ class CatalogSpec extends SparkSpecBase {
     val above = Tables.orders(spark, sf).filter($"o_totalprice" > top).count()
     assert(above < 100)
   }
+
+  test("agg_bitmap_distinct bitmap count equals the exact count on every type") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .filter($"n_distinct_bitmap" =!= $"n_distinct_exact").count()
+    assert(bad === 0)
+  }
+
+  test("events_seasonality shares sum to 1 within each type") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("events_seasonality")(spark, sf)
+      .groupBy($"event_type").agg(sum($"share").as("s"))
+      .filter(abs($"s" - 1.0) > 0.01).count()
+    assert(bad === 0)
+  }
+
+  test("events_forecast forecasts are the lag-7 actuals where both days emit") {
+    import spark.implicits._
+    val f = SparkEntry.queries("events_forecast")(spark, sf)
+    val misaligned = f.as("now").join(f.as("past"),
+        $"now.event_type" === $"past.event_type" &&
+          $"past.day" === date_sub($"now.day", 7))
+      .filter($"now.forecast" =!= $"past.n_events").count()
+    assert(misaligned === 0)
+  }
+
+  test("events_concurrency peak never exceeds that day's session count") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("events_concurrency")(spark, sf)
+      .filter($"peak_concurrent" < 1 || $"peak_concurrent" > $"n_sessions")
+      .count()
+    assert(bad === 0)
+  }
 }

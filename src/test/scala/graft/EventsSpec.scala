@@ -96,4 +96,24 @@ class EventsSpec extends SparkSpecBase {
     assert(out.count() === tumbling)
     out.unpersist()
   }
+
+  test("concurrency sweep: overlap counts, midnight sessions split across days") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 and u2 overlap at 10:05 (peak 2); u3's session crosses midnight
+    // (23:50 → 00:10 next day, 20-min gap < 30-min session gap) and must
+    // count once on EACH day
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (2L, 3L, ts("2024-01-01 10:05:00")),
+      (3L, 4L, ts("2024-01-01 23:50:00")),
+      (3L, 5L, ts("2024-01-02 00:10:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = ops.Events.concurrencyOf(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      ("2024-01-01", 2L, 3L),
+      ("2024-01-02", 1L, 1L)), got.mkString(","))
+  }
 }
