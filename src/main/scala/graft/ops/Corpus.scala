@@ -249,7 +249,83 @@ object Corpus {
        |  FROM st
        |)""".stripMargin
 
+  // Boilerplate-removal geometry: contiguous non-overlapping token
+  // blocks (stride = width, unlike the model-window [[chunks]] whose
+  // overlap would make reassembly ambiguous) and the cross-document
+  // frequency at which a block counts as boilerplate.
+  private val BlockLen = 32
+  private val BoilerDfMin = 2
+
+  /** Boilerplate removal — the sub-document rewrite `chunk_dedup` only
+    * DETECTS: split each doc into contiguous [[BlockLen]]-token
+    * blocks, drop every block whose content appears in ≥
+    * [[BoilerDfMin]] distinct documents (headers, footers, license
+    * text), and reassemble the survivors in order. Emits per-doc
+    * counts and the md5 of the cleaned text (compact + verifiable;
+    * the cleaned text itself would just echo the corpus).
+    *
+    * Scale: block split is row-local; the document-frequency pass is
+    * one map-side-combined aggregate on the 60-bit block hash (no
+    * block text shuffles); the keep/drop join is a hash join on the
+    * same key; reassembly shuffles each doc's KEPT block texts once,
+    * grouped by doc_id — the unavoidable rewrite cost, bounded by
+    * output size. In-doc order is restored with an `array_sort` over
+    * (start, text) structs, so reassembly is deterministic under any
+    * partitioning. */
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id",
+        explode(expr(s"sequence(0, size(w) - 1, $BlockLen)")).as("start"),
+        $"w")
+      .select($"doc_id", $"start".cast("long").as("start"),
+        concat_ws(" ", expr(s"slice(w, start + 1, $BlockLen)")).as("btext"))
+      .withColumn("bh", hash60($"btext"))
+    val df = blocks.groupBy($"bh")
+      .agg(countDistinct($"doc_id").as("bdf"))
+    blocks.join(df, "bh")
+      .withColumn("keep", $"bdf" < BoilerDfMin)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(start, btext) END)), x -> x.btext)")))
+          .as("clean_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private def boilerplateOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |),
+       |st AS (
+       |  SELECT doc_id, w, unnest(range(0, len(w), $BlockLen)) AS start
+       |  FROM toks WHERE len(w) > 0
+       |),
+       |blocks AS (
+       |  SELECT doc_id, CAST(start AS BIGINT) AS start,
+       |    array_to_string(w[start + 1 : start + $BlockLen], ' ') AS btext
+       |  FROM st
+       |),
+       |hashed AS (
+       |  SELECT doc_id, start, btext, ${hash60Sql("btext")} AS bh FROM blocks
+       |),
+       |dfreq AS (
+       |  SELECT bh, COUNT(DISTINCT doc_id) AS bdf FROM hashed GROUP BY bh
+       |)
+       |SELECT h.doc_id, COUNT(*) AS n_blocks,
+       |  CAST(SUM(CASE WHEN d.bdf < $BoilerDfMin THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  md5(COALESCE(string_agg(h.btext, ' ' ORDER BY h.start)
+       |    FILTER (WHERE d.bdf < $BoilerDfMin), '')) AS clean_hash
+       |FROM hashed h JOIN dfreq d ON d.bh = h.bh
+       |GROUP BY h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("text_boilerplate", textBoilerplate _, boilerplateOracle),
     OpDef("text_chunk", textChunk _,
       s"""$chunkCte
          |SELECT doc_id, chunk_id, start_token, n_tokens, chunk_hash

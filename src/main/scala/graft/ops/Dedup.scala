@@ -434,6 +434,105 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // Containment knobs: rare-gram document-frequency cap (candidate
+  // generator) and the containment threshold.
+  private val ContainDfCap = 64
+  private val ContainThreshold = 0.9
+
+  /** ASYMMETRIC near-dup detection: doc A contained in doc B
+    * (containment = |grams(A) ∩ grams(B)| / |grams(smaller)| ≥
+    * [[ContainThreshold]]) — the quote/snippet/superset case Jaccard
+    * dedup structurally misses: a short doc embedded in a long one has
+    * LOW Jaccard (small intersection over a big union), so minhash-LSH
+    * bands rarely collide for it. Candidates instead come from the
+    * inverted index over RARE grams: a contained doc shares ALL its
+    * grams with its container, so any shared gram with document
+    * frequency ≤ [[ContainDfCap]] surfaces the pair.
+    *
+    * Scale: gram→doc postings are one explode + distinct shuffle; the
+    * df filter drops boilerplate grams, bounding the posting self-join
+    * at df² ≤ [[ContainDfCap]] × postings — the inverted-index
+    * analogue of the LSH bucket cap (a gram in every doc generates no
+    * candidates, exactly like an over-wide band bucket). Verify is the
+    * family's standard candidate-scoped merge-walk: one sorted hash
+    * array per candidate doc, `sorted_intersect_count` per pair.
+    * doc_inner = the smaller gram set (min doc_id on ties). */
+  private def dedupContainment(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val postings = wordGrams(spread)
+      .select($"doc_id", explode($"grams").as("g"))
+      .select($"doc_id", hash60($"g").as("gh"))
+      .distinct()
+    val rare = postings.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= ContainDfCap).select($"gh")
+    val keptPost = postings.join(rare, "gh")
+    val candidates = keptPost.as("l").join(keptPost.as("r"),
+        $"l.gh" === $"r.gh" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .distinct().cache()
+    val candIds = candidates
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val gsets = wordGrams(spread.join(candIds, Seq("doc_id"), "left_semi"))
+      .select($"doc_id", expr("hash60_set(grams)").as("gs")).cache()
+    candidates
+      .join(gsets.select($"doc_id".as("doc_a"), $"gs".as("ga")), "doc_a")
+      .join(gsets.select($"doc_id".as("doc_b"), $"gs".as("gb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("sorted_intersect_count(ga, gb)").as("inter"),
+        size($"ga").as("na"), size($"gb").as("nb"))
+      .select(
+        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+          $"doc_a").otherwise($"doc_b").as("doc_inner"),
+        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+          $"doc_b").otherwise($"doc_a").as("doc_outer"),
+        least($"na", $"nb").cast("long").as("n_inner"),
+        roundHalfUp(lit(1.0) * $"inter" / least($"na", $"nb"), 6)
+          .as("containment"))
+      .filter($"containment" >= ContainThreshold)
+      .orderBy($"doc_inner", $"doc_outer")
+  }
+
+  private def containmentOracle: String = {
+    val score = "1.0 * i.inter / LEAST(sa.n, sb.n)"
+    s"""WITH $shingleCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gset AS (SELECT DISTINCT doc_id, ${hash60Sql("g")} AS gh FROM gx),
+       |rare AS (
+       |  SELECT gh FROM gset GROUP BY gh HAVING COUNT(*) <= $ContainDfCap
+       |),
+       |kept AS (SELECT p.doc_id, p.gh FROM gset p JOIN rare r ON r.gh = p.gh),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM kept l JOIN kept r ON l.gh = r.gh AND l.doc_id < r.doc_id
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN gset a ON a.doc_id = c.doc_a
+       |  JOIN gset b ON b.doc_id = c.doc_b AND b.gh = a.gh
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT
+       |  CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.doc_a < i.doc_b)
+       |       THEN i.doc_a ELSE i.doc_b END AS doc_inner,
+       |  CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.doc_a < i.doc_b)
+       |       THEN i.doc_b ELSE i.doc_a END AS doc_outer,
+       |  LEAST(sa.n, sb.n) AS n_inner,
+       |  ${roundHalfUpSql(score, 6)} AS containment
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE ${roundHalfUpSql(score, 6)} >= $ContainThreshold
+       |ORDER BY doc_inner, doc_outer""".stripMargin
+  }
+
   private val shingleCte: String =
     s"""grams AS (
        |  SELECT doc_id,
@@ -1126,6 +1225,7 @@ object Dedup {
       s"""SELECT doc_a AS doc_id, doc_b - $FuzzyOffset AS twin_id, jaccard
          |FROM (${lshOracle(fuzzyCte, 0.8, keptFuzzyCandSql)})
          |ORDER BY doc_id, twin_id""".stripMargin),
+    OpDef("dedup_containment", dedupContainment _, containmentOracle),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),

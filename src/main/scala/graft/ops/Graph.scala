@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -444,7 +445,102 @@ object Graph {
        |ORDER BY node_type, node_key""".stripMargin
   }
 
+  // Similarity-kNN knobs: middle-vertex (customer) degree cap — the
+  // wedge-join skew guard, same idiom as the LSH MaxBucket — and the
+  // per-node neighbor-list length.
+  private val SimMaxCoDeg = 1024
+  private val SimTopK = 5
+
+  /** Item-item similarity kNN: for every supplier, its [[SimTopK]]
+    * most-similar suppliers by Jaccard over shared CUSTOMER sets —
+    * the collaborative-filtering candidate generator (and the graph
+    * twin of `knn_graph`, which does the same over embeddings).
+    *
+    * Scale: common-neighbor counts come from ONE self-join of the
+    * bipartite (customer, supplier) adjacency on the customer key —
+    * cost Σ deg(cust)², bounded by dropping middle vertices above
+    * [[SimMaxCoDeg]] (enforced + oracle-mirrored, the wedge analogue
+    * of the LSH bucket cap; a retail-scale "everyone's customer" hub
+    * would otherwise quadratically dominate). Degrees join in from a
+    * supplier-count aggregate (dimension-sized → broadcast), and the
+    * top-k cut is a per-supplier window over its candidate ROWS only
+    * — never a global sort.
+    *
+    * Determinism: ranking key = (jaccard quantized to 6 dp DESC,
+    * neighbor id ASC) — the quantization makes float ties exact, the
+    * id breaks them identically in both engines. */
+  private def graphSimilarity(s: SparkSession, d: String) = {
+    import s.implicits._
+    val adj = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+    val kept = adj.join(
+      adj.groupBy($"cust").agg(count(lit(1)).as("cd"))
+        .filter($"cd" <= SimMaxCoDeg).select($"cust"),
+      Seq("cust"))
+    val common = kept.as("l").join(kept.as("r"),
+        $"l.cust" === $"r.cust" && $"l.supp" < $"r.supp")
+      .groupBy($"l.supp".as("a"), $"r.supp".as("b"))
+      .agg(count(lit(1)).as("common"))
+    val deg = adj.groupBy($"supp").agg(count(lit(1)).as("d"))
+    val sym = common.unionByName(
+      common.select($"b".as("a"), $"a".as("b"), $"common"))
+    val scored = sym
+      .join(deg.select($"supp".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"supp".as("b"), $"d".as("db")), "b")
+      .select($"a".as("supplier"), $"b".as("nbr"), $"common",
+        roundHalfUp(lit(1.0) * $"common" / ($"da" + $"db" - $"common"), 6)
+          .as("jaccard"))
+    val w = Window.partitionBy($"supplier")
+      .orderBy($"jaccard".desc, $"nbr".asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= SimTopK)
+      .orderBy($"supplier", $"rk")
+  }
+
+  private def similarityOracle: String =
+    s"""WITH adj AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |),
+       |kept AS (
+       |  SELECT a.cust, a.supp FROM adj a
+       |  JOIN (SELECT cust FROM adj GROUP BY cust
+       |        HAVING COUNT(*) <= $SimMaxCoDeg) k ON k.cust = a.cust
+       |),
+       |common AS (
+       |  SELECT l.supp AS a, r.supp AS b, COUNT(*) AS common
+       |  FROM kept l JOIN kept r ON l.cust = r.cust AND l.supp < r.supp
+       |  GROUP BY 1, 2
+       |),
+       |deg AS (SELECT supp, COUNT(*) AS d FROM adj GROUP BY supp),
+       |sym AS (
+       |  SELECT a, b, common FROM common
+       |  UNION ALL SELECT b, a, common FROM common
+       |),
+       |scored AS (
+       |  SELECT s.a AS supplier, s.b AS nbr, s.common,
+       |    ${roundHalfUpSql("1.0 * s.common / (da.d + db.d - s.common)", 6)}
+       |      AS jaccard
+       |  FROM sym s
+       |  JOIN deg da ON da.supp = s.a
+       |  JOIN deg db ON db.supp = s.b
+       |),
+       |ranked AS (
+       |  SELECT supplier, nbr, common, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY supplier
+       |      ORDER BY jaccard DESC, nbr ASC) AS INT) AS rk
+       |  FROM scored
+       |)
+       |SELECT supplier, nbr, common, jaccard, rk
+       |FROM ranked WHERE rk <= $SimTopK
+       |ORDER BY supplier, rk""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("graph_similarity", graphSimilarity _, similarityOracle),
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
     OpDef("graph_degrees", graphDegrees _, degreesOracle),

@@ -153,7 +153,107 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_no")
   }
 
+  // Perceptual-hash geometry: 16 positional bits, 4 bands × 4 bits.
+  // Hamming radius 3 < band count ⇒ every qualifying pair shares at
+  // least one intact band (pigeonhole) — the same LSH-exactness
+  // argument as `dedup_simhash`. A production build over real decoded
+  // pixels widens to 64 bits / 8-bit bands; the band-join shape is
+  // unchanged.
+  private val PhSegs = 16
+  private val PhBands = 4
+  private val PhBandBits = PhSegs / PhBands
+  private val PhMaxHamming = 3
+  private val PhMaxBucket = 4096
+
+  /** Perceptual near-dup detection over the media payloads — the
+    * average-hash idiom: split each payload (as hex) into [[PhSegs]]
+    * equal segments, count high-nibble chars per segment, and set bit
+    * j when segment j sits above the payload's OWN mean — a
+    * self-normalizing, position-sensitive 16-bit signature (a 1-D
+    * aHash; with a real codec the same bits come from pixel-block
+    * means). Candidates via a banded self-join, verified by exact
+    * Hamming distance ≤ [[PhMaxHamming]].
+    *
+    * Scale: the signature is row-local codegen (substring + regexp
+    * over the scan partition — payload bytes never shuffle; only
+    * doc_id + 16-bit phash leave the scan). Candidate generation
+    * shuffles (band, nibble) keys with a [[PhMaxBucket]] width cap —
+    * the same enforced skew guard as the text LSH family — and verify
+    * is one integer `bit_count(xor)` per candidate pair. */
+  private def mmPhash(s: SparkSession, d: String) = {
+    import s.implicits._
+    val segExprs = (0 until PhSegs).map(j =>
+      length(regexp_replace(expr(s"substring(hexp, $j*seg+1, seg)"),
+        "[0-7]", "")).as(s"h$j"))
+    val bitSum = (0 until PhSegs).map(j =>
+      expr(s"shiftleft(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END, $j)"))
+      .reduce(_ + _)
+    val signed = media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp"))
+      .withColumn("seg", expr(s"length(hexp) div $PhSegs"))
+      .withColumn("htot", length(regexp_replace($"hexp", "[0-7]", "")))
+      .select(($"doc_id" +: segExprs :+ $"htot"): _*)
+      .select($"doc_id", bitSum.cast("int").as("phash"))
+    val banded = signed.select($"doc_id", $"phash",
+        explode(sequence(lit(0), lit(PhBands - 1))).as("band"))
+      .withColumn("nib",
+        expr(s"shiftright(phash, band * $PhBandBits) & ${(1 << PhBandBits) - 1}"))
+    val kept = banded.join(
+      banded.groupBy($"band", $"nib").agg(count(lit(1)).as("bw"))
+        .filter($"bw" <= PhMaxBucket).select($"band", $"nib"),
+      Seq("band", "nib"))
+    kept.as("l").join(kept.as("r"),
+        $"l.band" === $"r.band" && $"l.nib" === $"r.nib" &&
+          $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"),
+        expr("CAST(bit_count(l.phash ^ r.phash) AS INT)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= PhMaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def phashOracle: String = {
+    val segs = (0 until PhSegs).map(j =>
+      s"len(regexp_replace(substring(hexp, $j*seg+1, seg), '[0-7]', '', 'g')) AS h$j")
+      .mkString(",\n    ")
+    val bits = (0 until PhSegs).map(j =>
+      s"(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END << $j)")
+      .mkString(" + ")
+    s"""WITH $mediaSql,
+       |segged AS (
+       |  SELECT doc_id, len(hexp) // $PhSegs AS seg,
+       |    len(regexp_replace(hexp, '[0-7]', '', 'g')) AS htot, hexp
+       |  FROM media
+       |),
+       |counts AS (
+       |  SELECT doc_id, htot,
+       |    $segs
+       |  FROM segged
+       |),
+       |ph AS (
+       |  SELECT doc_id, CAST($bits AS INT) AS phash FROM counts
+       |),
+       |banded AS (
+       |  SELECT doc_id, phash, t.k AS band,
+       |    (phash >> (CAST(t.k AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS nib
+       |  FROM ph CROSS JOIN range($PhBands) t(k)
+       |),
+       |kept AS (
+       |  SELECT b.doc_id, b.phash, b.band, b.nib FROM banded b
+       |  JOIN (SELECT band, nib FROM banded GROUP BY band, nib
+       |        HAVING COUNT(*) <= $PhMaxBucket) w
+       |    ON b.band = w.band AND b.nib = w.nib
+       |)
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+       |FROM kept l JOIN kept r
+       |  ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.phash, r.phash)) <= $PhMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("mm_phash", mmPhash _, phashOracle),
     OpDef("mm_dedup", mmDedup _,
       s"""WITH $mediaSql
          |SELECT MIN(doc_id) AS keep_doc_id, md5(hexp) AS payload_md5,

@@ -117,6 +117,37 @@ class CatalogSpec extends SparkSpecBase {
     assert(misaligned === 0)
   }
 
+  test("graph_similarity: ≤5 ranked rows per supplier, jaccard in (0,1]") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_similarity")(spark, sf).cache()
+    assert(out.filter($"rk" < 1 || $"rk" > 5).count() === 0)
+    assert(out.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).count() === 0)
+    val overfull = out.groupBy($"supplier").count().filter($"count" > 5).count()
+    assert(overfull === 0)
+    out.unpersist()
+  }
+
+  test("dedup_containment pairs are directed, scored in [0.9, 1]") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dedup_containment")(spark, sf).cache()
+    assert(out.filter($"doc_inner" === $"doc_outer").count() === 0)
+    assert(out.filter($"containment" < 0.9 || $"containment" > 1.0).count() === 0)
+    out.unpersist()
+  }
+
+  test("text_boilerplate: untouched docs reassemble to their normalized text") {
+    import spark.implicits._
+    import graft.functions.TextFns.normalizeText
+    val out = SparkEntry.queries("text_boilerplate")(spark, sf).cache()
+    assert(out.filter($"n_dropped" > $"n_blocks").count() === 0)
+    val bad = out.filter($"n_dropped" === 0)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter($"clean_hash" =!= md5(normalizeText($"text")))
+      .count()
+    assert(bad === 0)
+    out.unpersist()
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)

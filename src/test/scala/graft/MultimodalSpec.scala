@@ -93,4 +93,23 @@ class MultimodalSpec extends SparkSpecBase {
     val plan = MediaCodec.decodeBatch(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("mm_phash recalls every exact-duplicate payload pair at hamming 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical payloads ⇒ identical phash ⇒ same buckets in every
+    // band ⇒ the pair MUST surface with hamming 0 (LSH-exactness floor)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ch", md5(col("text")))
+    val dupPairs = docs.as("a").join(docs.as("b"),
+        col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val phash = SparkEntry.queries("mm_phash")(spark, sf)
+    val missed = dupPairs.join(
+      phash.filter(col("hamming") === 0), Seq("doc_a", "doc_b"), "left_anti")
+      .count()
+    assert(missed === 0)
+    assert(phash.filter(col("hamming") > 3 || col("doc_a") >= col("doc_b"))
+      .count() === 0)
+  }
 }

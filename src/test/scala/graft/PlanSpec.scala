@@ -489,4 +489,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("pq_argmin"), p)
   }
+
+  test("bitmap distinct ORs words map-side before the shuffle") {
+    val p = plan("agg_bitmap_distinct")
+    assert(p.contains("partial_bit_or"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("concurrency sweep partitions by day, sessions by user — no global window") {
+    val p = plan("events_concurrency")
+    assert(p.contains("hashpartitioning(day"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SinglePartition)"), p)
+  }
+
+  test("similarity kNN cuts top-k below the shuffle and joins keyed") {
+    val p = plan("graph_similarity")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("phash signature and boilerplate df move hashes, not payload text") {
+    // every exchange's partition key is an id/hash/band column — the
+    // payload hex (mm_phash) and block text (text_boilerplate df pass)
+    // stay in their scan partitions until the bounded reassembly/verify
+    val ph = plan("mm_phash")
+    assert(!"hashpartitioning\\([^)]*hexp".r.findFirstIn(ph).isDefined, ph)
+    val bp = plan("text_boilerplate")
+    assert("hashpartitioning\\(bh".r.findFirstIn(bp).isDefined, bp)
+  }
 }
