@@ -465,10 +465,13 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
+    // postings feed both the df aggregate and the candidate join —
+    // cache the (doc_id, 60-bit hash) pairs so shingling+explode runs
+    // once (cleared by the harness between queries)
     val postings = wordGrams(spread)
       .select($"doc_id", explode($"grams").as("g"))
       .select($"doc_id", hash60($"g").as("gh"))
-      .distinct()
+      .distinct().cache()
     val rare = postings.groupBy($"gh").agg(count(lit(1)).as("df"))
       .filter($"df" <= ContainDfCap).select($"gh")
     val keptPost = postings.join(rare, "gh")

@@ -471,19 +471,35 @@ object Graph {
     * id breaks them identically in both engines. */
   private def graphSimilarity(s: SparkSession, d: String) = {
     import s.implicits._
+    // the adjacency feeds three consumers (degree cap, degrees, wedge
+    // join) — cache it so the orders⋈lineitem distinct runs once; it is
+    // |distinct (cust, supp)| rows (two longs each), far smaller than
+    // the fact table. The harness clears the cache between queries.
     val adj = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
-      .distinct()
+      .distinct().cache()
+    // The wedge join EXPANDS ~40× (Σ deg(cust)² rows from a compact
+    // adjacency): its INPUT is small enough that AQE would coalesce the
+    // shuffle to a task or two and serialize the expansion + partial
+    // aggregate behind it. Pin the expansion width with an explicit
+    // numPartitions repartition on the join key (AQE preserves
+    // user-specified repartitioning); both sides co-partition, so the
+    // self-join adds no further exchange.
+    val target = s.sparkContext.defaultParallelism
     val kept = adj.join(
       adj.groupBy($"cust").agg(count(lit(1)).as("cd"))
         .filter($"cd" <= SimMaxCoDeg).select($"cust"),
       Seq("cust"))
+      .repartition(target, $"cust")
+    // cached: the symmetric union below reads `common` twice, and
+    // without the cache each branch would re-run the whole wedge join
     val common = kept.as("l").join(kept.as("r"),
         $"l.cust" === $"r.cust" && $"l.supp" < $"r.supp")
       .groupBy($"l.supp".as("a"), $"r.supp".as("b"))
       .agg(count(lit(1)).as("common"))
+      .cache()
     val deg = adj.groupBy($"supp").agg(count(lit(1)).as("d"))
     val sym = common.unionByName(
       common.select($"b".as("a"), $"a".as("b"), $"common"))
