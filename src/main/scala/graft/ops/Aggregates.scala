@@ -253,7 +253,81 @@ object Aggregates {
        |FROM bitmap b JOIN exact e ON e.event_type = b.event_type
        |ORDER BY b.event_type""".stripMargin
 
+  // Quantile-sketch geometry: 32 equal-width buckets over [0, 512)
+  // (events.value spans ~[0, 490]) and a 7-day trailing merge window.
+  private val QsBuckets = 32
+  private val QsStep = 16
+  private val QsWindow = 7
+
+  /** Mergeable quantile sketch with period rollup — the quantile twin
+    * of `sketch_rolling_distinct`: each day's `value` distribution
+    * collapses to a fixed [[QsBuckets]]-counter equal-width histogram,
+    * and the trailing-[[QsWindow]]-day median estimate comes from
+    * MERGING those daily sketches (counter addition — no re-scan of
+    * event rows), reported as the bucket containing the merged p50
+    * with its exact-error bounds (the bucket's edges).
+    *
+    * Scale: one map-side-combined aggregate to ≤ |days|×[[QsBuckets]]
+    * sketch rows; the trailing merge explodes day INDEXES over those
+    * SKETCH rows only (never events) and re-aggregates; the p50 walk
+    * is a window over ≤ [[QsBuckets]] rows per day. This is the
+    * pre-aggregated-store shape: persisted daily sketches answer any
+    * trailing-window quantile without touching raw data — the fixed
+    * bucket grid trades accuracy (bounded by [[QsStep]]) for O(1)
+    * merge state, the same deal HLL strikes for distincts. */
+  private def sketchRollingQuantile(s: SparkSession, d: String) = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(to_date($"ts").as("day"),
+        least(expr(s"CAST(FLOOR(value / $QsStep) AS INT)"), lit(QsBuckets - 1))
+          .as("bucket"))
+      .groupBy($"day", $"bucket").agg(count(lit(1)).as("n"))
+    val merged = daily
+      .select(explode(expr(s"sequence(day, date_add(day, ${QsWindow - 1}))"))
+        .as("day"), $"bucket", $"n")
+      .groupBy($"day", $"bucket").agg(sum($"n").as("n"))
+    val cum = Window.partitionBy($"day").orderBy($"bucket".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"day")
+    merged
+      .withColumn("cum", sum($"n").over(cum))
+      .withColumn("total", sum($"n").over(tot))
+      .filter($"cum" * 2 >= $"total" &&
+        ($"cum" - $"n") * 2 < $"total")
+      .select($"day", $"total".as("n_7d"), $"bucket".as("p50_bucket"),
+        ($"bucket" * QsStep).cast("double").as("p50_lo"),
+        (($"bucket" + 1) * QsStep).cast("double").as("p50_hi"))
+      .orderBy($"day")
+  }
+
+  private def rollingQuantileOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    LEAST(CAST(value // $QsStep AS INT), ${QsBuckets - 1}) AS bucket,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |),
+       |merged AS (
+       |  SELECT d.day + CAST(t.k AS INT) AS day, bucket, SUM(n) AS n
+       |  FROM daily d CROSS JOIN range($QsWindow) t(k)
+       |  GROUP BY 1, 2
+       |),
+       |walked AS (
+       |  SELECT day, bucket, n,
+       |    SUM(n) OVER (PARTITION BY day ORDER BY bucket ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(n) OVER (PARTITION BY day) AS total
+       |  FROM merged
+       |)
+       |SELECT day, CAST(total AS BIGINT) AS n_7d, CAST(bucket AS INT) AS p50_bucket,
+       |  CAST(bucket * $QsStep AS DOUBLE) AS p50_lo,
+       |  CAST((bucket + 1) * $QsStep AS DOUBLE) AS p50_hi
+       |FROM walked
+       |WHERE cum * 2 >= total AND (cum - n) * 2 < total
+       |ORDER BY day""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("sketch_rolling_quantile", sketchRollingQuantile _, rollingQuantileOracle),
     OpDef("agg_bitmap_distinct", aggBitmapDistinct _, bitmapDistinctOracle),
     OpDef("agg_mode", aggMode _,
       """WITH counts AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -252,7 +253,82 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // Scene-cut threshold on the frame-to-frame energy delta (energies
+  // are high-nibble fractions in [0, 1], quantized to 6 dp first).
+  private val CutThreshold = 0.05
+
+  /** Scene-cut detection — the video-analysis shape over the frame
+    * grid: per fixed-size frame, an "energy" statistic (fraction of
+    * high-nibble hex chars — with a real codec this is the luma-delta
+    * between decoded frames), then a per-document lag compares each
+    * frame to its predecessor and flags deltas above [[CutThreshold]].
+    * Emits every frame with its energy, delta, and cut flag.
+    *
+    * Scale: frame INDEXES explode (each frame costs one substring +
+    * one regexp count, row-local in codegen — payload bytes never
+    * shuffle); the lag is one window partitioned by doc_id, so frames
+    * of different videos never meet. Energies quantize to 6 dp BEFORE
+    * the delta so the comparison is exact in both engines. */
+  private def mmSceneCuts(s: SparkSession, d: String) = {
+    import s.implicits._
+    val hexFrame = FrameBytes * 2
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no".asc)
+    media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp"),
+        length($"payload").cast("long").as("n_bytes"))
+      .withColumn("n_frames", expr(s"(n_bytes + ${FrameBytes - 1}) div $FrameBytes"))
+      .select($"doc_id", $"hexp",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_no"))
+      .select($"doc_id", $"frame_no",
+        expr(s"substring(hexp, CAST(frame_no * $hexFrame + 1 AS INT), $hexFrame)")
+          .as("fr"))
+      .select($"doc_id", $"frame_no",
+        roundHalfUp(lit(1.0) *
+          length(regexp_replace($"fr", "[0-7]", "")) / length($"fr"), 6)
+          .as("energy"))
+      .withColumn("delta",
+        roundHalfUp(abs($"energy" - lag($"energy", 1).over(w)), 6))
+      .withColumn("is_cut",
+        coalesce($"delta" > CutThreshold, lit(false)))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  private def sceneCutsOracle: String =
+    s"""WITH $mediaSql,
+       |framed AS (
+       |  SELECT doc_id, hexp, len(hexp) // 2 AS n_bytes FROM media
+       |),
+       |idx AS (
+       |  SELECT doc_id, hexp,
+       |    unnest(range(0, (n_bytes + ${FrameBytes - 1}) // $FrameBytes)) AS frame_no
+       |  FROM framed
+       |),
+       |fr AS (
+       |  SELECT doc_id, frame_no,
+       |    substring(hexp, CAST(frame_no * ${FrameBytes * 2} + 1 AS INT),
+       |      ${FrameBytes * 2}) AS fr
+       |  FROM idx
+       |),
+       |en AS (
+       |  SELECT doc_id, frame_no,
+       |    ${roundHalfUpSql(
+      "1.0 * len(regexp_replace(fr, '[0-7]', '', 'g')) / len(fr)", 6)} AS energy
+       |  FROM fr
+       |),
+       |lagged AS (
+       |  SELECT doc_id, frame_no, energy,
+       |    ${roundHalfUpSql(
+      "abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_no ASC))",
+      6)} AS delta
+       |  FROM en
+       |)
+       |SELECT doc_id, frame_no, energy, delta,
+       |  COALESCE(delta > $CutThreshold, false) AS is_cut
+       |FROM lagged
+       |ORDER BY doc_id, frame_no""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),
     OpDef("mm_dedup", mmDedup _,
       s"""WITH $mediaSql

@@ -884,7 +884,7 @@ object TextAnalysis {
     * and sum as exact DECIMAL(27,12); every constant is written as
     * the same literal in both engines so the double math is
     * bit-identical. */
-  private def rankBm25(s: SparkSession, d: String) = {
+  private[ops] def rankBm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("w"))
@@ -912,7 +912,7 @@ object TextAnalysis {
       .limit(20)
   }
 
-  private def bm25Oracle: String = {
+  private[ops] def bm25Oracle: String = {
     val inList = BmQuery.map(t => s"'$t'").mkString(", ")
     val scExpr = roundHalfUpSql(
       "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (t.tf * 2.2) / " +

@@ -148,6 +148,35 @@ class CatalogSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("ann_hybrid_rerank re-ranks within the BM25 candidate set") {
+    import spark.implicits._
+    val hybrid = SparkEntry.queries("ann_hybrid_rerank")(spark, sf).cache()
+    val bm = SparkEntry.queries("rank_bm25")(spark, sf).select($"doc_id")
+    assert(hybrid.join(bm, Seq("doc_id"), "left_anti").count() === 0)
+    assert(hybrid.filter($"hybrid" < 0 || $"hybrid" > 1.000001).count() === 0)
+    assert(hybrid.filter($"cosine" < -1.000001 || $"cosine" > 1.000001)
+      .count() === 0)
+    hybrid.unpersist()
+  }
+
+  test("mm_scene_cuts: first frame never cuts, energies are fractions") {
+    import spark.implicits._
+    val out = SparkEntry.queries("mm_scene_cuts")(spark, sf).cache()
+    assert(out.filter($"frame_no" === 0 && $"is_cut").count() === 0)
+    assert(out.filter($"energy" < 0 || $"energy" > 1).count() === 0)
+    assert(out.filter($"is_cut" && $"delta" <= 0.05).count() === 0)
+    out.unpersist()
+  }
+
+  test("sketch_rolling_quantile: one bucket per day, edges bracket the grid") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sketch_rolling_quantile")(spark, sf).cache()
+    assert(out.groupBy($"day").count().filter($"count" =!= 1).count() === 0)
+    assert(out.filter($"p50_bucket" < 0 || $"p50_bucket" > 31).count() === 0)
+    assert(out.filter($"p50_hi" - $"p50_lo" =!= 16.0).count() === 0)
+    out.unpersist()
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)
