@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
+import graft.functions.TextFns.{hash60, hash60Sql}
 
 /** [EXT] Event-time operators over the `events` table (SURVEY §2.8).
   *
@@ -1491,7 +1492,85 @@ object Events {
        |WHERE forecast IS NOT NULL
        |ORDER BY event_type, day""".stripMargin
 
+  /** A/B experiment readout: users split into two arms by a salted
+    * content hash (deterministic, uniform, reproducible across runs —
+    * the same idiom as `sample_hash`; a real pipeline hashes the
+    * experiment id into the salt), then per event type the two arms'
+    * conversion rates (distinct converting users / arm size), the
+    * relative lift, and the two-proportion z statistic.
+    *
+    * Scale: arm assignment is a row-local hash; both aggregates are
+    * map-side-combined distinct-counts keyed by (type, arm) — the
+    * shuffle carries (type, arm, user) triples pre-deduplicated per
+    * partition. The z arithmetic runs over |types| ROWS on exact
+    * integer counts, quantized to 6 dp, so both engines emit identical
+    * doubles. */
+  private def eventsAbtest(s: SparkSession, d: String) = {
+    import s.implicits._
+    val armed = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        when(hash60(concat(lit("ab:"), $"user_id")) % 2 === 0, "A")
+          .otherwise("B").as("arm"))
+    val arms = armed.select($"user_id", $"arm").distinct()
+      .groupBy($"arm").agg(count(lit(1)).as("n_users"))
+    val sizes = arms.groupBy().agg(
+      max(when($"arm" === "A", $"n_users")).as("n_a"),
+      max(when($"arm" === "B", $"n_users")).as("n_b"))
+    val conv = armed.select($"event_type", $"arm", $"user_id").distinct()
+      .groupBy($"event_type").agg(
+        sum(when($"arm" === "A", 1L).otherwise(0L)).as("conv_a"),
+        sum(when($"arm" === "B", 1L).otherwise(0L)).as("conv_b"))
+    val pa = $"conv_a" / $"n_a"
+    val pb = $"conv_b" / $"n_b"
+    val pooled = ($"conv_a" + $"conv_b") / ($"n_a" + $"n_b")
+    conv.crossJoin(broadcast(sizes))
+      .select($"event_type", $"n_a", $"n_b", $"conv_a", $"conv_b",
+        roundHalfUp(pa, 6).as("rate_a"),
+        roundHalfUp(pb, 6).as("rate_b"),
+        roundHalfUp(pb / nullif(pa, lit(0.0)) - 1.0, 6).as("lift"),
+        // NULL when pooled conversion is 0 or 1 (zero variance — e.g. a
+        // type every user fires): z is undefined there in BOTH engines
+        roundHalfUp((pb - pa) /
+          nullif(sqrt(pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), lit(0.0)), 6).as("z"))
+      .orderBy($"event_type")
+  }
+
+  private def abtestOracle: String = {
+    val pa = "(1.0 * c.conv_a / s.n_a)"
+    val pb = "(1.0 * c.conv_b / s.n_b)"
+    val pooled = "(1.0 * (c.conv_a + c.conv_b) / (s.n_a + s.n_b))"
+    s"""WITH armed AS (
+       |  SELECT user_id, event_type,
+       |    CASE WHEN ${hash60Sql("'ab:' || user_id")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS arm
+       |  FROM events
+       |),
+       |sizes AS (
+       |  SELECT
+       |    COUNT(DISTINCT CASE WHEN arm = 'A' THEN user_id END) AS n_a,
+       |    COUNT(DISTINCT CASE WHEN arm = 'B' THEN user_id END) AS n_b
+       |  FROM armed
+       |),
+       |conv AS (
+       |  SELECT event_type,
+       |    COUNT(DISTINCT CASE WHEN arm = 'A' THEN user_id END) AS conv_a,
+       |    COUNT(DISTINCT CASE WHEN arm = 'B' THEN user_id END) AS conv_b
+       |  FROM armed GROUP BY event_type
+       |)
+       |SELECT c.event_type, s.n_a, s.n_b, c.conv_a, c.conv_b,
+       |  ${roundHalfUpSql(pa, 6)} AS rate_a,
+       |  ${roundHalfUpSql(pb, 6)} AS rate_b,
+       |  ${roundHalfUpSql(s"$pb / NULLIF($pa, 0.0) - 1.0", 6)} AS lift,
+       |  ${roundHalfUpSql(
+      s"($pb - $pa) / NULLIF(sqrt($pooled * (1.0 - $pooled) * (1.0 / s.n_a + 1.0 / s.n_b)), 0.0)",
+      6)} AS z
+       |FROM conv c CROSS JOIN sizes s
+       |ORDER BY c.event_type""".stripMargin
+  }
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_abtest", eventsAbtest _, abtestOracle),
     OpDef("events_seasonality", eventsSeasonality _, seasonalityOracle),
     OpDef("events_concurrency", eventsConcurrency _, concurrencyOracle),
     OpDef("events_forecast", eventsForecast _, forecastOracle),

@@ -269,10 +269,13 @@ object Multimodal {
     * shuffle); the lag is one window partitioned by doc_id, so frames
     * of different videos never meet. Energies quantize to 6 dp BEFORE
     * the delta so the comparison is exact in both engines. */
-  private def mmSceneCuts(s: SparkSession, d: String) = {
+  /** Per-frame energy grid shared by scene-cut and silence detection:
+    * (doc_id, frame_no, energy), energy = high-nibble fraction of the
+    * frame's hex slice quantized to 6 dp. Row-local — only indexes
+    * explode. */
+  private def frameEnergies(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hexFrame = FrameBytes * 2
-    val w = Window.partitionBy($"doc_id").orderBy($"frame_no".asc)
     media(s, d)
       .select($"doc_id", hex($"payload").as("hexp"),
         length($"payload").cast("long").as("n_bytes"))
@@ -286,16 +289,11 @@ object Multimodal {
         roundHalfUp(lit(1.0) *
           length(regexp_replace($"fr", "[0-7]", "")) / length($"fr"), 6)
           .as("energy"))
-      .withColumn("delta",
-        roundHalfUp(abs($"energy" - lag($"energy", 1).over(w)), 6))
-      .withColumn("is_cut",
-        coalesce($"delta" > CutThreshold, lit(false)))
-      .orderBy($"doc_id", $"frame_no")
   }
 
-  private def sceneCutsOracle: String =
-    s"""WITH $mediaSql,
-       |framed AS (
+  /** Oracle CTE chain mirroring [[frameEnergies]] (defines `en`). */
+  private def energyCte: String =
+    s"""framed AS (
        |  SELECT doc_id, hexp, len(hexp) // 2 AS n_bytes FROM media
        |),
        |idx AS (
@@ -314,7 +312,22 @@ object Multimodal {
        |    ${roundHalfUpSql(
       "1.0 * len(regexp_replace(fr, '[0-7]', '', 'g')) / len(fr)", 6)} AS energy
        |  FROM fr
-       |),
+       |)""".stripMargin
+
+  private def mmSceneCuts(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no".asc)
+    frameEnergies(s, d)
+      .withColumn("delta",
+        roundHalfUp(abs($"energy" - lag($"energy", 1).over(w)), 6))
+      .withColumn("is_cut",
+        coalesce($"delta" > CutThreshold, lit(false)))
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  private def sceneCutsOracle: String =
+    s"""WITH $mediaSql,
+       |$energyCte,
        |lagged AS (
        |  SELECT doc_id, frame_no, energy,
        |    ${roundHalfUpSql(
@@ -327,7 +340,77 @@ object Multimodal {
        |FROM lagged
        |ORDER BY doc_id, frame_no""".stripMargin
 
+  // Silence threshold on the frame-energy fraction (~10th percentile
+  // of the synthetic grid) and the minimum run length worth reporting.
+  private val SilenceThreshold = 0.11
+  private val MinSilenceFrames = 2
+
+  /** Silence/voice-activity segmentation — the audio-analysis shape:
+    * classify each frame silent (energy < [[SilenceThreshold]]), then
+    * collapse consecutive silent frames into segments (gaps-and-
+    * islands: a boundary wherever silence starts, segment id = running
+    * boundary count) and report runs of ≥ [[MinSilenceFrames]] frames
+    * with their exact-decimal mean energy.
+    *
+    * Scale: the energy grid is the row-local [[frameEnergies]] scan;
+    * classification is a codegen'd compare; the island numbering is
+    * one window partitioned by doc_id (frames of different media never
+    * meet) and the segment rollup a map-side-combined aggregate on
+    * (doc_id, segment). Mean energy sums 6-dp-quantized energies as
+    * DECIMAL, so both engines emit identical doubles. */
+  private def mmSilenceSegments(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_no".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frameEnergies(s, d)
+      .withColumn("is_silent", $"energy" < SilenceThreshold)
+      .withColumn("boundary",
+        when($"is_silent" &&
+          !coalesce(lag($"is_silent", 1).over(w), lit(false)), 1).otherwise(0))
+      .withColumn("seg", sum($"boundary").over(run))
+      .filter($"is_silent")
+      .groupBy($"doc_id", $"seg")
+      .agg(min($"frame_no").as("seg_start"),
+        max($"frame_no").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        roundHalfUp((sumExact($"energy") / count(lit(1))), 6)
+          .as("mean_energy"))
+      .filter($"n_frames" >= MinSilenceFrames)
+      .select($"doc_id", $"seg_start", $"seg_end", $"n_frames", $"mean_energy")
+      .orderBy($"doc_id", $"seg_start")
+  }
+
+  private def silenceOracle: String =
+    s"""WITH $mediaSql,
+       |$energyCte,
+       |marked AS (
+       |  SELECT doc_id, frame_no, energy,
+       |    energy < $SilenceThreshold AS is_silent,
+       |    CASE WHEN energy < $SilenceThreshold AND NOT COALESCE(
+       |      lag(energy < $SilenceThreshold) OVER (PARTITION BY doc_id
+       |        ORDER BY frame_no ASC), false)
+       |      THEN 1 ELSE 0 END AS boundary
+       |  FROM en
+       |),
+       |seg AS (
+       |  SELECT doc_id, frame_no, energy, is_silent,
+       |    SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_no ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       |  FROM marked
+       |)
+       |SELECT doc_id, MIN(frame_no) AS seg_start, MAX(frame_no) AS seg_end,
+       |  COUNT(*) AS n_frames,
+       |  ${roundHalfUpSql(
+      "CAST(SUM(CAST(energy AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)}
+       |    AS mean_energy
+       |FROM seg
+       |WHERE is_silent
+       |GROUP BY doc_id, seg
+       |HAVING COUNT(*) >= $MinSilenceFrames
+       |ORDER BY doc_id, seg_start""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),
     OpDef("mm_dedup", mmDedup _,

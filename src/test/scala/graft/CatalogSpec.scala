@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Every catalog entry runs on sf0.001 and satisfies basic invariants.
@@ -174,6 +175,24 @@ class CatalogSpec extends SparkSpecBase {
     assert(out.groupBy($"day").count().filter($"count" =!= 1).count() === 0)
     assert(out.filter($"p50_bucket" < 0 || $"p50_bucket" > 31).count() === 0)
     assert(out.filter($"p50_hi" - $"p50_lo" =!= 16.0).count() === 0)
+    out.unpersist()
+  }
+
+  test("mm_silence_segments are contiguous frame runs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("mm_silence_segments")(spark, sf)
+    assert(out.filter($"n_frames" =!= $"seg_end" - $"seg_start" + 1)
+      .count() === 0)
+  }
+
+  test("events_abtest: conversions bounded by arm sizes, arms partition users") {
+    import spark.implicits._
+    val out = SparkEntry.queries("events_abtest")(spark, sf).cache()
+    assert(out.filter($"conv_a" > $"n_a" || $"conv_b" > $"n_b").count() === 0)
+    val Row(na: Long, nb: Long) = out.select($"n_a", $"n_b").first()
+    val users = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(na + nb === users)
     out.unpersist()
   }
 
