@@ -67,7 +67,9 @@ object GraftFunctions {
       es => BloomContains(es(0), es(1))),
     ("mg_topk_candidates", classOf[MgTopKCandidates],
       es => MgTopKCandidates(es(0))),
-    ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))))
+    ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))),
+    ("high_nibble_counts", classOf[HighNibbleCounts],
+      es => HighNibbleCounts(es(0))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

@@ -154,13 +154,15 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_no")
   }
 
-  // Perceptual-hash geometry: 16 positional bits, 4 bands × 4 bits.
+  // Perceptual-hash geometry: 32 positional bits, 4 bands × 8 bits.
   // Hamming radius 3 < band count ⇒ every qualifying pair shares at
   // least one intact band (pigeonhole) — the same LSH-exactness
-  // argument as `dedup_simhash`. A production build over real decoded
-  // pixels widens to 64 bits / 8-bit bands; the band-join shape is
-  // unchanged.
-  private val PhSegs = 16
+  // argument as `dedup_simhash`. 8-bit band values give 256-way bucket
+  // spread per band (the original 16-segment demo geometry's 4-bit
+  // nibbles saturated near 50k docs — measured at the 10× rehearsal);
+  // a production build over real decoded pixels widens again to
+  // 64 bits, same shapes.
+  private val PhSegs = graft.expressions.HighNibbleCounts.NSegs // 32
   private val PhBands = 4
   private val PhBandBits = PhSegs / PhBands
   private val PhMaxHamming = 3
@@ -182,19 +184,21 @@ object Multimodal {
     * the same enforced skew guard as the text LSH family — and verify
     * is one integer `bit_count(xor)` per candidate pair. */
   private def mmPhash(s: SparkSession, d: String) = {
+    graft.expressions.GraftFunctions.ensure(s)
     import s.implicits._
-    val segExprs = (0 until PhSegs).map(j =>
-      length(regexp_replace(expr(s"substring(hexp, $j*seg+1, seg)"),
-        "[0-7]", "")).as(s"h$j"))
-    val bitSum = (0 until PhSegs).map(j =>
-      expr(s"shiftleft(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END, $j)"))
-      .reduce(_ + _)
+    // one codegen'd pass builds the whole positional profile (counts
+    // per segment + total); the aggregate() fold turns it into bits —
+    // both row-local, so the payload is walked exactly once
+    val bitFold = s"""aggregate(
+      sequence(0, ${PhSegs - 1}),
+      CAST(0 AS BIGINT),
+      (acc, j) -> acc + shiftleft(
+        CAST(CASE WHEN prof[j] * $PhSegs > prof[$PhSegs] THEN 1 ELSE 0 END
+          AS BIGINT), j))"""
     val signed = media(s, d)
       .select($"doc_id", hex($"payload").as("hexp"))
-      .withColumn("seg", expr(s"length(hexp) div $PhSegs"))
-      .withColumn("htot", length(regexp_replace($"hexp", "[0-7]", "")))
-      .select(($"doc_id" +: segExprs :+ $"htot"): _*)
-      .select($"doc_id", bitSum.cast("int").as("phash"))
+      .select($"doc_id", expr("high_nibble_counts(hexp)").as("prof"))
+      .select($"doc_id", expr(bitFold).as("phash"))
     val banded = signed.select($"doc_id", $"phash",
         explode(sequence(lit(0), lit(PhBands - 1))).as("band"))
       .withColumn("nib",
@@ -218,7 +222,7 @@ object Multimodal {
       s"len(regexp_replace(substring(hexp, $j*seg+1, seg), '[0-7]', '', 'g')) AS h$j")
       .mkString(",\n    ")
     val bits = (0 until PhSegs).map(j =>
-      s"(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END << $j)")
+      s"(CAST(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END AS BIGINT) << $j)")
       .mkString(" + ")
     s"""WITH $mediaSql,
        |segged AS (
@@ -232,7 +236,7 @@ object Multimodal {
        |  FROM segged
        |),
        |ph AS (
-       |  SELECT doc_id, CAST($bits AS INT) AS phash FROM counts
+       |  SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM counts
        |),
        |banded AS (
        |  SELECT doc_id, phash, t.k AS band,

@@ -239,4 +239,19 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(math.abs(got - exact) <= (0.6 + 0.8) / 510.0 + 1e-12)
   }
 
+  test("high_nibble_counts: segment split, remainder in total only") {
+    // 64 chars of '9' (high) → 32 segments of 2, every count 2, total 64
+    val all9 = one(s"high_nibble_counts('${"9" * 64}')").getSeq[Int](0)
+    assert(all9.take(32).forall(_ == 2) && all9(32) === 64)
+    // 66 chars: segLen = 66/32 = 2 → 2 remainder chars count ONLY in
+    // the total (the substring(j*seg+1, seg) oracle split)
+    val rem = one(s"high_nibble_counts('${"9" * 66}')").getSeq[Int](0)
+    assert(rem.take(32).forall(_ == 2) && rem(32) === 66)
+    // low chars ('0'-'7') never count; 'A'-'F' do
+    val mixed = one(s"high_nibble_counts('${"0A" * 32}')").getSeq[Int](0)
+    assert(mixed.take(32).forall(_ == 1) && mixed(32) === 32)
+    // shorter than 32 chars: segLen 0, counts 0, total still exact
+    val short = one("high_nibble_counts('FF07')").getSeq[Int](0)
+    assert(short.take(32).forall(_ == 0) && short(32) === 2)
+  }
 }
