@@ -69,7 +69,8 @@ object GraftFunctions {
       es => MgTopKCandidates(es(0))),
     ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))),
     ("high_nibble_counts", classOf[HighNibbleCounts],
-      es => HighNibbleCounts(es(0))))
+      es => HighNibbleCounts(es(0))),
+    ("letter_counts", classOf[LetterCounts], es => LetterCounts(es(0))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

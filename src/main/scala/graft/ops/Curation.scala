@@ -372,6 +372,108 @@ object Curation {
     * report is one token-count scan + one tiny aggregate at any
     * corpus size. Rates are derived from RAW shares and quantized
     * only on output, identically in both engines. */
+  // Token-budget knobs: budget = 30 % of corpus tokens (integer-exact
+  // `total*3 div 10`); quality buckets = lexical diversity quantized
+  // to 3 dp (≤ 1001 buckets).
+  private val BudgetPctNum = 3
+  private val BudgetPctDen = 10
+
+  /** Budgeted corpus selection — "fill a token budget with the best
+    * documents": rank docs by a quality score (lexical diversity =
+    * distinct words / words, row-local) and keep the top of the
+    * ranking until 30 % of the corpus's tokens are spent. The
+    * scale-honest form: NO global quality sort — scores quantize to
+    * ≤ 1001 integer buckets, the greedy prefix resolves on the BUCKET
+    * histogram (cumulative token sums over ≤ 1001 rows), whole buckets
+    * above the threshold enter outright, and only the single boundary
+    * bucket's docs see an ordered window (doc_id order, partial-budget
+    * running sum) — the winsorize/RFM boundary pattern applied to
+    * selection. Boundary-bucket width bounds that window's partition.
+    *
+    * Determinism: scores are integer millis (`floor(1000·d/n + 0.5)`),
+    * budgets and running sums exact integers, boundary ties break by
+    * doc_id — identical in both engines under any partitioning. */
+  private def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") > 0)
+      .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+        expr("CAST(FLOOR(1000.0 * size(array_distinct(w)) / size(w) + 0.5) AS INT)")
+          .as("qb"))
+      // four consumers (budget, histogram, both selection joins): cache
+      // the 3-number-per-doc frame so tokenization runs once
+      .cache()
+    val budget = docs.agg(
+      expr(s"(sum(n_tokens) * $BudgetPctNum) div $BudgetPctDen").as("budget"))
+    val wdesc = Window.orderBy($"qb".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ 1001 histogram rows: the global window is over BUCKETS, never docs
+    val hist = docs.groupBy($"qb").agg(sum($"n_tokens").as("tok_b"))
+      .withColumn("cum", sum($"tok_b").over(wdesc))
+      .crossJoin(broadcast(budget))
+      .withColumn("budget_left", $"budget" - ($"cum" - $"tok_b"))
+    val fullIn = docs.join(
+      broadcast(hist.filter($"cum" <= $"budget").select($"qb")), "qb")
+      .select($"doc_id", $"n_tokens", $"qb")
+    val boundary = hist
+      .filter($"cum" > $"budget" && $"budget_left" > 0)
+      .select($"qb", $"budget_left")
+    val wb = Window.partitionBy($"qb").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partialIn = docs.join(broadcast(boundary), "qb")
+      .withColumn("run", sum($"n_tokens").over(wb))
+      .filter($"run" <= $"budget_left")
+      .select($"doc_id", $"n_tokens", $"qb")
+    fullIn.unionByName(partialIn)
+      .orderBy($"doc_id")
+  }
+
+  private def tokenBudgetOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR(1000.0 * len(list_distinct(w)) / len(w) + 0.5) AS INT)
+       |      AS qb
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents)
+       |  WHERE len(w) > 0
+       |),
+       |b AS (
+       |  SELECT (SUM(n_tokens) * $BudgetPctNum) // $BudgetPctDen AS budget
+       |  FROM docs
+       |),
+       |hist AS (
+       |  SELECT qb, SUM(n_tokens) AS tok_b FROM docs GROUP BY qb
+       |),
+       |cumh AS (
+       |  SELECT qb, tok_b,
+       |    SUM(tok_b) OVER (ORDER BY qb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist
+       |),
+       |marked AS (
+       |  SELECT c.qb, c.cum, c.cum - c.tok_b AS cum_before,
+       |    b.budget - (c.cum - c.tok_b) AS budget_left, b.budget
+       |  FROM cumh c CROSS JOIN b
+       |),
+       |full_in AS (
+       |  SELECT d.doc_id, d.n_tokens, d.qb
+       |  FROM docs d JOIN marked m ON m.qb = d.qb AND m.cum <= m.budget
+       |),
+       |partial_in AS (
+       |  SELECT doc_id, n_tokens, qb FROM (
+       |    SELECT d.doc_id, d.n_tokens, d.qb, m.budget_left,
+       |      SUM(d.n_tokens) OVER (PARTITION BY d.qb ORDER BY d.doc_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |    FROM docs d
+       |    JOIN marked m ON m.qb = d.qb
+       |      AND m.cum > m.budget AND m.budget_left > 0
+       |  ) WHERE run <= budget_left
+       |)
+       |SELECT doc_id, n_tokens, qb FROM full_in
+       |UNION ALL
+       |SELECT doc_id, n_tokens, qb FROM partial_in
+       |ORDER BY doc_id""".stripMargin
+
   private def corpusMixReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perLang = Tables.documents(s, d)
@@ -393,6 +495,7 @@ object Curation {
   }
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_report", corpusMixReport _,
       s"""WITH per_lang AS (
          |  SELECT lang, COUNT(*) AS n_docs,

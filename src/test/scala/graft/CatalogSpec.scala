@@ -196,6 +196,37 @@ class CatalogSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("corpus_token_budget: under budget, nearly full, quality-prefix") {
+    import spark.implicits._
+    val sel = SparkEntry.queries("corpus_token_budget")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " "))
+        .cast("long").as("n"))
+      .filter($"n" > 0).cache()
+    val budget = docs.agg(sum($"n")).first().getLong(0) * 3 / 10
+    val spent = sel.agg(sum($"n_tokens")).first().getLong(0)
+    val maxDoc = docs.agg(max($"n")).first().getLong(0)
+    assert(spent <= budget, s"$spent > $budget")
+    assert(budget - spent < maxDoc, s"left ${budget - spent} ≥ max doc $maxDoc")
+    val minSelQb = sel.agg(min($"qb")).first().getInt(0)
+    val unselectedAbove = Tables.documents(spark, sf)
+      .join(sel.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select(split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+      .filter(size($"w") > 0)
+      .filter(expr("CAST(FLOOR(1000.0 * size(array_distinct(w)) / size(w) + 0.5) AS INT)") > minSelQb)
+      .count()
+    assert(unselectedAbove === 0)
+    sel.unpersist(); docs.unpersist()
+  }
+
+  test("text_entropy bounded by log2(26), keep gate consistent") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_entropy")(spark, sf).cache()
+    assert(out.filter($"entropy" < 0 || $"entropy" > 4.700440).count() === 0)
+    assert(out.filter($"keep" =!= ($"entropy" >= 3.0)).count() === 0)
+    out.unpersist()
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)

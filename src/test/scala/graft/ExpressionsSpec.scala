@@ -254,4 +254,16 @@ class ExpressionsSpec extends SparkSpecBase {
     val short = one("high_nibble_counts('FF07')").getSeq[Int](0)
     assert(short.take(32).forall(_ == 0) && short(32) === 2)
   }
+
+  test("letter_counts: a-z histogram, multi-byte and non-letters ignored") {
+    val got = one("letter_counts('abba z9 éz')").getSeq[Long](0)
+    assert(got(0) === 2 && got(1) === 2 && got(25) === 2) // a, b, z
+    assert(got(26) === 6) // total letters; digits/spaces/é excluded
+    assert(got.slice(2, 25).forall(_ == 0))
+    // matches the replace-length formulation the oracle keeps
+    val viaReplace = one(
+      "length('abba z9 éz') - length(replace('abba z9 éz', 'a', ''))")
+      .getInt(0)
+    assert(got(0) === viaReplace.toLong)
+  }
 }
