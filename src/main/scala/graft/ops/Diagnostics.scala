@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -454,7 +455,113 @@ object Diagnostics {
        |ORDER BY check_name""".stripMargin
   }
 
+  /** Activity-concentration diagnostic: exact Gini coefficient and
+    * top-1 %/top-10 % event shares of the per-user event distribution —
+    * the "is this workload hub-dominated" probe that decides whether
+    * downstream per-user jobs need salting, and the drift alarm when a
+    * bot cohort shows up.
+    *
+    * Scale-honest exactness: after the one per-user count shuffle, the
+    * distribution collapses to a COUNT HISTOGRAM ((n_events,
+    * users_with_n) — bounded by distinct activity levels, not users),
+    * and both the Gini (grouped-data form: G = 1 − Σ fᵢ·(Sᵢ₋₁+Sᵢ)/S)
+    * and the top-k% shares (cumulative user counts walked from the
+    * heaviest bucket, boundary bucket admitted pro-rata in WHOLE
+    * users) resolve on that histogram with integer arithmetic — no
+    * per-user sort anywhere. Ratios quantize to 6 dp at the end. */
+  private def eventsGini(s: SparkSession, d: String) = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val hist = perUser.groupBy($"n").agg(count(lit(1)).as("users"))
+      .cache() // metadata-sized; five consumers below walk it
+    val wAsc = Window.orderBy($"n".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy($"n".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ |distinct activity levels| rows: global windows over the
+    // HISTOGRAM are metadata-sized by construction
+    val walked = hist
+      .withColumn("cum_users_asc", sum($"users").over(wAsc))
+      .withColumn("cum_ev_asc", sum($"users" * $"n").over(wAsc))
+      .withColumn("cum_users_desc", sum($"users").over(wDesc))
+      .withColumn("cum_ev_desc", sum($"users" * $"n").over(wDesc))
+    val tot = walked.agg(
+      max($"cum_users_asc").as("nu"), max($"cum_ev_asc").as("ne")).cache()
+    def topShare(pct: Int, name: String) = {
+      // k heaviest users, k = ceil(nu·pct/100); boundary bucket
+      // contributes (k − users above it) WHOLE users at n events each
+      walked.crossJoin(broadcast(tot))
+        .withColumn("k", expr(s"CAST(ceil(nu * $pct / 100.0) AS BIGINT)"))
+        .filter($"cum_users_desc" - $"users" < $"k")
+        .select(sum(
+          least($"users", $"k" - ($"cum_users_desc" - $"users")) * $"n")
+          .as(name))
+    }
+    // Σ users·(S_{i-1}+S_i) is an exact INTEGER — no float summation
+    // anywhere; gini needs exactly one double division at the end
+    // (num < nu·ne ≤ 2⁵³ at any realistic scale; past that, DECIMAL)
+    val gini = walked
+      .select(sum($"users" * ($"cum_ev_asc" - $"users" * $"n" + $"cum_ev_asc"))
+        .as("num"))
+    hist.agg(sum($"users").as("n_users"),
+        sum($"users" * $"n").as("n_events"))
+      .crossJoin(broadcast(gini))
+      .crossJoin(broadcast(topShare(1, "top1_ev")))
+      .crossJoin(broadcast(topShare(10, "top10_ev")))
+      .select($"n_users", $"n_events",
+        roundHalfUp(lit(1.0) -
+          $"num".cast("double") / ($"n_users" * $"n_events"), 6).as("gini"),
+        roundHalfUp($"top1_ev" / $"n_events", 6).as("top1pct_share"),
+        roundHalfUp($"top10_ev" / $"n_events", 6).as("top10pct_share"))
+  }
+
+  private def giniOracle: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+       |),
+       |hist AS (SELECT n, COUNT(*) AS users FROM per_user GROUP BY n),
+       |walked AS (
+       |  SELECT n, users,
+       |    SUM(users) OVER (ORDER BY n ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users_asc,
+       |    SUM(users * n) OVER (ORDER BY n ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ev_asc,
+       |    SUM(users) OVER (ORDER BY n DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users_desc
+       |  FROM hist
+       |),
+       |tot AS (
+       |  SELECT CAST(MAX(cum_users_asc) AS BIGINT) AS nu,
+       |    CAST(MAX(cum_ev_asc) AS BIGINT) AS ne FROM walked
+       |),
+       |gini AS (
+       |  SELECT SUM(users * (cum_ev_asc - users * n + cum_ev_asc)) AS num
+       |  FROM walked
+       |),
+       |top1 AS (
+       |  SELECT SUM(LEAST(users,
+       |      CAST(ceil(t.nu * 1 / 100.0) AS BIGINT)
+       |        - (cum_users_desc - users)) * n) AS top1_ev
+       |  FROM walked CROSS JOIN tot t
+       |  WHERE cum_users_desc - users < CAST(ceil(t.nu * 1 / 100.0) AS BIGINT)
+       |),
+       |top10 AS (
+       |  SELECT SUM(LEAST(users,
+       |      CAST(ceil(t.nu * 10 / 100.0) AS BIGINT)
+       |        - (cum_users_desc - users)) * n) AS top10_ev
+       |  FROM walked CROSS JOIN tot t
+       |  WHERE cum_users_desc - users < CAST(ceil(t.nu * 10 / 100.0) AS BIGINT)
+       |)
+       |SELECT t.nu AS n_users, t.ne AS n_events,
+       |  ${roundHalfUpSql(
+      "1.0 - CAST(g.num AS DOUBLE) / CAST(t.nu * t.ne AS DOUBLE)", 6)} AS gini,
+       |  ${roundHalfUpSql("1.0 * t1.top1_ev / t.ne", 6)} AS top1pct_share,
+       |  ${roundHalfUpSql("1.0 * t10.top10_ev / t.ne", 6)} AS top10pct_share
+       |FROM tot t CROSS JOIN gini g CROSS JOIN top1 t1 CROSS JOIN top10 t10""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("events_gini", eventsGini _, giniOracle),
     OpDef("dq_report", dqReport _, dqOracle),
     OpDef("diag_lateness", diagLateness _, latenessOracle),
     OpDef("embedding_pca", embeddingPca _, pcaOracle),

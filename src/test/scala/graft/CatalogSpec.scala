@@ -227,6 +227,18 @@ class CatalogSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("events_gini: shares ordered, coefficient in [0, 1)") {
+    import spark.implicits._
+    val r = SparkEntry.queries("events_gini")(spark, sf).first()
+    val gini = r.getAs[Double]("gini")
+    val t1 = r.getAs[Double]("top1pct_share")
+    val t10 = r.getAs[Double]("top10pct_share")
+    assert(gini >= 0.0 && gini < 1.0, gini)
+    assert(t1 <= t10 && t10 <= 1.0 && t1 > 0.0, s"$t1 / $t10")
+    // top-10% of users must hold at least 10% of events
+    assert(t10 >= 0.1 - 1e-6, t10)
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)
