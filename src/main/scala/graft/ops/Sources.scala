@@ -206,6 +206,102 @@ object Sources {
     * shuffle of metadata. The plan's integer arithmetic
     * (`(cum - size) div target`) is engine-exact, and executing the
     * plan is an embarrassingly parallel per-bin file rewrite. */
+  /** Zone-map effectiveness report — the reader-side complement of
+    * `layout_zorder`: quantifies how much file skipping each layout
+    * actually buys a point query. Two simulated file layouts over the
+    * same fact rows, both with scale-honest assignment (no global row
+    * numbering): `sorted` = one file per ISO week of `l_shipdate`
+    * (what `repartitionByRange` at write time produces), `ingest` =
+    * the same NUMBER of files assigned by order-key hash (arrival
+    * order). Per (layout, file): min/max shipdate zone maps; then a
+    * deterministic probe-date sample counts, per probe, how many files
+    * a min/max-pruning reader must open. avg_files_hit ≈ 1 for the
+    * sorted layout vs ≈ all files for ingest — the number that
+    * justifies sorted/z-ordered writes at 100 TB.
+    *
+    * Shuffles: one map-side-combined aggregate per layout onto FILE
+    * rows; the probe count is a broadcast join of the file-count-sized
+    * zone maps against the sampled probes. Ratios quantize to 6 dp. */
+  private def layoutZonemap(s: SparkSession, d: String) = {
+    import s.implicits._
+    import graft.functions.TextFns.hash60
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_shipdate")
+    val weekFile = expr("datediff(date_trunc('week', l_shipdate), DATE '1992-01-06') div 7")
+    val nf = li.select(weekFile.as("f")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_files"))
+    val assigned = li.crossJoin(broadcast(nf))
+      .select($"l_shipdate", $"n_files",
+        weekFile.as("sorted"),
+        (hash60(concat(lit("zm:"), $"l_orderkey")) % $"n_files").as("ingest"))
+    val zones = assigned
+      .select($"l_shipdate", explode(map(
+        lit("sorted"), $"sorted", lit("ingest"), $"ingest")).as(Seq("layout", "f")))
+      .groupBy($"layout", $"f")
+      .agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"),
+        count(lit(1)).as("in_file"))
+      .cache()
+    val probes = li.select($"l_shipdate").distinct()
+      .filter(hash60(concat(lit("probe:"), $"l_shipdate".cast("string"))) % 20 === 0)
+    val hits = broadcast(zones).join(probes,
+        $"l_shipdate" >= $"lo" && $"l_shipdate" <= $"hi")
+      .groupBy($"layout", $"l_shipdate").agg(count(lit(1)).as("files_hit"))
+      .groupBy($"layout").agg(
+        count(lit(1)).as("n_probes"), sum($"files_hit").as("hit_sum"))
+    zones.groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"), sum($"in_file").as("n_rows"))
+      .join(hits, "layout")
+      .select($"layout", $"n_files", $"n_rows",
+        roundHalfUp($"hit_sum" / $"n_probes", 6).as("avg_files_hit"),
+        roundHalfUp(lit(1.0) - $"hit_sum" / ($"n_probes" * $"n_files"), 6)
+          .as("pct_pruned"))
+      .orderBy($"layout")
+  }
+
+  private def zonemapOracle: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_shipdate,
+       |    datediff('day', DATE '1992-01-06', date_trunc('week', l_shipdate)) // 7
+       |      AS wf
+       |  FROM lineitem
+       |),
+       |nf AS (SELECT CAST(COUNT(DISTINCT wf) AS BIGINT) AS n_files FROM li),
+       |assigned AS (
+       |  SELECT l_shipdate, 'sorted' AS layout, wf AS f FROM li
+       |  UNION ALL
+       |  SELECT l.l_shipdate, 'ingest',
+       |    ${graft.functions.TextFns.hash60Sql("'zm:' || l.l_orderkey")} % n.n_files
+       |  FROM li l CROSS JOIN nf n
+       |),
+       |zones AS (
+       |  SELECT layout, f, MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+       |    COUNT(*) AS in_file FROM assigned GROUP BY layout, f
+       |),
+       |probes AS (
+       |  SELECT DISTINCT l_shipdate FROM li
+       |  WHERE ${graft.functions.TextFns.hash60Sql("'probe:' || CAST(l_shipdate AS VARCHAR)")} % 20 = 0
+       |),
+       |perprobe AS (
+       |  SELECT z.layout, p.l_shipdate, COUNT(*) AS files_hit
+       |  FROM zones z JOIN probes p ON p.l_shipdate BETWEEN z.lo AND z.hi
+       |  GROUP BY z.layout, p.l_shipdate
+       |),
+       |hits AS (
+       |  SELECT layout, COUNT(*) AS n_probes,
+       |    CAST(SUM(files_hit) AS BIGINT) AS hit_sum
+       |  FROM perprobe GROUP BY layout
+       |),
+       |files AS (
+       |  SELECT layout, COUNT(*) AS n_files, CAST(SUM(in_file) AS BIGINT) AS n_rows
+       |  FROM zones GROUP BY layout
+       |)
+       |SELECT f.layout, f.n_files, f.n_rows,
+       |  ${roundHalfUpSql("1.0 * h.hit_sum / h.n_probes", 6)} AS avg_files_hit,
+       |  ${roundHalfUpSql(
+      "1.0 - 1.0 * h.hit_sum / (h.n_probes * f.n_files)", 6)} AS pct_pruned
+       |FROM files f JOIN hits h ON h.layout = f.layout
+       |ORDER BY f.layout""".stripMargin
+
   private def layoutCompaction(s: SparkSession, d: String) = {
     import s.implicits._
     val manifest = Tables.lineitem(s, d)
@@ -376,6 +472,7 @@ object Sources {
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
+    OpDef("layout_zonemap", layoutZonemap _, zonemapOracle),
     OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),
     OpDef("sink_partitioned", sinkPartitioned _,
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,

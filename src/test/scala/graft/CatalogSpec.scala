@@ -239,6 +239,15 @@ class CatalogSpec extends SparkSpecBase {
     assert(t10 >= 0.1 - 1e-6, t10)
   }
 
+  test("layout_zonemap: sorted layout prunes, ingest layout cannot") {
+    import spark.implicits._
+    val m = SparkEntry.queries("layout_zonemap")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") ->
+        r.getAs[Double]("avg_files_hit")).toMap
+    assert(m("sorted") === 1.0, m)
+    assert(m("ingest") > m("sorted") * 3, m)
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)
