@@ -980,6 +980,22 @@ object Events {
       .orderBy($"error_id", $"click_id")
   }
 
+  /** Oracle-gated LEFT OUTER stream⋈stream join: matched rows equal
+    * the inner join; the null-padded unmatched errors appear only for
+    * errors the FINAL watermark sealed (the no-data closing batch
+    * flushes expired state). The seal bound is `error_ts <
+    * watermark − 10 min`: Spark's symmetric-hash-join state watermark
+    * derives from the join's LOWER bound (`click_ts ≥ error_ts −
+    * 10 min`), so error state outlives the last possible match by one
+    * join window — the oracle mirrors exactly that predicate on the
+    * ms-floored corpus watermark. */
+  private def streamJoinOuter(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.clickErrorJoinOuter(
+        streamingEvents(s, d)), "graft_stream_join_outer", "append")
+      .orderBy($"error_id", $"click_id")
+  }
+
   /** Oracle-gated run of the streaming CDC materialized view
     * ([[graft.streaming.EventStream.latestPerKey]]) against the batch
     * `cdc_upsert` oracle: replaying the whole changelog through the
@@ -1608,6 +1624,28 @@ object Events {
         |  ON c.user_id = e.user_id
         | AND e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+        |ORDER BY error_id, click_id""".stripMargin),
+    OpDef("stream_join_outer", streamJoinOuter _,
+      s"""WITH $wmCte,
+        |matched AS (
+        |  SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |    c.event_id AS click_id, c.ts AS click_ts
+        |  FROM events e JOIN events c
+        |    ON c.user_id = e.user_id
+        |   AND e.event_type = 'error' AND c.event_type = 'click'
+        |   AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+        |)
+        |SELECT user_id, error_id, error_ts, click_id, click_ts FROM matched
+        |UNION ALL
+        |SELECT e.user_id, e.event_id, e.ts,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        |FROM events e CROSS JOIN wm
+        |WHERE e.event_type = 'error'
+        |  AND epoch_us(e.ts) < wm.w_us - 600000000
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events c
+        |    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |      AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts)
         |ORDER BY error_id, click_id""".stripMargin),
     OpDef("stream_cdc", streamCdc _,
       """WITH versioned AS (

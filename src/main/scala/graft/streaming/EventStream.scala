@@ -208,6 +208,35 @@ object EventStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream⋈stream interval join — the subtle half of
+    * Spark's stream-join surface: matched rows emit as both sides
+    * arrive (like the inner join), but an error with NO click in its
+    * trailing 10-minute window emits a null-padded row only once the
+    * WATERMARK proves no future click can match (future clicks have
+    * `click_ts ≥ watermark`). Spark derives the eviction bound from
+    * the lower-bound constraint (`click_ts ≥ error_ts − 10 min` ⟹
+    * error state held until `error_ts < watermark − 10 min`, one join
+    * window PAST the point no match is possible — measured, and
+    * mirrored exactly in the oracle's seal predicate). State retention
+    * is therefore watermark delay + window, as in the inner form; the
+    * null-padded rows are the new part. */
+  def clickErrorJoinOuter(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("error_ts", watermark)
+    errors.join(clicks,
+      expr("c_user_id = user_id AND " +
+        "click_ts >= error_ts - INTERVAL 10 MINUTES AND click_ts <= error_ts"),
+      "leftOuter")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Idempotent micro-batch writer — the `foreachBatch` exactly-once
     * recipe on a plain file sink: every micro-batch lands in a
     * batch-id-keyed directory with overwrite semantics, so a batch
