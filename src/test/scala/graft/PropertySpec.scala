@@ -121,4 +121,47 @@ class PropertySpec extends SparkSpecBase {
       got == ds.map(v => math.floor(v * 100 + 0.5) / 100)
     }, tests = 10)
   }
+
+  test("high_nibble_counts equals the substring/regex formulation on random hex") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensure(spark)
+    val hexChar = Gen.oneOf("0123456789ABCDEF".toSeq)
+    val hexStr = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, hexChar).map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(10, hexStr)) { ss =>
+      val rows = ss.toDF("hexp")
+        .selectExpr("hexp", "high_nibble_counts(hexp) AS prof")
+        .collect()
+      rows.forall { r =>
+        val hexp = r.getString(0)
+        val prof = r.getSeq[Int](1)
+        val seg = hexp.length / 32
+        val expSegs = (0 until 32).map { j =>
+          hexp.slice(j * seg, j * seg + seg).count(c => c > '7')
+        }
+        val expTot = hexp.count(c => c > '7')
+        prof.take(32) == expSegs && prof(32) == expTot
+      }
+    }, tests = 10)
+  }
+
+  test("letter_counts equals per-letter replace counting on random text") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.ensure(spark)
+    val txt = Gen.choose(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.oneOf(' ', '9', 'é', 'Z', '.')))
+        .map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(10, txt)) { ss =>
+      val rows = ss.toDF("t")
+        .selectExpr("t", "letter_counts(t) AS lc").collect()
+      rows.forall { r =>
+        val t = r.getString(0)
+        val lc = r.getSeq[Long](1)
+        ('a' to 'z').zipWithIndex.forall { case (c, i) =>
+          lc(i) == t.count(_ == c).toLong
+        } && lc(26) == t.count(c => c >= 'a' && c <= 'z').toLong
+      }
+    }, tests = 10)
+  }
 }
