@@ -469,9 +469,13 @@ object Diagnostics {
     * heaviest bucket, boundary bucket admitted pro-rata in WHOLE
     * users) resolve on that histogram with integer arithmetic — no
     * per-user sort anywhere. Ratios quantize to 6 dp at the end. */
-  private def eventsGini(s: SparkSession, d: String) = {
+  private def eventsGini(s: SparkSession, d: String) =
+    giniOf(Tables.events(s, d))
+
+  private[graft] def giniOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val perUser = Tables.events(s, d)
+    val perUser = events
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
     val hist = perUser.groupBy($"n").agg(count(lit(1)).as("users"))
       .cache() // metadata-sized; five consumers below walk it

@@ -77,4 +77,20 @@ class DiagnosticsSpec extends SparkSpecBase {
     val projVar = proj.agg(var_samp(col("p"))).head().getDouble(0)
     assert(projVar >= perAxis - 1e-6, s"projVar $projVar < best axis $perAxis")
   }
+
+  test("gini: 0 on a uniform distribution, hand-computed on a 9:1 skew") {
+    import spark.implicits._
+    def events(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, u) => (0 until c).map(i => (u.toLong, u * 1000L + i))
+    }.toDF("user_id", "event_id")
+    // 4 users × 5 events each → perfectly equal → gini 0, shares flat
+    val uniform = ops.Diagnostics.giniOf(events(Seq(5, 5, 5, 5))).first()
+    assert(uniform.getAs[Double]("gini") === 0.0)
+    // 10 users, one holds 91 of 100 events → grouped-data gini:
+    // hist = (1×9 users, 91×1); Σ users·(S_{i-1}+S_i) = 9·(0+9)+1·(9+100)
+    // = 190 → 1 − 190/1000 = 0.81; top-10% = the 1 heavy user = 0.91
+    val skewed = ops.Diagnostics.giniOf(events(Seq.fill(9)(1) :+ 91)).first()
+    assert(skewed.getAs[Double]("gini") === 0.81)
+    assert(skewed.getAs[Double]("top10pct_share") === 0.91)
+  }
 }
