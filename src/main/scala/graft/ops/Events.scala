@@ -410,7 +410,10 @@ object Events {
     * survivors — all shuffles share the user key, so at scale the
     * funnel is a chain of co-partitioned narrow joins over an
     * ever-shrinking survivor set, never a self-join of the raw log. */
-  private def eventsFunnel(s: SparkSession, d: String) = {
+  /** The ordered view→click→purchase stage chain both funnel ops
+    * share: per-user first-view time, first click AFTER it, first
+    * purchase after that. */
+  private def funnelStages(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"))
@@ -423,6 +426,12 @@ object Events {
       .groupBy($"user_id").agg(min($"tsu").as("t1"))
     val c = firstAfter("click", v, "t1", "t2")
     val p = firstAfter("purchase", c, "t2", "t3")
+    (v, c, p)
+  }
+
+  private def eventsFunnel(s: SparkSession, d: String) = {
+    import s.implicits._
+    val (v, c, p) = funnelStages(s, d)
     v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"),
         lit("view").as("event_type"), $"n_users")
       .unionByName(c.agg(count(lit(1)).as("n_users"))
@@ -431,6 +440,78 @@ object Events {
         .select(lit(3L).as("stage"), lit("purchase").as("event_type"), $"n_users"))
       .orderBy($"stage")
   }
+
+  /** Conversion-velocity report: the latency DISTRIBUTION between
+    * funnel steps (how long view→click and click→purchase actually
+    * take) — the metric that turns a funnel's survivor counts into an
+    * actionable "where do users stall". Per step: converter count and
+    * p50/p90/mean latency in seconds.
+    *
+    * Scale: reuses [[funnelStages]]'s survivor-set joins (each stage
+    * filters before joining, so work tracks the ever-shrinking
+    * converter set); the percentile aggregate runs per STEP over one
+    * latency value per converter. Exact cross-engine floats: Spark's
+    * `percentile` and DuckDB's `quantile_cont` both linearly
+    * interpolate over the integer micros, the mean divides an exact
+    * integer sum, and the µs→s conversions share one literal shape. */
+  private def eventsFunnelLatency(s: SparkSession, d: String) = {
+    import s.implicits._
+    val (v, c, p) = funnelStages(s, d)
+    val vc = c.join(v, "user_id")
+      .select(lit(1L).as("stage"), lit("view_to_click").as("step"),
+        ($"t2" - $"t1").as("lat_us"))
+    val cp = p.join(c, "user_id")
+      .select(lit(2L).as("stage"), lit("click_to_purchase").as("step"),
+        ($"t3" - $"t2").as("lat_us"))
+    vc.unionByName(cp)
+      .groupBy($"stage", $"step")
+      .agg(count(lit(1)).as("n_users"),
+        expr("percentile(lat_us, 0.5)").as("p50u"),
+        expr("percentile(lat_us, 0.9)").as("p90u"),
+        sum($"lat_us").as("sumu"))
+      .select($"stage", $"step", $"n_users",
+        roundHalfUp($"p50u" / 1000000.0, 6).as("p50_s"),
+        roundHalfUp($"p90u" / 1000000.0, 6).as("p90_s"),
+        roundHalfUp($"sumu" / $"n_users" / 1000000.0, 6).as("avg_s"))
+      .orderBy($"stage")
+  }
+
+  private def funnelLatencyOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+       |),
+       |v AS (
+       |  SELECT user_id, MIN(tsu) AS t1 FROM ev
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |),
+       |c AS (
+       |  SELECT e.user_id, MIN(e.tsu) AS t2
+       |  FROM ev e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.tsu > v.t1
+       |  GROUP BY e.user_id
+       |),
+       |p AS (
+       |  SELECT e.user_id, MIN(e.tsu) AS t3
+       |  FROM ev e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.tsu > c.t2
+       |  GROUP BY e.user_id
+       |),
+       |lat AS (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'view_to_click' AS step,
+       |    c.t2 - v.t1 AS lat_us
+       |  FROM c JOIN v ON v.user_id = c.user_id
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'click_to_purchase', p.t3 - c.t2
+       |  FROM p JOIN c ON c.user_id = p.user_id
+       |)
+       |SELECT stage, step, COUNT(*) AS n_users,
+       |  ${roundHalfUpSql("quantile_cont(lat_us, 0.5) / 1000000.0", 6)} AS p50_s,
+       |  ${roundHalfUpSql("quantile_cont(lat_us, 0.9) / 1000000.0", 6)} AS p90_s,
+       |  ${roundHalfUpSql(
+      "CAST(SUM(lat_us) AS DOUBLE) / COUNT(*) / 1000000.0", 6)} AS avg_s
+       |FROM lat
+       |GROUP BY stage, step
+       |ORDER BY stage""".stripMargin
 
   /** Weekly cohort retention matrix: users cohorted by the ISO week of
     * their first event, counted once per (cohort, week-offset) they
@@ -1839,6 +1920,7 @@ object Events {
         |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin),
+    OpDef("events_funnel_latency", eventsFunnelLatency _, funnelLatencyOracle),
     OpDef("events_funnel", eventsFunnel _,
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
