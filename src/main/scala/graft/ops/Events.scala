@@ -410,6 +410,92 @@ object Events {
     * survivors — all shuffles share the user key, so at scale the
     * funnel is a chain of co-partitioned narrow joins over an
     * ever-shrinking survivor set, never a self-join of the raw log. */
+  // Path-analysis knobs: events per session contributing to the path
+  // signature, and the report depth.
+  private val PathMaxEvents = 5
+  private val PathTopK = 20
+
+  /** Top session paths — the Sankey/path-mining staple: each session's
+    * first [[PathMaxEvents]] event types joined into a path signature
+    * (`view>click>purchase`), counted across all sessions, top
+    * [[PathTopK]] with share-of-sessions. The "what do users actually
+    * do" report that funnels approximate with a fixed hypothesis.
+    *
+    * Scale: sessionization is the engine's standard per-user window;
+    * the path build truncates to the first [[PathMaxEvents]] events
+    * per session BEFORE collecting (row_number filter — bounded
+    * payload per session), the ordered reassembly sorts ≤ 5-element
+    * structs row-locally, and path counts combine map-side. Top-k is
+    * a TakeOrdered global head, never a full sort. */
+  private def eventsPaths(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("is_new",
+        when(lag($"ts", 1).over(w).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(run).cast("long"))
+    val ws = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val paths = sess
+      .withColumn("rn", row_number().over(ws))
+      .filter($"rn" <= PathMaxEvents)
+      .groupBy($"user_id", $"session_id")
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+        .as("path"))
+    val counted = paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .cache()
+    val total = counted.agg(sum($"n_sessions").as("total"))
+    counted.crossJoin(broadcast(total))
+      .select($"path", $"n_sessions",
+        roundHalfUp($"n_sessions" / $"total", 6).as("share"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(PathTopK)
+  }
+
+  private def pathsOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapMicros
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM marked
+       |),
+       |numbered AS (
+       |  SELECT user_id, session_id, event_type, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts ASC, event_id ASC) AS rn
+       |  FROM sess
+       |),
+       |paths AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM numbered WHERE rn <= $PathMaxEvents
+       |  GROUP BY user_id, session_id
+       |),
+       |counted AS (
+       |  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+       |),
+       |total AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM counted)
+       |SELECT c.path, c.n_sessions,
+       |  ${roundHalfUpSql("1.0 * c.n_sessions / t.total", 6)} AS share
+       |FROM counted c CROSS JOIN total t
+       |ORDER BY c.n_sessions DESC, c.path ASC
+       |LIMIT $PathTopK""".stripMargin
+
   /** The ordered view→click→purchase stage chain both funnel ops
     * share: per-user first-view time, first click AFTER it, first
     * purchase after that. */
@@ -1920,6 +2006,7 @@ object Events {
         |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin),
+    OpDef("events_paths", eventsPaths _, pathsOracle),
     OpDef("events_funnel_latency", eventsFunnelLatency _, funnelLatencyOracle),
     OpDef("events_funnel", eventsFunnel _,
       """WITH ev AS (

@@ -248,6 +248,17 @@ class CatalogSpec extends SparkSpecBase {
     assert(m("ingest") > m("sorted") * 3, m)
   }
 
+  test("events_paths: shares are session fractions over the session universe") {
+    import spark.implicits._
+    val paths = SparkEntry.queries("events_paths")(spark, sf).cache()
+    val nSessions = SparkEntry.queries("event_sessions")(spark, sf).count()
+    val covered = paths.agg(sum($"n_sessions")).first().getLong(0)
+    assert(covered <= nSessions)
+    assert(paths.filter($"share" <= 0 || $"share" > 1).count() === 0)
+    assert(paths.count() <= 20)
+    paths.unpersist()
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)
