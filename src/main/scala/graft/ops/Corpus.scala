@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -324,7 +325,80 @@ object Corpus {
        |GROUP BY h.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  // Source-overlap knob: per-source signature vocabulary size.
+  private val OvTopK = 100
+
+  /** Inter-source vocabulary overlap — the corpus-composition
+    * diagnostic behind mixing decisions: for every source pair, the
+    * Jaccard overlap of their top-[[OvTopK]] term vocabularies (high
+    * overlap ⇒ the sources are near-redundant and capping one starves
+    * nothing; low ⇒ each contributes distinct coverage).
+    *
+    * Scale: term counts are one map-side-combined (source, term)
+    * shuffle; each source collapses to a ≤ [[OvTopK]]-term signature
+    * via a per-source WindowGroupLimit rank (count DESC, term ASC tie
+    * break — deterministic in both engines); the pairwise stage joins
+    * SIGNATURE rows only (≤ sources × [[OvTopK]]), never corpus
+    * text — |sources|² pair cost on vocabulary-sized data. */
+  private def corpusSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"n".desc, $"term".asc)
+    val sig = counts
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= OvTopK)
+      .select($"source", $"term").cache()
+    val sizes = sig.groupBy($"source").agg(count(lit(1)).as("nv"))
+    sig.as("a").join(sig.as("b"),
+        $"a.term" === $"b.term" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select($"source".as("source_a"), $"nv".as("na"))),
+        "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"nv".as("nb"))),
+        "source_b")
+      .select($"source_a", $"source_b", $"common",
+        roundHalfUp(lit(1.0) * $"common" / ($"na" + $"nb" - $"common"), 6)
+          .as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private def sourceOverlapOracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, unnest(${tokensSql("text")}) AS term
+       |  FROM documents
+       |),
+       |agged AS (
+       |  SELECT source, term, COUNT(*) AS n FROM counts GROUP BY source, term
+       |),
+       |sig AS (
+       |  SELECT source, term FROM (
+       |    SELECT source, term,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY n DESC, term ASC) AS rk
+       |    FROM agged
+       |  ) WHERE rk <= $OvTopK
+       |),
+       |sizes AS (SELECT source, COUNT(*) AS nv FROM sig GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+       |  FROM sig a JOIN sig b
+       |    ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.source_a, p.source_b, p.common,
+       |  ${roundHalfUpSql(
+      "1.0 * p.common / (sa.nv + sb.nv - p.common)", 6)} AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.source = p.source_a
+       |JOIN sizes sb ON sb.source = p.source_b
+       |ORDER BY p.source_a, p.source_b""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("corpus_source_overlap", corpusSourceOverlap _, sourceOverlapOracle),
     OpDef("text_boilerplate", textBoilerplate _, boilerplateOracle),
     OpDef("text_chunk", textChunk _,
       s"""$chunkCte

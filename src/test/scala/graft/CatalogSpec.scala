@@ -259,6 +259,15 @@ class CatalogSpec extends SparkSpecBase {
     paths.unpersist()
   }
 
+  test("corpus_source_overlap: canonical pairs, jaccard within (0,1]") {
+    import spark.implicits._
+    val out = SparkEntry.queries("corpus_source_overlap")(spark, sf).cache()
+    assert(out.filter($"source_a" >= $"source_b").count() === 0)
+    assert(out.filter($"jaccard" <= 0 || $"jaccard" > 1).count() === 0)
+    assert(out.filter($"common" > 100).count() === 0)
+    out.unpersist()
+  }
+
   test("events_concurrency peak never exceeds that day's session count") {
     import spark.implicits._
     val bad = SparkEntry.queries("events_concurrency")(spark, sf)
