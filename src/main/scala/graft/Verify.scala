@@ -42,9 +42,24 @@ object Verify {
       }
     }
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Output discipline (OpDef conventions): the driver's pandas
+        // canonicalizer cannot sort nested cells — an array/map/struct
+        // output column makes the op unverifiable (round-9 `fn_array`).
+        // Flag it by name here so it fails loudly at authoring time.
+        df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        }).foreach { f =>
+          System.err.println(s"[verify][PREFLIGHT] $name output column " +
+            s"'${f.name}' is nested-typed (${f.dataType.simpleString}) — " +
+            "pandas canonicalizer cannot hash it; render as string/json")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache intermediate frames; scope them to the query

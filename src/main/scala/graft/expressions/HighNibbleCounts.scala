@@ -32,7 +32,12 @@ object HighNibble {
     var i = 0
     while (i < len) {
       val b = bytes(i)
-      if ((b >= '8' && b <= '9') || (b >= 'A' && b <= 'F')) {
+      // Both hex cases: call sites feed Spark hex() (uppercase), but the
+      // function is registered globally and md5()-style lowercase hex
+      // must count a-f as high too (mirrors the oracle's [0-7]-complement
+      // regex, which is case-blind on the high nibbles).
+      if ((b >= '8' && b <= '9') || (b >= 'A' && b <= 'F') ||
+          (b >= 'a' && b <= 'f')) {
         out(nSegs) += 1
         if (segLen > 0) {
           val seg = i / segLen

@@ -212,10 +212,22 @@ object Aggregates {
     * does. `bit_count`/`bit_or` are codegen'd integer ops in both
     * engines; bits stay below 2^60 so every mask is portable signed
     * BIGINT. Exactness is self-checked against the built-in
-    * COUNT(DISTINCT) in the same row. */
+    * COUNT(DISTINCT) in the same row.
+    *
+    * Id-space contract: user_id must be NON-NEGATIVE. For negative
+    * ids Spark `div` truncates toward zero while DuckDB `//` floors,
+    * `%` yields a negative bit index, and shiftleft by a negative
+    * amount is undefined — so the op asserts the contract up front
+    * (`raise_error` on the first negative id) rather than failing
+    * later via a silent hash mismatch. */
   private def aggBitmapDistinct(s: SparkSession, d: String) = {
     import s.implicits._
     val words = Tables.events(s, d)
+      .select($"event_type",
+        when($"user_id" < 0, expr(
+          "raise_error('agg_bitmap_distinct: negative user_id — " +
+            "bitmap id-space contract requires non-negative ids')"))
+          .otherwise($"user_id").as("user_id"))
       .select($"event_type", expr(s"user_id div $BmBits").as("word"),
         expr(s"shiftleft(1L, CAST(user_id % $BmBits AS INT))").as("mask"))
       .groupBy($"event_type", $"word")

@@ -284,6 +284,10 @@ object Corpus {
       .select($"doc_id", $"start".cast("long").as("start"),
         concat_ws(" ", expr(s"slice(w, start + 1, $BlockLen)")).as("btext"))
       .withColumn("bh", hash60($"btext"))
+      // two consumers (df aggregate + join probe): cache so the
+      // tokenize+sequence-explode+slice+hash lineage runs once
+      // (harness clears caches between queries)
+      .cache()
     val df = blocks.groupBy($"bh")
       .agg(countDistinct($"doc_id").as("bdf"))
     blocks.join(df, "bh")

@@ -172,14 +172,15 @@ object Multimodal {
     * average-hash idiom: split each payload (as hex) into [[PhSegs]]
     * equal segments, count high-nibble chars per segment, and set bit
     * j when segment j sits above the payload's OWN mean — a
-    * self-normalizing, position-sensitive 16-bit signature (a 1-D
-    * aHash; with a real codec the same bits come from pixel-block
-    * means). Candidates via a banded self-join, verified by exact
-    * Hamming distance ≤ [[PhMaxHamming]].
+    * self-normalizing, position-sensitive [[PhSegs]]-bit (32-bit, 4
+    * bands × 8 bits) signature (a 1-D aHash; with a real codec the
+    * same bits come from pixel-block means). Candidates via a banded
+    * self-join, verified by exact Hamming distance ≤ [[PhMaxHamming]].
     *
-    * Scale: the signature is row-local codegen (substring + regexp
-    * over the scan partition — payload bytes never shuffle; only
-    * doc_id + 16-bit phash leave the scan). Candidate generation
+    * Scale: the signature is row-local codegen (one
+    * `high_nibble_counts` pass over the scan partition — payload
+    * bytes never shuffle; only doc_id + the 32-bit phash leave the
+    * scan). Candidate generation
     * shuffles (band, nibble) keys with a [[PhMaxBucket]] width cap —
     * the same enforced skew guard as the text LSH family — and verify
     * is one integer `bit_count(xor)` per candidate pair. */

@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Conventions every def follows (SURVEY §7.4):
   *   - deterministic total ordering (`orderBy` over a unique key set);
   *   - computed columns aliased identically in Spark and oracle SQL;
-  *   - no order-dependent float aggregation ([[graft.functions.Exact]]).
+  *   - no order-dependent float aggregation ([[graft.functions.Exact]]);
+  *   - no array/map/struct-typed OUTPUT columns: the driver's pandas
+  *     canonicalizer cannot sort nested cells (it crashed on
+  *     `fn_array`'s `array<string>` column in round 9). Render nested
+  *     values as strings (`array_join`/`to_json`) in BOTH engines.
   */
 final case class OpDef(
     name: String,

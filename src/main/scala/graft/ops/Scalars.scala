@@ -153,6 +153,12 @@ object Scalars {
     * DuckDB's `list_distinct` does not pin element order, so BOTH
     * engines sort after dedup (`sort_array(array_distinct(..))` vs
     * `list_sort(list_distinct(..))`) — set semantics, stable output.
+    * Output discipline: the sliced prefix is emitted as a ','-joined
+    * STRING (`array_join` / `array_to_string`) because the oracle
+    * harness canonicalizes frames via pandas, which cannot sort
+    * array-typed cells — see the OpDef conventions (no nested-typed
+    * output columns). The op still exercises sort / dedup / slice /
+    * membership; only the final rendering is flattened.
     * Scale: no shuffle beyond the output sort. */
   private def fnArray(s: SparkSession, d: String) = {
     import s.implicits._
@@ -163,7 +169,8 @@ object Scalars {
         $"doc_id",
         size($"toks").cast("long").as("n_tokens"),
         size(array_distinct($"toks")).cast("long").as("n_unique"),
-        slice(sort_array(array_distinct($"toks")), 1, 3).as("first3_sorted"),
+        array_join(slice(sort_array(array_distinct($"toks")), 1, 3), ",")
+          .as("first3_sorted"),
         array_contains($"toks", "the").as("has_the"))
       .orderBy($"doc_id")
   }
@@ -213,6 +220,37 @@ object Scalars {
         nullif($"l_discount", lit(0.0)).as("discount_or_null"),
         coalesce(nullif($"l_discount", lit(0.0)), lit(-1.0)).as("discount_coalesced"))
       .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** F10/F11 — timezone conversion + local-date anchor (reference
+    * `pipeline.py:202,327,487` `CURRENT_TIMESTAMP AT TIME ZONE
+    * 'Europe/Berlin'`, `pipeline.py:378` `CURRENT_DATE`). The
+    * wall-clock form lives in [[graft.functions.Loan.processedAt]]
+    * (nondeterministic, golden-excluded); THIS op proves the
+    * conversion semantics deterministically: fixed event instants
+    * UTC→Europe/Berlin via `from_utc_timestamp`, plus the Berlin
+    * local DATE (shows the day-boundary shift for late-UTC events),
+    * plus four pinned literals straddling BOTH 2024 DST transitions —
+    * spring-forward (00:30Z→01:30 CET vs 01:30Z→03:30 CEST, the
+    * skipped hour) and fall-back (00:30Z and 01:30Z BOTH →02:30, the
+    * repeated hour) — so the op proves zone-rule application, not
+    * just a fixed offset. Row-local codegen; no shuffle beyond the
+    * output sort. */
+  private def fnNowTz(s: SparkSession, d: String) = {
+    import s.implicits._
+    def berlin(c: org.apache.spark.sql.Column) =
+      from_utc_timestamp(c, "Europe/Berlin")
+    def pinned(utc: String) = berlin(lit(utc).cast("timestamp"))
+    Tables.events(s, d)
+      .select(
+        $"event_id",
+        berlin($"ts").as("ts_berlin"),
+        to_date(berlin($"ts")).as("berlin_date"),
+        pinned("2024-03-31 00:30:00").as("dst_spring_pre"),
+        pinned("2024-03-31 01:30:00").as("dst_spring_post"),
+        pinned("2024-10-27 00:30:00").as("dst_fall_pre"),
+        pinned("2024-10-27 01:30:00").as("dst_fall_post"))
+      .orderBy($"event_id")
   }
 
   val defs: Seq[OpDef] = Seq(
@@ -270,7 +308,7 @@ object Scalars {
          |SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
-         |  list_slice(list_sort(list_distinct(t)), 1, 3) AS first3_sorted,
+         |  array_to_string(list_slice(list_sort(list_distinct(t)), 1, 3), ',') AS first3_sorted,
          |  list_contains(t, 'the') AS has_the
          |FROM toks
          |ORDER BY doc_id""".stripMargin),
@@ -306,6 +344,15 @@ object Scalars {
       """SELECT l_orderkey, l_linenumber,
         |  NULLIF(l_discount, 0.0) AS discount_or_null,
         |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS discount_coalesced
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    OpDef("fn_now_tz", fnNowTz _,
+      """SELECT event_id,
+        |  (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS ts_berlin,
+        |  CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS DATE) AS berlin_date,
+        |  (TIMESTAMP '2024-03-31 00:30:00' AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS dst_spring_pre,
+        |  (TIMESTAMP '2024-03-31 01:30:00' AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS dst_spring_post,
+        |  (TIMESTAMP '2024-10-27 00:30:00' AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS dst_fall_pre,
+        |  (TIMESTAMP '2024-10-27 01:30:00' AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin' AS dst_fall_post
+        |FROM events ORDER BY event_id""".stripMargin)
   )
 }

@@ -980,13 +980,19 @@ object TextAnalysis {
       .limit(20)
   }
 
-  private[ops] def bm25Oracle: String = {
+  /** The BM25 oracle's CTE chain (no leading `WITH`) and final SELECT,
+    * exposed separately so composers ([[Similarity]]'s hybrid rerank)
+    * can splice the chain into a bigger WITH and wrap the final SELECT
+    * as their own CTE — named-part composition instead of string
+    * surgery on the assembled statement, so reformatting here can
+    * never silently break the downstream oracle. */
+  private[ops] def bm25Ctes: String = {
     val inList = BmQuery.map(t => s"'$t'").mkString(", ")
     val scExpr = roundHalfUpSql(
       "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (t.tf * 2.2) / " +
         "(t.tf + 1.2 * (0.25 + 0.75 * t.dl / " +
         "(CAST(s.sum_dl AS DOUBLE) / s.n_docs)))", 9)
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM (
        |    SELECT doc_id, ${tokensSql("text")} AS w FROM documents
        |  ) WHERE len(w) > 0
@@ -1003,14 +1009,19 @@ object TextAnalysis {
        |scored AS (
        |  SELECT t.doc_id, $scExpr AS sc
        |  FROM tf t JOIN df ON t.term = df.term CROSS JOIN stats s
-       |)
-       |SELECT doc_id, COUNT(*) AS n_terms,
+       |)""".stripMargin
+  }
+
+  private[ops] def bm25FinalSelect: String =
+    s"""SELECT doc_id, COUNT(*) AS n_terms,
        |  ${roundHalfUpSql(
         "CAST(SUM(CAST(sc AS DECIMAL(27,12))) AS DOUBLE)", 6)} AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id ASC
        |LIMIT 20""".stripMargin
-  }
+
+  private[ops] def bm25Oracle: String =
+    s"WITH $bm25Ctes\n$bm25FinalSelect"
 
   val defs: Seq[OpDef] = Seq(
     OpDef("rank_bm25", rankBm25 _, bm25Oracle),

@@ -47,6 +47,35 @@ class CatalogSpec extends SparkSpecBase {
     assert(n >= cDist && n <= 25)
   }
 
+  test("fn_now_tz applies real zone rules: DST pins + Berlin day shift") {
+    import spark.implicits._
+    // the four pinned literals prove zone-RULE application (skipped
+    // hour at spring-forward, repeated hour at fall-back), not a fixed
+    // offset; render via date_format under the pinned UTC session TZ
+    // so the assertion is JVM-default-timezone-proof
+    val r = SparkEntry.queries("fn_now_tz")(spark, sf)
+      .select(
+        date_format($"dst_spring_pre", "yyyy-MM-dd HH:mm:ss"),
+        date_format($"dst_spring_post", "yyyy-MM-dd HH:mm:ss"),
+        date_format($"dst_fall_pre", "yyyy-MM-dd HH:mm:ss"),
+        date_format($"dst_fall_post", "yyyy-MM-dd HH:mm:ss"))
+      .limit(1).collect()(0)
+    assert(r.getString(0) === "2024-03-31 01:30:00") // CET +1
+    assert(r.getString(1) === "2024-03-31 03:30:00") // CEST +2: 02:xx skipped
+    assert(r.getString(2) === "2024-10-27 02:30:00") // CEST +2
+    assert(r.getString(3) === "2024-10-27 02:30:00") // CET +1: same wall time
+    // per-event columns: berlin wall time is ts +1h or +2h, and the
+    // anchor date is the Berlin-local calendar day
+    val badRows = SparkEntry.queries("fn_now_tz")(spark, sf)
+      .join(Tables.events(spark, sf).select($"event_id", $"ts"), "event_id")
+      .filter(
+        !(unix_timestamp($"ts_berlin") - unix_timestamp($"ts"))
+          .isin(3600L, 7200L) ||
+        $"berlin_date" =!= to_date($"ts_berlin"))
+      .count()
+    assert(badRows === 0)
+  }
+
   test("window_share shares sum to 1 within each month (non-null months)") {
     import spark.implicits._
     val bad = SparkEntry.queries("window_share")(spark, sf)
