@@ -435,9 +435,21 @@ object Dedup {
   }
 
   // Containment knobs: rare-gram document-frequency cap (candidate
-  // generator) and the containment threshold.
+  // generator), per-doc probe width, and the containment threshold.
   private val ContainDfCap = 64
   private val ContainThreshold = 0.9
+  // Probe-side K-selection (round 10): candidate generation joins only
+  // each doc's K RAREST kept grams (ordered by global df, then hash —
+  // a total order, so both engines select the same set) against the
+  // full kept postings, instead of all-kept × all-kept. Pigeonhole
+  // bound: a pair with containment ≥ 1 − K/|grams(inner)| has fewer
+  // than K unshared inner grams, so at least one of the inner doc's K
+  // rarest kept grams is shared and surfaces the pair; full
+  // containment (=1.0) pairs are IDENTICAL to the unrestricted
+  // generator (if any inner gram clears the df cap, its rarest one
+  // does). ContainmentProbeSpec pins shipped == unrestricted on the
+  // fixture.
+  private val ContainProbeK = 8
 
   /** ASYMMETRIC near-dup detection: doc A contained in doc B
     * (containment = |grams(A) ∩ grams(B)| / |grams(smaller)| ≥
@@ -450,12 +462,18 @@ object Dedup {
     * frequency ≤ [[ContainDfCap]] surfaces the pair.
     *
     * Scale: gram→doc postings are one explode + distinct shuffle; the
-    * df filter drops boilerplate grams, bounding the posting self-join
-    * at df² ≤ [[ContainDfCap]] × postings — the inverted-index
+    * df filter drops boilerplate grams, and the probe side keeps only
+    * each doc's [[ContainProbeK]] rarest kept grams (WindowGroupLimit
+    * top-k, no full sort), bounding the posting join at
+    * K × docs × [[ContainDfCap]] instead of Σ df² — the inverted-index
     * analogue of the LSH bucket cap (a gram in every doc generates no
-    * candidates, exactly like an over-wide band bucket). Verify is the
-    * family's standard candidate-scoped merge-walk: one sorted hash
-    * array per candidate doc, `sorted_intersect_count` per pair.
+    * candidates, exactly like an over-wide band bucket). The
+    * K-selection is exact for containment ≥ 1 − K/|grams(inner)| and
+    * provably identical to the unrestricted generator at containment
+    * 1.0 (see [[ContainProbeK]]); the oracle mirrors the same
+    * selection so the gate stays hash-exact. Verify is the family's
+    * standard candidate-scoped merge-walk: one sorted hash array per
+    * candidate doc, `sorted_intersect_count` per pair.
     * doc_inner = the smaller gram set (min doc_id on ties). */
   private def dedupContainment(s: SparkSession, d: String) = {
     GraftFunctions.ensure(s)
@@ -466,18 +484,29 @@ object Dedup {
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
     // postings feed both the df aggregate and the candidate join —
-    // cache the (doc_id, 60-bit hash) pairs so shingling+explode runs
-    // once (cleared by the harness between queries)
+    // cache the (doc_id, 60-bit hash) pairs so shingling runs once
+    // (cleared by the harness between queries). Per-doc dedup is
+    // ROW-LOCAL (`hash60_set` = sorted distinct hashes, then explode)
+    // — no distinct shuffle over the full posting set; the first
+    // exchange these rows pay is the df aggregate's map-side-combined
+    // shuffle on gh.
     val postings = wordGrams(spread)
-      .select($"doc_id", explode($"grams").as("g"))
-      .select($"doc_id", hash60($"g").as("gh"))
-      .distinct().cache()
+      .select($"doc_id", explode(expr("hash60_set(grams)")).as("gh"))
+      .cache()
     val rare = postings.groupBy($"gh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= ContainDfCap).select($"gh")
-    val keptPost = postings.join(rare, "gh")
-    val candidates = keptPost.as("l").join(keptPost.as("r"),
-        $"l.gh" === $"r.gh" && $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .filter($"df" <= ContainDfCap)
+    // kept postings carry the gram's global df so the probe-side
+    // K-selection can order by rarity without a second df join
+    val keptPost = postings.join(rare, "gh").cache()
+    val probe = keptPost
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"gh".asc)))
+      .filter($"rk" <= ContainProbeK)
+      .select($"doc_id", $"gh")
+    val candidates = probe.as("l").join(keptPost.as("r"),
+        $"l.gh" === $"r.gh" && $"l.doc_id" =!= $"r.doc_id")
+      .select(least($"l.doc_id", $"r.doc_id").as("doc_a"),
+        greatest($"l.doc_id", $"r.doc_id").as("doc_b"))
       .distinct().cache()
     val candIds = candidates
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
@@ -507,12 +536,24 @@ object Dedup {
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
        |gset AS (SELECT DISTINCT doc_id, ${hash60Sql("g")} AS gh FROM gx),
        |rare AS (
-       |  SELECT gh FROM gset GROUP BY gh HAVING COUNT(*) <= $ContainDfCap
+       |  SELECT gh, COUNT(*) AS df FROM gset GROUP BY gh
+       |  HAVING COUNT(*) <= $ContainDfCap
        |),
-       |kept AS (SELECT p.doc_id, p.gh FROM gset p JOIN rare r ON r.gh = p.gh),
+       |kept AS (
+       |  SELECT p.doc_id, p.gh, r.df FROM gset p JOIN rare r ON r.gh = p.gh
+       |),
+       |probe AS (
+       |  SELECT doc_id, gh FROM (
+       |    SELECT doc_id, gh,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, gh ASC)
+       |        AS rk
+       |    FROM kept
+       |  ) WHERE rk <= $ContainProbeK
+       |),
        |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM kept l JOIN kept r ON l.gh = r.gh AND l.doc_id < r.doc_id
+       |  SELECT DISTINCT LEAST(l.doc_id, r.doc_id) AS doc_a,
+       |    GREATEST(l.doc_id, r.doc_id) AS doc_b
+       |  FROM probe l JOIN kept r ON l.gh = r.gh AND l.doc_id <> r.doc_id
        |),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
        |inter AS (
