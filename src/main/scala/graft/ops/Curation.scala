@@ -200,6 +200,99 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // Quality-classifier inference: fixed logistic weights (the trained
+  // fastText/regression stand-in — in production these arrive from a
+  // model store; the plumbing is identical), keep threshold at
+  // σ(z) ≥ 0.5 ⇔ z ≥ 0, and a 10-bin calibration bucket.
+  private val QcBias = -5.0
+  private val QcWAlpha = 4.0
+  private val QcWStop = 5.0
+  private val QcWLen = 0.5
+  private val QcWDigit = -8.0
+
+  /** Quality-classifier INFERENCE — the learned-gate primitive every
+    * other gate in this file hand-codes: score = σ(w·f) per document
+    * under a broadcast weight vector, over the same features the
+    * rule-based ops expose (`text_quality`'s alpha/digit/stopword
+    * ratios plus a log-length term). Emits the calibrated score, the
+    * keep decision (σ ≥ 0.5), and the score's calibration bucket
+    * (decile) so the downstream calibration histogram is one groupBy
+    * away.
+    *
+    * Scale: features are row-local regex/array counts; the weight
+    * vector rides a 1-row broadcast (crossJoin(broadcast) — the
+    * model-distribution shape, no shuffle); scoring is codegen'd
+    * double arithmetic. A 100 TB corpus pays exactly one scan.
+    * Determinism: features round to 6 dp BEFORE the dot product (both
+    * engines), the linear term folds in pinned literal order, and the
+    * sigmoid output rounds to 6 dp; `keep`/bucket derive from the
+    * UNROUNDED z / rounded score respectively, mirrored in SQL. */
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = length($"norm")
+    def ratio(c: org.apache.spark.sql.Column) = coalesce(
+      roundHalfUp(lit(1.0) * c / nullif(n, lit(0)), 6), lit(0.0))
+    val stopList = TextAnalysis.En.map(w => s"t = '$w'").mkString(" OR ")
+    val weights = s.range(1).select(
+      lit(QcBias).as("b"), lit(QcWAlpha).as("wa"), lit(QcWStop).as("ws"),
+      lit(QcWLen).as("wl"), lit(QcWDigit).as("wd"))
+    Tables.documents(s, d)
+      .select($"doc_id", normalizeText($"text").as("norm"),
+        tokens($"text").as("w"))
+      .select($"doc_id",
+        ratio(length(regexp_replace($"norm", "[^a-z]", ""))).as("f_alpha"),
+        ratio(length(regexp_replace($"norm", "[^0-9]", ""))).as("f_digit"),
+        coalesce(roundHalfUp(lit(1.0) *
+          size(expr(s"filter(w, t -> $stopList)")) /
+          nullif(size($"w"), lit(0)), 6), lit(0.0)).as("f_stop"),
+        roundHalfUp(log(lit(1.0) + size($"w")), 6).as("f_len"))
+      .crossJoin(broadcast(weights))
+      .withColumn("z", $"b" + $"wa" * $"f_alpha" + $"ws" * $"f_stop" +
+        $"wl" * $"f_len" + $"wd" * $"f_digit")
+      .select($"doc_id", $"f_alpha", $"f_stop", $"f_len", $"f_digit",
+        roundHalfUp(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("score"),
+        ($"z" >= 0.0).as("keep"),
+        least(floor(roundHalfUp(lit(1.0) / (lit(1.0) + exp(-$"z")), 6)
+          * 10).cast("int"), lit(9)).as("cal_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private def qualityClassifierOracle: String = {
+    val sig = "1.0 / (1.0 + exp(-z))"
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(regexp_replace(norm, '[^a-z]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_alpha,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(regexp_replace(norm, '[^0-9]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_digit,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(list_filter(w, t -> ${
+            TextAnalysis.inListSql("t", TextAnalysis.En)})) " +
+            "/ NULLIF(len(w), 0)", 6)}, 0.0) AS f_stop,
+       |    ${roundHalfUpSql("ln(1.0 + len(w))", 6)} AS f_len
+       |  FROM (
+       |    SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |      ${tokensSql("text")} AS w
+       |    FROM documents
+       |  )
+       |),
+       |scored AS (
+       |  SELECT doc_id, f_alpha, f_stop, f_len, f_digit,
+       |    $QcBias + $QcWAlpha * f_alpha + $QcWStop * f_stop +
+       |      $QcWLen * f_len + $QcWDigit * f_digit AS z
+       |  FROM feats
+       |)
+       |SELECT doc_id, f_alpha, f_stop, f_len, f_digit,
+       |  ${roundHalfUpSql(sig, 6)} AS score,
+       |  z >= 0.0 AS keep,
+       |  CAST(LEAST(FLOOR(${roundHalfUpSql(sig, 6)} * 10), 9) AS INT)
+       |    AS cal_bucket
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // Per-domain document cap (the CommonCrawl-style guard against one
   // domain flooding the corpus).
   private val DomainCap = 100
@@ -553,6 +646,7 @@ object Curation {
          |FROM rated
          |WHERE ${hash60Sql("'mix:' || doc_id")} % 1000 < mix_permille
          |ORDER BY doc_id""".stripMargin),
+    OpDef("quality_classifier", qualityClassifier _, qualityClassifierOracle),
     OpDef("quality_gate", qualityGate _,
       s"""WITH scored AS (
          |  SELECT doc_id, source,

@@ -356,6 +356,80 @@ object Graph {
        |ORDER BY node_type, node_key""".stripMargin
   }
 
+  /** Connected components iterated TO FIXPOINT — the answer to "is
+    * [[CcRounds]] enough at 100×?" in code instead of prose: the same
+    * closed-neighborhood min-label superstep as [[graphComponents]],
+    * but looped until a changed-label probe returns zero. The probe is
+    * the honest price of convergence detection — one anti-join-shaped
+    * count per superstep (label vs previous label), exactly what a
+    * production Pregel driver pays; each round's label table is
+    * cached + materialized so lineage stays one superstep deep (no
+    * 2^rounds recompute tree) and the previous round unpersists as
+    * soon as the probe has read it. Rounds are data-dependent but
+    * deterministic; on the co-order graph the loop stops one probe
+    * after the diameter is covered, so the output equals
+    * `graph_components` whenever [[CcRounds]] ≥ diameter — and keeps
+    * being right when it isn't. Oracle: DuckDB reaches the same
+    * fixpoint declaratively via a recursive CTE (reachable-label
+    * closure, then MIN per node). */
+  private def graphComponentsConverged(s: SparkSession, d: String) = {
+    import s.implicits._
+    componentsConvergedOf(coOrderEdges(s, d))
+      .select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"),
+        $"label".as("component"))
+      .orderBy($"node_type", $"node_key")
+  }
+
+  /** Spec hook: the fixpoint min-label loop over an arbitrary directed
+    * `(src, dst)` edge frame — returns `(node, label)` at convergence. */
+  private[graft] def componentsConvergedOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val nodes = edges.select($"src".as("node")).distinct()
+    val closed = edges
+      .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
+      .repartition($"src").sortWithinPartitions($"src")
+      .cache()
+    var labels = nodes.select($"node", $"node".as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val next = closed.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"label").as("label"))
+        .withColumnRenamed("src", "node")
+        .cache()
+      changed = next.join(labels.select($"node", $"label".as("prev")), "node")
+        .filter($"label" < $"prev").count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
+  private def componentsConvergedOracle: String =
+    s"""WITH RECURSIVE co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, label) AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT e.src AS node, r.label
+       |  FROM edges e JOIN reach r ON e.dst = r.node
+       |)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, MIN(label) AS component
+       |FROM reach GROUP BY node
+       |ORDER BY node_type, node_key""".stripMargin
+
   private val SsspRounds = 4
 
   /** Bounded multi-source BFS: hop distance from the nearest
@@ -561,6 +635,8 @@ object Graph {
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
     OpDef("graph_degrees", graphDegrees _, degreesOracle),
     OpDef("graph_components", graphComponents _, componentsOracle),
+    OpDef("graph_components_converged", graphComponentsConverged _,
+      componentsConvergedOracle),
     OpDef("graph_sssp", graphSssp _, ssspOracle)
   )
 }

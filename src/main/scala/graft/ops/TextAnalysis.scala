@@ -25,12 +25,12 @@ object TextAnalysis {
   // Tiny per-language stopword lists for the n-gram/stopword language
   // heuristic. Overlapping entries (e.g. 'la', 'que') are fine — the
   // argmax with a fixed tie-break keeps the result deterministic.
-  private val En = Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it")
+  private[ops] val En = Seq("the", "a", "and", "of", "to", "in", "is", "you", "that", "it")
   private val De = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")
   private val Fr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
   private val Es = Seq("el", "los", "las", "y", "es", "este", "una", "en", "se", "por")
 
-  private def inListSql(c: String, ws: Seq[String]): String =
+  private[ops] def inListSql(c: String, ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString(s"$c IN (", ", ", ")")
 
   /** Per-document token/length statistics — row-local, no shuffle. */

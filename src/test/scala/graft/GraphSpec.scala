@@ -145,4 +145,25 @@ class GraphSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("converged components equal the bounded op on the co-order graph") {
+    val bounded = SparkEntry.queries("graph_components")(spark, sf)
+    val fixpoint = SparkEntry.queries("graph_components_converged")(spark, sf)
+    assert(bounded.exceptAll(fixpoint).isEmpty &&
+      fixpoint.exceptAll(bounded).isEmpty,
+      "CcRounds covers this graph's diameter, so the two must agree")
+  }
+
+  test("fixpoint loop outruns the round bound on a long chain") {
+    import spark.implicits._
+    // a 20-node path has diameter 19 > CcRounds = 6: the bounded loop
+    // CANNOT fully label it, the converged loop must
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val labels = ops.Graph.componentsConvergedOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 20)
+    assert(labels.forall(_._2 === 0L),
+      "every chain node must reach the min label at fixpoint")
+  }
 }
