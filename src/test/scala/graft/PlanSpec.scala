@@ -202,6 +202,24 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("text_contamination").contains("BroadcastHashJoin"))
   }
 
+  test("semantic contamination broadcasts benchmark bands AND vectors") {
+    // both probe-side joins (band candidates, verify vectors) must ship
+    // the benchmark to the corpus — the corpus embedding table never
+    // shuffles for the benchmark's sake
+    val p = plan("text_contamination_semantic")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality classifier is one scan + a broadcast weight row") {
+    // features are row-local; the weight vector rides a broadcast
+    // nested-loop against ONE row; no shuffle before the output sort
+    val p = plan("quality_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("salted join shuffles (the skew pattern it demonstrates)") {
     val p = plan("join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
