@@ -257,6 +257,64 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** The classifier's per-doc raw logit + 6-dp sigmoid score over an
+    * arbitrary `(doc_id, text, …)` frame — exposed for composition
+    * (e.g. `dedup_canonical_quality` picks cluster survivors by this
+    * score). Same arithmetic as [[qualityClassifier]]. */
+  private[ops] def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = length($"norm")
+    def ratio(c: org.apache.spark.sql.Column) = coalesce(
+      roundHalfUp(lit(1.0) * c / nullif(n, lit(0)), 6), lit(0.0))
+    val stopList = TextAnalysis.En.map(w => s"t = '$w'").mkString(" OR ")
+    docs
+      .select($"doc_id", normalizeText($"text").as("norm"),
+        tokens($"text").as("w"))
+      .select($"doc_id",
+        ratio(length(regexp_replace($"norm", "[^a-z]", ""))).as("f_alpha"),
+        ratio(length(regexp_replace($"norm", "[^0-9]", ""))).as("f_digit"),
+        coalesce(roundHalfUp(lit(1.0) *
+          size(expr(s"filter(w, t -> $stopList)")) /
+          nullif(size($"w"), lit(0)), 6), lit(0.0)).as("f_stop"),
+        roundHalfUp(log(lit(1.0) + size($"w")), 6).as("f_len"))
+      .select($"doc_id",
+        roundHalfUp(lit(1.0) / (lit(1.0) + exp(-(lit(QcBias) +
+          lit(QcWAlpha) * $"f_alpha" + lit(QcWStop) * $"f_stop" +
+          lit(QcWLen) * $"f_len" + lit(QcWDigit) * $"f_digit"))), 6)
+          .as("q_score"))
+  }
+
+  /** DuckDB mirror of [[qualityScoreOf]] as one CTE named `qscore`
+    * (doc_id, q_score). */
+  private[ops] def qualityScoreSql: String =
+    s"""qscore AS (
+       |  SELECT doc_id,
+       |    ${roundHalfUpSql(
+          s"1.0 / (1.0 + exp(-($QcBias + $QcWAlpha * f_alpha + " +
+            s"$QcWStop * f_stop + $QcWLen * f_len + $QcWDigit * f_digit)))",
+          6)} AS q_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      COALESCE(${roundHalfUpSql(
+          "1.0 * len(regexp_replace(norm, '[^a-z]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_alpha,
+       |      COALESCE(${roundHalfUpSql(
+          "1.0 * len(regexp_replace(norm, '[^0-9]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_digit,
+       |      COALESCE(${roundHalfUpSql(
+          s"1.0 * len(list_filter(w, t -> ${
+            TextAnalysis.inListSql("t", TextAnalysis.En)})) " +
+            "/ NULLIF(len(w), 0)", 6)}, 0.0) AS f_stop,
+       |      ${roundHalfUpSql("ln(1.0 + len(w))", 6)} AS f_len
+       |    FROM (
+       |      SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |        ${tokensSql("text")} AS w
+       |      FROM documents
+       |    )
+       |  )
+       |)""".stripMargin
+
   private def qualityClassifierOracle: String = {
     val sig = "1.0 / (1.0 + exp(-z))"
     s"""WITH feats AS (

@@ -1153,6 +1153,58 @@ object Dedup {
        |FROM sel
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection — the survivor policy real
+    * dedup pipelines actually run: within each near-dup cluster keep
+    * the member the quality CLASSIFIER scores highest (tie → doc_id),
+    * instead of [[dedupCanonical]]'s longest-member proxy. A near-dup
+    * of a clean page is often the same text plus boilerplate — longer,
+    * but worse; the learned score picks the clean one. Composition of
+    * the cluster labels with [[Curation.qualityScoreOf]] (σ(w·f), the
+    * same arithmetic the `quality_classifier` gate ships).
+    *
+    * Scale: identical shape to [[dedupCanonical]] — labels cover only
+    * paired docs, one keyed join against per-doc scores (row-local to
+    * compute, no text moves), one window per cluster. */
+  private def dedupCanonicalQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (closed, nodes) = closedNeighborhood(s, d)
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val lab = Curation.qualityScoreOf(Tables.documents(s, d))
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"q_score")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"q_score".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lab
+      .withColumn("canonical_id", first($"doc_id").over(w))
+      .select($"doc_id", $"cluster_id", $"canonical_id", $"q_score",
+        ($"doc_id" === $"canonical_id").cast("long").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private def canonicalQualityOracle: String =
+    s"""WITH $clusterCtes,
+       |${Curation.qualityScoreSql},
+       |lab AS (
+       |  SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+       |    q.q_score
+       |  FROM qscore q LEFT JOIN l$ClusterHops l ON l.doc_id = q.doc_id
+       |),
+       |sel AS (
+       |  SELECT doc_id, cluster_id, q_score,
+       |    FIRST_VALUE(doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY q_score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       |    ) AS canonical_id
+       |  FROM lab
+       |)
+       |SELECT doc_id, cluster_id, canonical_id, q_score,
+       |  CAST(doc_id = canonical_id AS BIGINT) AS keep
+       |FROM sel
+       |ORDER BY doc_id""".stripMargin
+
   // Edit-distance fuzzy matching: threshold, k+1 pigeonhole segments
   // over the normalized 40-char prefix key, and the candidate-bucket
   // width cap (same convention as [[MaxBucket]]).
@@ -1273,6 +1325,8 @@ object Dedup {
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
     OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),
+    OpDef("dedup_canonical_quality", dedupCanonicalQuality _,
+      canonicalQualityOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle),
     OpDef("dedup_report", dedupReport _, dedupReportOracle)
   )

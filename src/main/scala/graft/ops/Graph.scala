@@ -384,7 +384,17 @@ object Graph {
   }
 
   /** Spec hook: the fixpoint min-label loop over an arbitrary directed
-    * `(src, dst)` edge frame — returns `(node, label)` at convergence. */
+    * `(src, dst)` edge frame — returns `(node, label)` at convergence.
+    *
+    * Each round's label table is `localCheckpoint`ed (eager), not just
+    * cached: a cache truncates EXECUTION but leaves the logical plan
+    * nesting every previous round, so the per-round AQE plan (and its
+    * explain string) grows with the iteration count — the classic
+    * iterative-lineage blowup Pregel loops checkpoint away. The
+    * checkpoint pins each round to its materialized blocks, keeping
+    * plans (and driver memory) constant-size at any round count; label
+    * state is one (node, label) row per vertex, the cheapest thing in
+    * the loop to persist. */
   private[graft] def componentsConvergedOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -393,16 +403,15 @@ object Graph {
       .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
       .repartition($"src").sortWithinPartitions($"src")
       .cache()
-    var labels = nodes.select($"node", $"node".as("label")).cache()
+    var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val next = closed.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"label").as("label"))
         .withColumnRenamed("src", "node")
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.select($"node", $"label".as("prev")), "node")
         .filter($"label" < $"prev").count()
-      labels.unpersist()
       labels = next
     }
     labels

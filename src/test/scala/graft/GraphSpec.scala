@@ -147,10 +147,12 @@ class GraphSpec extends SparkSpecBase {
   }
 
   test("converged components equal the bounded op on the co-order graph") {
-    val bounded = SparkEntry.queries("graph_components")(spark, sf)
-    val fixpoint = SparkEntry.queries("graph_components_converged")(spark, sf)
-    assert(bounded.exceptAll(fixpoint).isEmpty &&
-      fixpoint.exceptAll(bounded).isEmpty,
+    // compare collected sets: an exceptAll over the two UNROLLED
+    // iteration plans builds a plan string big enough to OOM the test
+    // JVM (the results are a few hundred rows at sf0.001)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows("graph_components") === rows("graph_components_converged"),
       "CcRounds covers this graph's diameter, so the two must agree")
   }
 
