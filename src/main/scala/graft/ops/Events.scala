@@ -1150,12 +1150,23 @@ object Events {
   /** Oracle-gated LEFT OUTER stream⋈stream join: matched rows equal
     * the inner join; the null-padded unmatched errors appear only for
     * errors the FINAL watermark sealed (the no-data closing batch
-    * flushes expired state). The seal bound is `error_ts <
-    * watermark − 10 min`: Spark's symmetric-hash-join state watermark
-    * derives from the join's LOWER bound (`click_ts ≥ error_ts −
-    * 10 min`), so error state outlives the last possible match by one
-    * join window — the oracle mirrors exactly that predicate on the
-    * ms-floored corpus watermark. */
+    * flushes expired state). The seal bound is `error_ts < watermark`:
+    * Spark derives a state watermark from EACH join inequality and
+    * keeps state only while a future match is possible — here the
+    * UPPER bound `click_ts ≤ error_ts` already rules out any
+    * future click once `error_ts < watermark`, so that is the tight
+    * (and actual) eviction predicate; the lower bound's laxer
+    * `watermark − 10 min` never governs. The governing watermark is
+    * the GLOBAL one, and because each side is filtered to its type
+    * BEFORE `withWatermark`, it is the MIN of the per-type watermarks:
+    * `min(max click ts, max error ts) − 2 h` (each ms-floored) — the
+    * default `multipleWatermarkPolicy = min`. (Round-10 fix: the
+    * oracle previously sealed at `all-events watermark − 10 min`,
+    * which happened to agree at sf0.01 but both missed an emitted
+    * boundary error at sf0.1 and, once the −10 min lax bound was
+    * dropped, over-emitted at sf0.01 — the per-side-min form matches
+    * Spark on both corpora.) Predicate evaluated in µs, mirroring
+    * Spark's ms arithmetic. */
   private def streamJoinOuter(s: SparkSession, d: String) = {
     import s.implicits._
     runStream(s, graft.streaming.EventStream.clickErrorJoinOuter(
@@ -1793,7 +1804,13 @@ object Events {
         | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
         |ORDER BY error_id, click_id""".stripMargin),
     OpDef("stream_join_outer", streamJoinOuter _,
-      s"""WITH $wmCte,
+      s"""WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000
+        |     FROM events WHERE event_type = 'click'),
+        |    (SELECT ((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000
+        |     FROM events WHERE event_type = 'error')) AS w_us
+        |),
         |matched AS (
         |  SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
         |    c.event_id AS click_id, c.ts AS click_ts
@@ -1808,7 +1825,7 @@ object Events {
         |  CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
         |FROM events e CROSS JOIN wm
         |WHERE e.event_type = 'error'
-        |  AND epoch_us(e.ts) < wm.w_us - 600000000
+        |  AND epoch_us(e.ts) < wm.w_us
         |  AND NOT EXISTS (
         |    SELECT 1 FROM events c
         |    WHERE c.user_id = e.user_id AND c.event_type = 'click'

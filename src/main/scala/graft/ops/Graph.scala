@@ -370,8 +370,14 @@ object Graph {
     * after the diameter is covered, so the output equals
     * `graph_components` whenever [[CcRounds]] ≥ diameter — and keeps
     * being right when it isn't. Oracle: DuckDB reaches the same
-    * fixpoint declaratively via a recursive CTE (reachable-label
-    * closure, then MIN per node). */
+    * fixpoint declaratively via a recursive CTE in the FRONTIER-MIN
+    * form (each iteration joins the last frontier to the edges and
+    * takes MIN per node; final answer = MIN over everything emitted) —
+    * per-iteration cost is |edges|, accumulated rows are each node's
+    * decreasing label sequence. The naive reachable-label CLOSURE form
+    * is quadratic in component size (Σ|component|² pairs) and ground
+    * to a halt on sf0.1's giant co-order component; same fixpoint,
+    * linear price. */
   private def graphComponentsConverged(s: SparkSession, d: String) = {
     import s.implicits._
     componentsConvergedOf(coOrderEdges(s, d))
@@ -428,15 +434,16 @@ object Graph {
        |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
        |),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |reach(node, label) AS (
+       |lab(node, label) AS (
        |  SELECT node, node AS label FROM nodes
        |  UNION
-       |  SELECT e.src AS node, r.label
-       |  FROM edges e JOIN reach r ON e.dst = r.node
+       |  SELECT e.src AS node, MIN(l.label) AS label
+       |  FROM edges e JOIN lab l ON e.dst = l.node
+       |  GROUP BY e.src
        |)
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        |  node // 2 AS node_key, MIN(label) AS component
-       |FROM reach GROUP BY node
+       |FROM lab GROUP BY node
        |ORDER BY node_type, node_key""".stripMargin
 
   private val SsspRounds = 4
