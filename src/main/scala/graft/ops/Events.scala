@@ -1134,6 +1134,24 @@ object Events {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Oracle-gated run of the native streaming-dedup operator
+    * ([[graft.streaming.EventStream.dedupEventKeys]]). The
+    * transform projects to the dedup key before deduplicating (the
+    * surviving physical row per key within a micro-batch is
+    * arbitrary, so only key columns are deterministic) and the
+    * 30-day delay cannot evict state inside a drained run — the sink
+    * therefore equals exact batch DISTINCT over the key, which is
+    * the oracle; the delay is the production bounded-state knob, not
+    * an observable of this run. Dedup emits in append mode
+    * immediately (state only SUPPRESSES later duplicates), so no
+    * sealed-window cutoff applies. */
+  private def streamDedup(s: SparkSession, d: String) = {
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.dedupEventKeys(
+        streamingEvents(s, d)), "graft_stream_dedup", "append")
+      .orderBy($"user_id", $"event_type", $"ts")
+  }
+
   /** Oracle-gated run of the stream⋈stream interval join
     * ([[graft.streaming.EventStream.clickErrorJoin]]). Inner interval
     * joins emit every match as both sides arrive — the watermark only
@@ -1883,6 +1901,10 @@ object Events {
          |GROUP BY 1, 2
          |HAVING epoch_us(win_start + INTERVAL 1 HOUR) <= (SELECT w_us FROM wm)
          |ORDER BY win_start, event_type""".stripMargin),
+    OpDef("stream_dedup", streamDedup _,
+      """SELECT DISTINCT user_id, event_type, ts
+        |FROM events
+        |ORDER BY user_id, event_type, ts""".stripMargin),
     OpDef("stream_tumbling", streamTumbling _,
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,

@@ -54,6 +54,30 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming ingest dedup of the EVENTS feed via the native
+    * `dropDuplicatesWithinWatermark` operator — the declarative
+    * counterpart of the custom-state [[firstSeenTtl]] processor (and
+    * the composite-key sibling of the document-hash
+    * [[dedupWithinWatermark]]): one suppression-state row per key,
+    * evicted once the watermark passes the key's event time + delay
+    * (bounded state at any stream volume; duplicates in real feeds
+    * arrive close together).
+    *
+    * The frame is projected to the DEDUP KEY ITSELF before the
+    * operator: within a micro-batch the surviving physical row per
+    * key is arbitrary, so emitting only key columns makes the output
+    * survivor-independent — the deterministic-output discipline every
+    * gated op follows. With `delay` spanning the whole drained corpus
+    * no state evicts mid-run, so the sink equals the exact batch
+    * DISTINCT — which is what the oracle states; the delay is the
+    * production bounded-state knob, not an observable of this run. */
+  def dedupEventKeys(events: DataFrame,
+                     delay: String = "30 days"): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   /** Gap-based sessions via Spark's native `session_window` — the
     * streaming counterpart of the batch `event_sessions` op (30-minute
     * inactivity gap). */

@@ -51,6 +51,25 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(demoted.count() === 0)
   }
 
+  test("recall report: arithmetic, bounds, and a lower-bound cross-check") {
+    val rep = run("ann_recall_report").cache()
+    assert(rep.count() === 20) // one row per probe query
+    // recall is n_hits/5 exactly; hits bounded by both k and candidates
+    assert(rep.filter(col("recall_at_5") =!= col("n_hits") / 5.0).count() === 0)
+    assert(rep.filter(col("n_hits") > least(lit(5L), col("n_cand"))).count() === 0)
+    // independent lower bound: any ann_lsh top-3 result that is also in
+    // the exact top-5 must be counted as a hit by the report
+    val exactTop5 = run("ann_bruteforce")
+      .filter(col("rank") <= 5).select("query_id", "cand_id")
+    val floor = run("ann_lsh").select("query_id", "cand_id")
+      .join(exactTop5, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("floor_hits"))
+    val below = rep.join(floor, "query_id")
+      .filter(col("n_hits") < col("floor_hits"))
+    assert(below.count() === 0)
+    rep.unpersist()
+  }
+
   test("range search contains every single-probe pair above its radius") {
     // ann_range_search probes a SUPERSET of ann_lsh's buckets (own +
     // Hamming-1), so any same-bucket pair at cosine ≥ 0.3 must appear

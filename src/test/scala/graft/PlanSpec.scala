@@ -527,6 +527,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embedding outliers: centroids broadcast back; top-K bounds map-side") {
+    val p = plan("embedding_outliers")
+    // the labels×dims centroid table ships to the vectors, never the
+    // reverse, and the per-label top-K cuts below the rank shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("recall report: both rank stages cut via WindowGroupLimit") {
+    val p = plan("ann_recall_report")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the only nested-loop is the 20-row probe side against candidates
+    // (broadcast), mirroring ann_bruteforce's verified-exact pass
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("phash signature and boilerplate df move hashes, not payload text") {
     // every exchange's partition key is an id/hash/band column — the
     // payload hex (mm_phash) and block text (text_boilerplate df pass)

@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup suppresses cross-batch duplicates = batch DISTINCT") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    src.addData(a: _*)
+    src.addData(b: _*)
+    // replay the first chunk as a third batch — every key in it is a
+    // cross-batch duplicate the suppression state must swallow (the
+    // 30-day delay keeps all state live and no replayed row falls
+    // below the watermark)
+    src.addData(a: _*)
+    runToTable(EventStream.dedupEventKeys(src.toDF()), "dedup_ww",
+      "append")
+    val got = spark.table("dedup_ww")
+    val want = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts").distinct()
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming session windows agree with the batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
