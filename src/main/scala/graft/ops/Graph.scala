@@ -446,6 +446,117 @@ object Graph {
        |FROM lab GROUP BY node
        |ORDER BY node_type, node_key""".stripMargin
 
+  private val CoreK = 2
+  private val PeelRounds = 6
+  /** Spec visibility for the fixpoint-inside-bound invariant. */
+  private[graft] def PeelRoundsForSpec: Int = PeelRounds
+
+  /** K-core onion decomposition (k = [[CoreK]]) of the co-order graph
+    * — the link-graph quality/spam signal: nodes peel in rounds
+    * (remove everything with fewer than k surviving neighbors,
+    * repeat), `peeled_round` records each node's onion layer and
+    * `in_core` = survived every peel. A customer/supplier in the
+    * 2-core has redundant co-order relationships; leaves and chains
+    * (single-relationship tendrils) peel layer by layer — the shape
+    * used to separate organically-linked pages from spam tendrils in
+    * web-graph curation.
+    *
+    * Peeling is MONOTONE (the removed set only grows), so unlike
+    * label propagation there is no oscillation: [[PeelRounds]] rounds
+    * mirror exactly in the oracle's unrolled CTEs (the
+    * `graph_components` bound pattern — the bound is the latency knob,
+    * and `GraphSpec` proves the testdata fixpoint lands well inside
+    * it). Per round: one degree count over the surviving subgraph
+    * (edges semi-joined to the alive set on BOTH endpoints — the
+    * cached edge table is partitioned+sorted on src ONCE) and one
+    * anti-join to name the peeled layer; each round's alive set is
+    * `localCheckpoint`ed so the plan stays one round deep (the
+    * iterative-lineage rule every Pregel loop here follows). State is
+    * one row per alive node, shrinking every round. */
+  private def graphKcore(s: SparkSession, d: String) = {
+    import s.implicits._
+    kcoreOf(coOrderEdges(s, d))
+      .select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"),
+        $"peeled_round", $"in_core")
+      .orderBy($"node_type", $"node_key")
+  }
+
+  /** Spec hook: the bounded peel loop over an arbitrary symmetric
+    * `(src, dst)` edge frame — returns `(node, peeled_round, in_core)`
+    * with `peeled_round` = 0 for k-core members. */
+  private[graft] def kcoreOf(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0
+      .repartition($"src").sortWithinPartitions($"src").cache()
+    var alive = edges.select($"src".as("node")).distinct().localCheckpoint()
+    val layers = Seq.newBuilder[DataFrame]
+    for (r <- 1 to PeelRounds) {
+      val deg = edges
+        .join(alive.select($"node".as("src")), "src")
+        .join(alive.select($"node".as("dst")), "dst")
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      val next = deg.filter($"deg" >= CoreK).select($"src".as("node"))
+        .localCheckpoint()
+      layers += alive.join(next, Seq("node"), "left_anti")
+        .select($"node", lit(r).as("peeled_round"))
+      alive = next
+    }
+    layers.result().reduce(_.unionByName(_))
+      .unionByName(alive.select($"node", lit(0).as("peeled_round")))
+      .withColumn("in_core", $"peeled_round" === 0)
+  }
+
+  /** Unrolled peel rounds. Each `a{i}` is referenced 4× downstream
+    * (both endpoint joins of round i+1, two layer anti-joins, the
+    * final union) — `AS MATERIALIZED` stops DuckDB's CTE inlining
+    * from re-expanding the whole prefix per reference (3^rounds
+    * blowup, the oracle-side twin of the iterative-lineage rule the
+    * Spark loop solves with localCheckpoint; observed as a spill
+    * blowup at sf0.1 before materialization). */
+  private def kcoreOracle: String = {
+    val rounds = (1 to PeelRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT e.src AS node, COUNT(*) AS deg
+         |  FROM edges e
+         |  JOIN a${i - 1} s ON e.src = s.node
+         |  JOIN a${i - 1} t ON e.dst = t.node
+         |  GROUP BY e.src
+         |),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $CoreK),
+         |p$i AS (
+         |  SELECT a.node, $i AS peeled_round
+         |  FROM a${i - 1} a LEFT JOIN a$i b ON a.node = b.node
+         |  WHERE b.node IS NULL
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to PeelRounds).map(i => s"SELECT * FROM p$i")
+      .mkString("\n  UNION ALL ") +
+      s"\n  UNION ALL SELECT node, 0 AS peeled_round FROM a$PeelRounds"
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$rounds,
+       |onion AS (
+       |  $union
+       |)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, CAST(peeled_round AS INT) AS peeled_round,
+       |  peeled_round = 0 AS in_core
+       |FROM onion
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
   private val SsspRounds = 4
 
   /** Bounded multi-source BFS: hop distance from the nearest
@@ -653,6 +764,7 @@ object Graph {
     OpDef("graph_components", graphComponents _, componentsOracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
+    OpDef("graph_kcore", graphKcore _, kcoreOracle),
     OpDef("graph_sssp", graphSssp _, ssspOracle)
   )
 }

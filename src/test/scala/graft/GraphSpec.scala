@@ -156,6 +156,32 @@ class GraphSpec extends SparkSpecBase {
       "CcRounds covers this graph's diameter, so the two must agree")
   }
 
+  test("kcore: cycles survive whole, chains peel from the ends, layers count") {
+    import spark.implicits._
+    def onion(und: Seq[(Long, Long)]): Map[Long, Int] = {
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      ops.Graph.kcoreOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    // a 4-cycle is its own 2-core: nobody peels
+    val cyc = onion(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(cyc === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0))
+    // a 5-path peels layer by layer from both ends and empties
+    val path = onion(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(path === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1))
+    // lollipop: the tail peels outside-in, the triangle is the core
+    val lol = onion(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)))
+    assert(lol === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2, 5L -> 1))
+  }
+
+  test("kcore: the testdata fixpoint lands strictly inside the round bound") {
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("graph_kcore")(spark, sf)
+    val maxRound = rep.agg(max(col("peeled_round"))).head().getInt(0)
+    assert(maxRound < ops.Graph.PeelRoundsForSpec,
+      s"a node peeled in the last round ($maxRound) — raise PeelRounds")
+  }
+
   test("fixpoint loop outruns the round bound on a long chain") {
     import spark.implicits._
     // a 20-node path has diameter 19 > CcRounds = 6: the bounded loop

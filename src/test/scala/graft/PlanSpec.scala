@@ -544,6 +544,14 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental IVF: codebook broadcasts; attach ranks via WindowGroupLimit") {
+    val p = plan("ann_ivf_incremental")
+    // the frozen codebook ships to the scan (row-local pq_argmin
+    // routing); the per-increment top-3 cuts below the rank shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("phash signature and boilerplate df move hashes, not payload text") {
     // every exchange's partition key is an id/hash/band column — the
     // payload hex (mm_phash) and block text (text_boilerplate df pass)
