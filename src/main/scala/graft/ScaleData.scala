@@ -71,7 +71,8 @@ object ScaleData {
     val embCopies = (0 until factor).map { k =>
       emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
         expr(s"transform(embedding, x -> CAST(x + ${k * 0.001} AS FLOAT))")
-          .as("embedding"))
+          .as("embedding"),
+        col("label"))
     }.reduce(_ union _)
     embCopies.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
