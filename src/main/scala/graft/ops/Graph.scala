@@ -466,7 +466,9 @@ object Graph {
     * mirror exactly in the oracle's unrolled CTEs (the
     * `graph_components` bound pattern — the bound is the latency knob,
     * and `GraphSpec` proves the testdata fixpoint lands well inside
-    * it). Per round: one degree count over the surviving subgraph
+    * it), and the loop EXITS EARLY once a round peels nothing —
+    * monotonicity makes the remaining rounds provable no-ops, so the
+    * output stays identical to the oracle's full unroll. Per round: one degree count over the surviving subgraph
     * (edges semi-joined to the alive set on BOTH endpoints — the
     * cached edge table is partitioned+sorted on src ONCE) and one
     * anti-join to name the peeled layer; each round's alive set is
@@ -494,16 +496,28 @@ object Graph {
       .repartition($"src").sortWithinPartitions($"src").cache()
     var alive = edges.select($"src".as("node")).distinct().localCheckpoint()
     val layers = Seq.newBuilder[DataFrame]
-    for (r <- 1 to PeelRounds) {
+    var r = 1
+    var peeled = 1L
+    // Early exit at the fixpoint: peeling is monotone, so a round that
+    // removes nothing proves every remaining round removes nothing —
+    // the output is IDENTICAL to running the full bound (the oracle's
+    // no-op tail rounds), minus their cost. The layer count doubles as
+    // the probe; its localCheckpoint is the materialization the final
+    // union needed anyway.
+    while (r <= PeelRounds && peeled > 0) {
       val deg = edges
         .join(alive.select($"node".as("src")), "src")
         .join(alive.select($"node".as("dst")), "dst")
         .groupBy($"src").agg(count(lit(1)).as("deg"))
       val next = deg.filter($"deg" >= CoreK).select($"src".as("node"))
         .localCheckpoint()
-      layers += alive.join(next, Seq("node"), "left_anti")
+      val layer = alive.join(next, Seq("node"), "left_anti")
         .select($"node", lit(r).as("peeled_round"))
+        .localCheckpoint()
+      peeled = layer.count()
+      layers += layer
       alive = next
+      r += 1
     }
     layers.result().reduce(_.unionByName(_))
       .unionByName(alive.select($"node", lit(0).as("peeled_round")))
