@@ -246,6 +246,119 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Sketch-calibration report — the measurement that DECIDES whether
+    * the 16-member sketch (`dedup_minhash_est`) can replace the exact
+    * verify (`dedup_minhash`) on a given corpus: every banded
+    * candidate pair is scored BOTH ways (signature agreement AND exact
+    * merge-walk Jaccard), then folded into one row per agreement
+    * level k/[[MinHash.H]] — pair count, exact-Jaccard mean/min/max,
+    * and how many pairs are true dups at the 0.8 threshold. Reading
+    * the curve answers the deployment questions directly: which
+    * est-threshold hits the wanted precision, and how wide the
+    * exact-Jaccard spread is at each sketch level (widen H if too
+    * wide). The dedup analogue of `ann_recall_report`.
+    *
+    * Scale: candidate generation is the same width-capped band join
+    * as every LSH op; the exact side is candidate-scoped (gram sets
+    * ship only for candidate docs); the report itself is ≤ H+1 rows.
+    * Mean exact-Jaccard is quantized per pair (6 dp) then DECIMAL-
+    * summed, so the fold is partitioning-independent (the Exact
+    * rationale). */
+  private def dedupMinhashEval(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val base = wordGrams(spread)
+    val signed = base
+      .select($"doc_id", expr("minhash_sig(grams)").as("sig")).cache()
+    val candidates = bandCandidates(signed, MaxBucket).cache()
+    val candIds = candidates
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val gated =
+      if (candIds.count() <= BroadcastCandidateLimit) broadcast(candIds)
+      else candIds
+    val gsets = base.join(gated, Seq("doc_id"), "left_semi")
+      .select($"doc_id", expr("hash60_set(grams)").as("gs")).cache()
+    candidates
+      .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+      .join(gsets.select($"doc_id".as("doc_a"), $"gs".as("ga")), "doc_a")
+      .join(gsets.select($"doc_id".as("doc_b"), $"gs".as("gb")), "doc_b")
+      .select(
+        expr("vec_match_count(sa, sb)").cast("int").as("est_matches"),
+        expr("sorted_intersect_count(ga, gb)").as("inter"),
+        size($"ga").as("na"), size($"gb").as("nb"))
+      .withColumn("jac6", roundHalfUp(
+        lit(1.0) * $"inter" / ($"na" + $"nb" - $"inter"), 6))
+      .groupBy($"est_matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"jac6" >= 0.8, 1L).otherwise(0L)).as("n_true"),
+        roundHalfUp(sum($"jac6".cast("decimal(27,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"),
+        min($"jac6").as("min_jaccard"),
+        max($"jac6").as("max_jaccard"))
+      .select($"est_matches",
+        roundHalfUp($"est_matches" / lit(MinHash.H.toDouble), 6)
+          .as("est_jaccard"),
+        $"n_pairs", $"n_true", $"mean_jaccard", $"min_jaccard",
+        $"max_jaccard")
+      .orderBy($"est_matches")
+  }
+
+  private def minhashEvalOracle: String = {
+    val matches = sigMatchesSql
+    val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
+    s"""WITH $shingleCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (
+       |  SELECT doc_id, ${MinHash.baseSql("g")} AS b, ${hash60Sql("g")} AS g_h
+       |  FROM gx
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql,
+       |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(bb.g_h) AS inter
+       |  FROM cand c
+       |  JOIN gset aa ON aa.doc_id = c.doc_a
+       |  LEFT JOIN gset bb ON bb.doc_id = c.doc_b AND bb.g_h = aa.g_h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |scored AS (
+       |  SELECT CAST($matches AS INT) AS est_matches,
+       |    ${roundHalfUpSql(jac, 6)} AS jac6
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  JOIN sigs a ON a.doc_id = i.doc_a
+       |  JOIN sigs b ON b.doc_id = i.doc_b
+       |)
+       |SELECT est_matches,
+       |  ${roundHalfUpSql(s"est_matches / ${MinHash.H}.0", 6)} AS est_jaccard,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN jac6 >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  ${roundHalfUpSql(
+            "CAST(SUM(CAST(jac6 AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)}
+       |    AS mean_jaccard,
+       |  MIN(jac6) AS min_jaccard,
+       |  MAX(jac6) AS max_jaccard
+       |FROM scored
+       |GROUP BY est_matches
+       |ORDER BY est_matches""".stripMargin
+  }
+
   /** `(matching positions)` between sig rows aliased `a` and `b`. */
   private def sigMatchesSql: String = (0 until MinHash.H)
     .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
@@ -1314,6 +1427,7 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin),
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
+    OpDef("dedup_minhash_eval", dedupMinhashEval _, minhashEvalOracle),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
     OpDef("dedup_incremental", dedupIncremental _,
       lshOracle(shingleCte, 0.8, keptIncCandSql)),

@@ -182,6 +182,40 @@ class GraphSpec extends SparkSpecBase {
       s"a node peeled in the last round ($maxRound) — raise PeelRounds")
   }
 
+  test("kcore matches a reference sequential peel on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 15) {
+      val n = 3 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.4
+      } yield (a.toLong, b.toLong)).toSeq
+      if (und.nonEmpty) {
+        val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+        val got = ops.Graph.kcoreOf(edges).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // reference peel: round-synchronous removal of degree-<2 nodes
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+        var alive = nodes.toSet
+        val want = scala.collection.mutable.Map.empty[Long, Int]
+        var r = 1
+        var changed = true
+        while (changed && r <= ops.Graph.PeelRoundsForSpec) {
+          val deg = alive.map(u => u ->
+            und.count(e => (e._1 == u && alive(e._2)) ||
+              (e._2 == u && alive(e._1)))).toMap
+          val drop = alive.filter(deg(_) < 2)
+          changed = drop.nonEmpty
+          drop.foreach(want(_) = r)
+          alive --= drop
+          r += 1
+        }
+        alive.foreach(want(_) = 0)
+        assert(got === want.toMap, s"trial $trial, n=$n, edges=$und")
+      }
+    }
+  }
+
   test("fixpoint loop outruns the round bound on a long chain") {
     import spark.implicits._
     // a 20-node path has diameter 19 > CcRounds = 6: the bounded loop
