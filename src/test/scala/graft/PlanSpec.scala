@@ -552,6 +552,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("cluster report: centroids broadcast; exemplar cut via WindowGroupLimit") {
+    val p = plan("corpus_cluster_report")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("phash signature and boilerplate df move hashes, not payload text") {
     // every exchange's partition key is an id/hash/band column — the
     // payload hex (mm_phash) and block text (text_boilerplate df pass)
