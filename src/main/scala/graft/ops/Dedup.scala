@@ -272,8 +272,7 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < target) docs.repartition(target)
       else docs
-    val base = wordGrams(spread)
-    val signed = base
+    val signed = wordGrams(spread)
       .select($"doc_id", expr("minhash_sig(grams)").as("sig")).cache()
     val candidates = bandCandidates(signed, MaxBucket).cache()
     val candIds = candidates
@@ -281,7 +280,10 @@ object Dedup {
     val gated =
       if (candIds.count() <= BroadcastCandidateLimit) broadcast(candIds)
       else candIds
-    val gsets = base.join(gated, Seq("doc_id"), "left_semi")
+    // grams for the exact side re-derive AFTER the candidate semi-join
+    // (the verifyPairs convention) — the second tokenize pass touches
+    // candidate docs only, never the full corpus
+    val gsets = wordGrams(spread.join(gated, Seq("doc_id"), "left_semi"))
       .select($"doc_id", expr("hash60_set(grams)").as("gs")).cache()
     candidates
       .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
