@@ -18,7 +18,10 @@ class AnnIncrementalSpec extends SparkSpecBase {
       .withColumn("is_new",
         hash60(concat(lit("ing:"), $"vec_id")) % 10 === 0)
     val existing = e.filter(!$"is_new")
-    val cents = existing.orderBy($"vec_id".asc).limit(16)
+    // same √N nlist policy as the catalog op
+    val cells = math.max(16,
+      math.floor(math.sqrt(existing.count().toDouble)).toInt)
+    val cents = existing.orderBy($"vec_id".asc).limit(cells)
       .select($"vec_id".as("cell"), $"ne".as("cv"))
     val stored = ops.Similarity.assignCells(
         existing.select($"vec_id", $"ne"), cents)
