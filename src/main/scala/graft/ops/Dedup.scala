@@ -246,6 +246,89 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Source-syndication matrix — the mirror-detection artifact web
+    * curation reads before setting per-domain caps (the CCNet-shape
+    * question "how much of source B is source A reprinted?"): the
+    * EXACT `dedup_minhash` near-dup pairs (same grams, bands, caps,
+    * 0.8 threshold — spec-reconciled), decorated with each doc's
+    * source and folded to one row per unordered source pair with the
+    * pair count and mean Jaccard. A heavy cross-source cell says the
+    * two feeds syndicate each other (dedup them jointly, cap them as
+    * one); a heavy diagonal cell says the source self-duplicates.
+    *
+    * Scale: the pair pipeline is the width-capped LSH the dedup
+    * family already bounds; source decoration joins the pair frame
+    * INTO documents on doc_id (two keyed lookups); the fold is
+    * map-side combined onto ≤ sources² rows. Mean Jaccard sums the
+    * already-6-dp pair values as DECIMAL — partitioning-independent. */
+  private def corpusSourceSyndication(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val pairs = lshPairs(s, Tables.documents(s, d), wordGrams, 0.8)
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"jaccard")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        roundHalfUp(sum($"jaccard".cast("decimal(27,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"))
+      .withColumn("cross_source", $"source_a" =!= $"source_b")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private def syndicationOracle: String = {
+    val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
+    s"""WITH $shingleCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (
+       |  SELECT doc_id, ${MinHash.baseSql("g")} AS b, ${hash60Sql("g")} AS g_h
+       |  FROM gx
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql,
+       |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN gset a ON a.doc_id = c.doc_a
+       |  JOIN gset b ON b.doc_id = c.doc_b AND b.g_h = a.g_h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b, ${roundHalfUpSql(jac, 6)} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE ${roundHalfUpSql(jac, 6)} >= 0.8
+       |),
+       |dec AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |    GREATEST(da.source, db.source) AS source_b, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  ${roundHalfUpSql(
+            "CAST(SUM(CAST(jaccard AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)}
+       |    AS mean_jaccard,
+       |  source_a <> source_b AS cross_source
+       |FROM dec
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Sketch-calibration report — the measurement that DECIDES whether
     * the 16-member sketch (`dedup_minhash_est`) can replace the exact
     * verify (`dedup_minhash`) on a given corpus: every banded
@@ -1430,6 +1513,8 @@ object Dedup {
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_minhash_eval", dedupMinhashEval _, minhashEvalOracle),
+    OpDef("corpus_source_syndication", corpusSourceSyndication _,
+      syndicationOracle),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),
     OpDef("dedup_incremental", dedupIncremental _,
       lshOracle(shingleCte, 0.8, keptIncCandSql)),
