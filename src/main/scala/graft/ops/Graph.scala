@@ -86,13 +86,17 @@ object Graph {
   }
 
   /** One oracle round: `r{i}` from `r{i-1}` — the exact CTE twin of
-    * the Spark round above. */
-  private def prRoundSql(i: Int): String = {
+    * the Spark round above. `mat` marks the CTE `AS MATERIALIZED` for
+    * the converged variant, where each round is referenced by the next
+    * round AND two delta probes AND the final round-pick union —
+    * without it DuckDB's inlining re-expands the whole prefix per
+    * reference (the `graph_kcore` spill lesson). */
+  private def prRoundSql(i: Int, mat: Boolean = false): String = {
     val contrib = roundHalfUpSql(s"r${i - 1}.pr / d.outdeg", 12)
     val damped = roundHalfUpSql(
       s"${1.0 - Damping} / n.n_nodes + $Damping * " +
         s"CAST(SUM(CAST($contrib AS DECIMAL(27,12))) AS DOUBLE)", 9)
-    s"""r$i AS (
+    s"""r$i AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT e.dst AS node, $damped AS pr
        |  FROM edges e
        |  JOIN deg d ON d.src = e.src
@@ -103,7 +107,7 @@ object Graph {
   }
 
   private def pagerankOracle: String = {
-    val rounds = (1 to PrRounds).map(prRoundSql).mkString(",\n")
+    val rounds = (1 to PrRounds).map(prRoundSql(_)).mkString(",\n")
     s"""WITH co AS (
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -123,6 +127,142 @@ object Graph {
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        |  node // 2 AS node_key, pr
        |FROM r$PrRounds
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
+  private val PrMaxRounds = 16
+  /** L1 delta-mass stop threshold. The co-order graph is BIPARTITE
+    * (customer↔supplier), so rank mass oscillates between the two
+    * sides and the residual decays as the pure teleport series:
+    * measured delta-mass is ≈1.49·0.85^(k−1) at BOTH sf0.01 and sf0.1
+    * — scale-INVARIANT, because it is governed by the damping factor,
+    * not the graph size. At 0.25 the loop stops at round 12 at any
+    * scale (and would at 100×) — and the measurement answers the
+    * "is 5 rounds enough?" question honestly: at round 5, 0.78 of the
+    * total rank mass is still moving. */
+  private[graft] val PrTol = 0.25
+  /** Spec visibility for the fixpoint-inside-bound invariant. */
+  private[graft] def PrMaxRoundsForSpec: Int = PrMaxRounds
+
+  /** Tolerance-terminated PageRank — `graph_pagerank`'s production
+    * twin, the `graph_components_converged` pattern applied to rank
+    * iteration: run until the per-round L1 delta mass drops below
+    * [[PrTol]] (an exact DECIMAL sum of 9 dp-quantized per-node
+    * deltas, so both engines compute the bit-identical stop round),
+    * bounded by [[PrMaxRounds]]. Each round is the same two keyed
+    * shuffles as the fixed-round op; the probe is one scalar aggregate
+    * feeding control flow (the honest Pregel pattern, priced in
+    * BASELINE); `rounds_run` reports where the tolerance landed so the
+    * convergence behavior is a queryable artifact, not a code comment. */
+  private def graphPagerankConverged(s: SparkSession, d: String) = {
+    import s.implicits._
+    val (ranks, rounds) = pagerankConvergedOf(coOrderEdges(s, d))
+    ranks.select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"), $"pr",
+        lit(rounds).cast("int").as("rounds_run"))
+      .orderBy($"node_type", $"node_key")
+  }
+
+  /** Spec hook: the tolerance loop over an arbitrary symmetric edge
+    * frame — returns ((node, pr) at the stop round, rounds run).
+    *
+    * Unlike the unrolled 5-round chain (whose NOTE above explains
+    * ReuseExchange already dedups its identical per-round subtrees
+    * inside ONE job), the tolerance loop runs each round as separate
+    * jobs bracketed by `localCheckpoint`, so the loop-invariant
+    * edges⋈outdeg wiring must be a real cache — pre-partitioned on
+    * the per-round join key, the [[componentsConvergedOf]] shape. */
+  private[graft] def pagerankConvergedOf(edges: DataFrame): (DataFrame, Int) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val wired = edges.join(deg, "src")
+      .repartition($"src").sortWithinPartitions($"src").cache()
+    // One scalar job up front (the honest control-flow pattern): as a
+    // broadcast 1-row frame the node count would re-derive its whole
+    // edge lineage EVERY round — nothing in the loop caches it — which
+    // doubled the per-round cost when first measured.
+    val nNodes = wired.select($"src").distinct().count()
+    var ranks = wired.select($"src".as("node")).distinct()
+      .select($"node", roundHalfUp(lit(1.0 / nNodes), 9).as("pr"))
+      .localCheckpoint()
+    var round = 0
+    var dm = Double.MaxValue
+    while (round < PrMaxRounds && dm >= PrTol) {
+      round += 1
+      // prev rides the round plan and the checkpoint is LAZY, so the
+      // delta probe's aggregate is the one job that materializes the
+      // round — one Spark job per superstep, not three (round, probe
+      // join, checkpoint); on loop state this small the job floor IS
+      // the operator's cost, so halving jobs halves the op.
+      val next = wired.join(ranks, $"src" === $"node")
+        .select($"dst", roundHalfUp($"pr" / $"outdeg", 12).as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c".cast(Dec12)).cast("double").as("s"))
+        .select($"dst".as("node"),
+          roundHalfUp(lit((1.0 - Damping) / nNodes) + lit(Damping) * $"s", 9)
+            .as("pr"))
+        .join(ranks.select($"node", $"pr".as("prev")), "node")
+        .localCheckpoint(false)
+      dm = next
+        .agg(sum(roundHalfUp(abs($"pr" - $"prev"), 9).cast(Dec12))
+          .cast("double"))
+        .head.getDouble(0)
+      ranks = next.select($"node", $"pr")
+    }
+    (ranks, round)
+  }
+
+  /** Oracle: unroll [[PrMaxRounds]] rounds + their delta probes, pick
+    * the first round whose delta mass is below [[PrTol]] (else the
+    * bound), and emit THAT round's vector — every CTE the engine's
+    * loop would have produced, with the stop decision made in SQL.
+    * All rounds are `AS MATERIALIZED`: r{i} is referenced by r{i+1},
+    * two delta probes, and the round-pick union, and DuckDB's default
+    * inlining would re-expand the whole prefix per reference. */
+  private def pagerankConvergedOracle: String = {
+    val rounds = (1 to PrMaxRounds).map(prRoundSql(_, mat = true))
+      .mkString(",\n")
+    val deltas = (1 to PrMaxRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT $i AS round,
+         |    CAST(SUM(CAST(${roundHalfUpSql("ABS(a.pr - b.pr)", 9)}
+         |      AS DECIMAL(27,12))) AS DOUBLE) AS dm
+         |  FROM r$i a JOIN r${i - 1} b ON a.node = b.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val dunion = (1 to PrMaxRounds).map(i => s"SELECT * FROM d$i")
+      .mkString(" UNION ALL ")
+    val runion = (1 to PrMaxRounds)
+      .map(i => s"SELECT $i AS round, node, pr FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH co AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS node, ${roundHalfUpSql("1.0 / n.n_nodes", 9)} AS pr
+       |  FROM deg CROSS JOIN n
+       |),
+       |$rounds,
+       |$deltas,
+       |stop AS (
+       |  SELECT CAST(COALESCE(MIN(round), $PrMaxRounds) AS INT) AS sr
+       |  FROM ($dunion) t WHERE dm < $PrTol
+       |),
+       |allr AS ($runion)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, pr, s.sr AS rounds_run
+       |FROM allr CROSS JOIN stop s WHERE allr.round = s.sr
        |ORDER BY node_type, node_key""".stripMargin
   }
 
@@ -773,6 +913,8 @@ object Graph {
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_similarity", graphSimilarity _, similarityOracle),
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
+    OpDef("graph_pagerank_converged", graphPagerankConverged _,
+      pagerankConvergedOracle),
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
     OpDef("graph_degrees", graphDegrees _, degreesOracle),
     OpDef("graph_components", graphComponents _, componentsOracle),

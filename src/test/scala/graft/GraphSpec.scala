@@ -216,6 +216,33 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("converged pagerank: tolerance stops inside the bound, mass conserved") {
+    val pr = SparkEntry.queries("graph_pagerank_converged")(spark, sf).cache()
+    val rounds = pr.agg(max(col("rounds_run"))).head().getInt(0)
+    assert(rounds < ops.Graph.PrMaxRoundsForSpec,
+      s"tolerance never hit inside the bound ($rounds) — raise PrMaxRounds")
+    assert(pr.select(countDistinct(col("rounds_run"))).head().getLong(0) === 1,
+      "rounds_run must be one constant across all rows")
+    val row = pr.agg(sum(col("pr")), min(col("pr"))).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-4,
+      s"rank mass drifted: ${row.getDouble(0)}")
+    assert(row.getDouble(1) > 0.0, "a node lost all rank")
+    pr.unpersist()
+  }
+
+  test("converged pagerank: a symmetric cycle is stationary at round 1") {
+    import spark.implicits._
+    // a 4-cycle is degree-regular: r0 is uniform and round 1 maps it to
+    // itself exactly, so the delta mass is 0 < tol and the loop stops
+    // immediately with every node at 1/4
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val (ranks, rounds) = ops.Graph.pagerankConvergedOf(edges)
+    assert(rounds === 1)
+    val got = ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25))
+  }
+
   test("fixpoint loop outruns the round bound on a long chain") {
     import spark.implicits._
     // a 20-node path has diameter 19 > CcRounds = 6: the bounded loop
