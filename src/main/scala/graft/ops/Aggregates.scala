@@ -23,6 +23,11 @@ object Aggregates {
   private val LcWords = 16
   private val LcBits = 60
   private val LcM = LcWords * LcBits
+  /** Production sizing for `sketch_rolling_distinct`: register bits =
+    * LcScale × corpus distinct users (load factor ≤ 1/LcScale, well
+    * inside linear counting's accuracy regime, nowhere near the
+    * all-bits-set saturation the fixed demo geometry hit at 10×). */
+  private val LcScale = 4
 
   // Count-min geometry: 3 independent hash60 rows × 256 counters.
   // Small on purpose — collisions must actually occur at sf0.01 so the
@@ -857,21 +862,32 @@ object Aggregates {
     * longs. The exact recount rides along purely as the verification
     * anchor. Registers are md5-derived → bit-identical engines.
     *
-    * Parameter honesty: linear counting is accurate while load
-    * n/[[LcM]] stays below ~ln [[LcM]]; the demo geometry (960 bits)
-    * covers testdata's ~150 weekly users with ≤2 % error but SATURATES
-    * at 10× users (every bit set → NULL estimate, measured in the
-    * scale rehearsal) — a production rollup sizes m to the expected
-    * range cardinality (m ≈ n/ln n bits), which changes nothing
-    * structural: registers stay per-day, merges stay OR. */
+    * Parameter honesty, PRODUCTION GEOMETRY: linear counting saturates
+    * once every bit is set (est → NULL) — the fixed 960-bit demo
+    * geometry did exactly that at the 10× rehearsal (measured, round
+    * 9). So m is now a deterministic function of the data, the
+    * `ann_ivf_incremental` √N-policy move: m = [[LcScale]]× the
+    * corpus-wide distinct-user count (an upper bound on any 7-day
+    * window's cardinality), rounded up to whole [[LcBits]]-bit words,
+    * floored at the demo geometry. At load t = n/m ≤ 1/[[LcScale]]
+    * the LC relative error is ≈ √(e^t − t − 1)/(t·√m) ≲ 1 % at
+    * testdata scale and SHRINKS as n grows — m ≈ n/ln n is merely the
+    * never-saturate bound, several orders too small for bounded error.
+    * Both engines derive the SAME m (one scalar job / a scalar
+    * subquery); register storage stays O(days × m/60 longs) — at
+    * n = 10⁹ users/day that is ~8 MB/day of longs, still nothing. */
   private def sketchRollingDistinct(s: SparkSession, d: String) = {
     import s.implicits._
-    val m = LcM
     val ud = Tables.events(s, d)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .select($"user_id", to_date($"ts").as("day")).distinct().cache()
+    val m = math.max(LcM.toLong,
+      LcBits * math.ceil(
+        LcScale.toDouble * ud.select($"user_id").distinct().count()
+          / LcBits).toLong)
+    val mWords = m / LcBits
     val regs = ud
       .select($"day",
-        (hash60(concat(lit("lc:"), $"user_id".cast("string"))) % LcM).as("b"))
+        (hash60(concat(lit("lc:"), $"user_id".cast("string"))) % m).as("b"))
       .select($"day", expr(s"b div $LcBits").as("word"),
         expr(s"shiftleft(cast(1 as bigint), cast(b % $LcBits as int))")
           .as("bit"))
@@ -879,7 +895,7 @@ object Aggregates {
       .agg(expr("bit_or(bit)").as("w"))
     val spine = ud.select($"day").distinct()
       .select($"day", explode(expr(
-        s"sequence(cast(0 as bigint), cast(${LcWords - 1} as bigint))"))
+        s"sequence(cast(0 as bigint), cast(${mWords - 1} as bigint))"))
         .as("word"))
     val byWord = Window.partitionBy($"word")
       .orderBy($"daynum").rangeBetween(-6, 0)
@@ -907,18 +923,25 @@ object Aggregates {
     s"""WITH ud AS (
        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
        |),
+       |msel AS (
+       |  SELECT GREATEST($LcM, $LcBits * CAST(CEIL(
+       |    $LcScale.0 * COUNT(DISTINCT user_id) / $LcBits) AS BIGINT)) AS m
+       |  FROM ud
+       |),
        |regs AS (
        |  SELECT day, b // $LcBits AS word,
        |    bit_or(CAST(1 AS BIGINT) << CAST(b % $LcBits AS INT)) AS w
        |  FROM (
-       |    SELECT day, ${hash60Sql("'lc:' || user_id")} % $LcM AS b FROM ud
+       |    SELECT day, ${hash60Sql("'lc:' || user_id")} % (SELECT m FROM msel) AS b
+       |    FROM ud
        |  ) GROUP BY 1, 2
        |),
        |spine AS (
        |  SELECT d.day, g.word
        |  FROM (SELECT DISTINCT day FROM ud) d
        |  CROSS JOIN (SELECT CAST(i AS BIGINT) AS word
-       |              FROM range(0, $LcWords) t(i)) g
+       |              FROM range(0, 1048576) t(i)
+       |              WHERE i < (SELECT m FROM msel) // $LcBits) g
        |),
        |rolled AS (
        |  SELECT s.day,
@@ -940,9 +963,11 @@ object Aggregates {
        |joined AS (
        |  SELECT e.day, e.filled, x.exact_users_7d,
        |    ${roundHalfUpSql(
-        s"-1.0 * $LcM * ln(NULLIF($LcM.0 - e.filled, 0.0) / $LcM)", 4)}
+        "-1.0 * mm.m * ln(NULLIF(CAST(mm.m AS DOUBLE) - e.filled, 0.0) / mm.m)",
+        4)}
        |      AS est_users_7d
        |  FROM est e JOIN exact x ON x.win_end = e.day
+       |  CROSS JOIN msel mm
        |)
        |SELECT day, filled, est_users_7d, exact_users_7d,
        |  ${roundHalfUpSql(
