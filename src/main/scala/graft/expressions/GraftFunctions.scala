@@ -62,6 +62,8 @@ object GraftFunctions {
       es => PqArgmin(es(0), es(1), es(2), es(3))),
     ("pq_adist", classOf[PqAdist],
       es => PqAdist(es(0), es(1), es(2), es(3))),
+    ("pq_min_score", classOf[PqMinScore],
+      es => PqMinScore(es(0), es(1), es(2))),
     ("sq8_codes", classOf[Sq8Codes], es => Sq8Codes(es(0), es(1), es(2))),
     ("sq8_adc", classOf[Sq8Adc], es => Sq8Adc(es(0), es(1), es(2), es(3))),
     ("bloom_build", classOf[BloomBuild], es => BloomBuild(es(0))),

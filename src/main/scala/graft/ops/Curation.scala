@@ -279,21 +279,25 @@ object Curation {
           nullif(size($"w"), lit(0)), 6), lit(0.0)).as("f_stop"),
         roundHalfUp(log(lit(1.0) + size($"w")), 6).as("f_len"))
       .select($"doc_id",
-        roundHalfUp(lit(1.0) / (lit(1.0) + exp(-(lit(QcBias) +
-          lit(QcWAlpha) * $"f_alpha" + lit(QcWStop) * $"f_stop" +
-          lit(QcWLen) * $"f_len" + lit(QcWDigit) * $"f_digit"))), 6)
-          .as("q_score"))
+        (lit(QcBias) + lit(QcWAlpha) * $"f_alpha" + lit(QcWStop) * $"f_stop" +
+          lit(QcWLen) * $"f_len" + lit(QcWDigit) * $"f_digit").as("z"))
+      .select($"doc_id",
+        roundHalfUp(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("q_score"),
+        ($"z" >= 0.0).as("q_keep"))
   }
 
   /** DuckDB mirror of [[qualityScoreOf]] as one CTE named `qscore`
-    * (doc_id, q_score). */
+    * (doc_id, q_score, q_keep) — keep derives from the UNROUNDED
+    * logit, exactly as `quality_classifier`'s `keep` does. */
   private[ops] def qualityScoreSql: String =
     s"""qscore AS (
        |  SELECT doc_id,
-       |    ${roundHalfUpSql(
-          s"1.0 / (1.0 + exp(-($QcBias + $QcWAlpha * f_alpha + " +
-            s"$QcWStop * f_stop + $QcWLen * f_len + $QcWDigit * f_digit)))",
-          6)} AS q_score
+       |    ${roundHalfUpSql("1.0 / (1.0 + exp(-z))", 6)} AS q_score,
+       |    z >= 0.0 AS q_keep
+       |  FROM (
+       |  SELECT doc_id,
+       |    $QcBias + $QcWAlpha * f_alpha + $QcWStop * f_stop +
+       |      $QcWLen * f_len + $QcWDigit * f_digit AS z
        |  FROM (
        |    SELECT doc_id,
        |      COALESCE(${roundHalfUpSql(
@@ -312,6 +316,7 @@ object Curation {
        |        ${tokensSql("text")} AS w
        |      FROM documents
        |    )
+       |  )
        |  )
        |)""".stripMargin
 

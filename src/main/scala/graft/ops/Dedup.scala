@@ -1087,6 +1087,244 @@ object Dedup {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** The FULL modern prep chain with per-stage attribution —
+    * `dedup_report` upgraded to the round-10 pieces: the LEARNED
+    * quality gate (`quality_classifier`'s σ(w·f) keep rule) replaces
+    * the hand rule, then content-hash exact dedup, width-capped banded
+    * minhash near-dup (sketch-estimate ≥ 0.75), SemDeDup-style
+    * semantic dedup (k-means cells + within-cell cosine), and semantic
+    * benchmark-contamination flagging — every document exits with ONE
+    * attributed status, precedence in pipeline order. The semantic and
+    * contamination stages run their standalone corpus-wide rules
+    * (each is its own pass in production; attribution, not
+    * re-scoping, composes them — so each stage's set reconciles
+    * exactly against its standalone op, which the spec checks).
+    *
+    * Scale: the text stages are the `dedup_report` plan (ids + flags
+    * join back on doc_id; text never moves after signing); the vector
+    * stages are the `semantic_dedup`/`text_contamination_semantic`
+    * plans (row-local assignment, banded probes); the report is one
+    * map-side-combined count onto #sources rows. */
+  /** Per-document attribution of [[docPrepV2]] (doc_id, source,
+    * status) — exposed so the reconciliation spec can check every
+    * stage's set against its standalone catalog op. */
+  private[graft] def docPrepV2Statuses(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val staged = spread
+      .join(Curation.qualityScoreOf(spread).select($"doc_id", $"q_keep"),
+        "doc_id")
+      .withColumn("norm", normalizeText($"text"))
+      .withColumn("w", tokens($"text"))
+    val byHash = Window.partitionBy($"content_hash").orderBy($"doc_id".asc)
+    val quality = staged.filter($"q_keep")
+      .withColumn("content_hash", md5($"norm"))
+      .withColumn("rn", row_number().over(byHash))
+      .cache()
+    val signed = quality.filter($"rn" === 1)
+      .withColumn("grams", wordShingles("w", 3))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+      .cache()
+    val dropB = bandCandidates(signed, MaxBucket)
+      .join(signed.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+      .filter(expr("vec_match_count(sa, sb)") / lit(MinHash.H.toDouble) >= 0.75)
+      .select($"doc_b".as("doc_id")).distinct()
+    val semDrop = Similarity.semanticDropSet(s, d)
+      .select($"vec_id".as("doc_id")).withColumn("sd", lit(true))
+    val contam = Similarity.contamFlagSet(s, d).withColumn("cf", lit(true))
+    staged.select($"doc_id", $"source", $"q_keep")
+      .join(quality.select($"doc_id", $"rn"), Seq("doc_id"), "left")
+      .join(dropB.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .join(semDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        when(!$"q_keep", "classifier_fail")
+          .when($"rn" > 1, "exact_dup")
+          .when($"nd", "near_dup")
+          .when($"sd", "semantic_dup")
+          .when($"cf", "contaminated")
+          .otherwise("kept").as("status"))
+  }
+
+  private def docPrepV2(s: SparkSession, d: String) = {
+    import s.implicits._
+    docPrepV2Statuses(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countWhen($"status" === "classifier_fail").as("n_classifier_fail"),
+        countWhen($"status" === "exact_dup").as("n_exact_dup"),
+        countWhen($"status" === "near_dup").as("n_near_dup"),
+        countWhen($"status" === "semantic_dup").as("n_semantic_dup"),
+        countWhen($"status" === "contaminated").as("n_contaminated"),
+        countWhen($"status" === "kept").as("n_kept"))
+      .withColumn("kept_rate", roundHalfUp(lit(1.0) * $"n_kept" / $"n_docs", 6))
+      .orderBy($"source")
+  }
+
+  private def docPrepV2Oracle: String =
+    s"""WITH ${Curation.qualityScoreSql},
+       |q0 AS (
+       |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |    ${tokensSql("text")} AS w
+       |  FROM documents
+       |),
+       |quality AS (
+       |  SELECT q0.doc_id, norm, w,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY q0.doc_id ASC) AS rn
+       |  FROM q0 JOIN qscore qs ON qs.doc_id = q0.doc_id
+       |  WHERE qs.q_keep
+       |),
+       |exact AS (SELECT doc_id, w FROM quality WHERE rn = 1),
+       |grams AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS grams
+       |  FROM exact WHERE len(w) >= 3
+       |),
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (SELECT doc_id, ${MinHash.baseSql("g")} AS b FROM gx),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandRowsSql
+       |),
+       |$keptCandSql,
+       |dropb AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b
+       |  WHERE CAST($sigMatchesSql AS BIGINT) / ${MinHash.H}.0 >= 0.75
+       |),
+       |${Similarity.normalizedSql},
+       |${Similarity.semanticDroppedSql},
+       |${Similarity.contamFlaggedSql},
+       |status AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN NOT qs.q_keep THEN 'classifier_fail'
+       |         WHEN qu.rn > 1 THEN 'exact_dup'
+       |         WHEN x.doc_id IS NOT NULL THEN 'near_dup'
+       |         WHEN sd.vec_id IS NOT NULL THEN 'semantic_dup'
+       |         WHEN cf.doc_id IS NOT NULL THEN 'contaminated'
+       |         ELSE 'kept' END AS status
+       |  FROM documents d
+       |  JOIN qscore qs ON qs.doc_id = d.doc_id
+       |  LEFT JOIN quality qu ON qu.doc_id = d.doc_id
+       |  LEFT JOIN dropb x ON x.doc_id = d.doc_id
+       |  LEFT JOIN semdropped sd ON sd.vec_id = d.doc_id
+       |  LEFT JOIN contamflagged cf ON cf.doc_id = d.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN status = 'classifier_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_classifier_fail,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN status = 'semantic_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dup,
+       |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${roundHalfUpSql(
+            "1.0 * SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) / COUNT(*)",
+            6)} AS kept_rate
+       |FROM status
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** URL/domain canonicalization dedup — the CCNet-style FIRST stage a
+    * web-crawl pipeline runs before any content hashing: collapse
+    * scheme/case/`www.`/query/fragment/trailing-slash variants of the
+    * same resource to one canonical URL and keep the min-id fetch. The
+    * testdata has no URL column, so one is SYNTHESIZED
+    * deterministically from (doc_id, source) — the `fn_json_extract`
+    * payload pattern — with doc_id-driven variants (scheme flip, host
+    * case, trailing slash, utm query, fragment) and a shared path key
+    * (doc_id div 5) so canonicalization genuinely collapses groups.
+    *
+    * Scale: canonicalization is pure row-local regex (codegen'd,
+    * zero shuffles); the dedup is ONE window over the canonical key —
+    * at 100 TB this is the cheapest stage in the crawl pipeline and
+    * runs before text ever ships. Regex parity: all five patterns
+    * (`^https?://`, `^([^/?#]+)`, `^www\.`, `[?#].*$`, `/+$`) are
+    * anchored single-match expressions with identical semantics in
+    * Java regex and DuckDB's RE2 (the `text_pii_scrub` contract);
+    * replace-first vs replace-all cannot diverge because each pattern
+    * matches at most once. */
+  private def dedupUrl(s: SparkSession, d: String) = {
+    import s.implicits._
+    // Each div-5 block of doc_ids plays five crawls of the SAME
+    // resource (host keyed by the block, not the doc), decorated
+    // differently per doc — what canonicalization exists to collapse.
+    val urls = Tables.documents(s, d)
+      .select($"doc_id",
+        concat(
+          when($"doc_id" % 2 === 0, lit("http://")).otherwise(lit("https://")),
+          when($"doc_id" % 3 === 0,
+            upper(expr("concat('www.host', CAST((doc_id div 5) % 7 AS STRING), '.com')")))
+            .otherwise(expr("concat('www.host', CAST((doc_id div 5) % 7 AS STRING), '.com')")),
+          lit("/docs/"), expr("CAST(doc_id div 5 AS STRING)"),
+          when($"doc_id" % 4 === 0, lit("/")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit("#section-2")).otherwise(lit("")))
+          .as("url"))
+    val w = Window.partitionBy($"canon_url").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    urls
+      .withColumn("u0", regexp_replace($"url", "^https?://", ""))
+      .withColumn("canon_url", concat(
+        regexp_replace(lower(regexp_extract($"u0", "^([^/?#]+)", 1)),
+          "^www\\.", ""),
+        regexp_replace(
+          regexp_replace(regexp_replace($"u0", "^[^/?#]+", ""), "[?#].*$", ""),
+          "/+$", "")))
+      .withColumn("canonical_id", first($"doc_id").over(w))
+      .select($"doc_id", $"url", $"canon_url", $"canonical_id",
+        ($"doc_id" === $"canonical_id").cast("long").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private def dedupUrlOracle: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN upper('www.host' || CAST((doc_id // 5) % 7 AS VARCHAR) || '.com')
+       |          ELSE 'www.host' || CAST((doc_id // 5) % 7 AS VARCHAR) || '.com' END) ||
+       |    '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+       |  FROM documents
+       |),
+       |canon AS (
+       |  SELECT doc_id, url,
+       |    regexp_replace(lower(regexp_extract(u0, '^([^/?#]+)', 1)),
+       |      '^www\\.', '') ||
+       |    regexp_replace(
+       |      regexp_replace(regexp_replace(u0, '^[^/?#]+', ''), '[?#].*$$', ''),
+       |      '/+$$', '') AS canon_url
+       |  FROM (SELECT doc_id, url,
+       |          regexp_replace(url, '^https?://', '') AS u0
+       |        FROM urls)
+       |)
+       |SELECT doc_id, url, canon_url,
+       |  FIRST_VALUE(doc_id) OVER (
+       |    PARTITION BY canon_url ORDER BY doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       |  ) AS canonical_id,
+       |  CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+       |    PARTITION BY canon_url ORDER BY doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       |  ) AS BIGINT) AS keep
+       |FROM canon
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   private val SimBits = 32
@@ -1529,6 +1767,8 @@ object Dedup {
     OpDef("dedup_canonical_quality", dedupCanonicalQuality _,
       canonicalQualityOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle),
+    OpDef("pipeline_docprep_v2", docPrepV2 _, docPrepV2Oracle),
+    OpDef("dedup_url", dedupUrl _, dedupUrlOracle),
     OpDef("dedup_report", dedupReport _, dedupReportOracle)
   )
 }

@@ -206,10 +206,14 @@ object Graph {
             .as("pr"))
         .join(ranks.select($"node", $"pr".as("prev")), "node")
         .localCheckpoint(false)
-      dm = next
-        .agg(sum(roundHalfUp(abs($"pr" - $"prev"), 9).cast(Dec12))
-          .cast("double"))
-        .head.getDouble(0)
+      dm = {
+        // NULL on an empty graph (SUM over zero rows) = converged
+        val r = next
+          .agg(sum(roundHalfUp(abs($"pr" - $"prev"), 9).cast(Dec12))
+            .cast("double"))
+          .head
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
       ranks = next.select($"node", $"pr")
     }
     (ranks, round)

@@ -53,20 +53,32 @@ class AnnRecallSpec extends SparkSpecBase {
 
   test("recall report: arithmetic, bounds, and a lower-bound cross-check") {
     val rep = run("ann_recall_report").cache()
-    assert(rep.count() === 20) // one row per probe query
+    assert(rep.count() === 60) // one row per (family, probe query)
+    assert(rep.select(countDistinct(col("family"))).head().getLong(0) === 3)
     // recall is n_hits/5 exactly; hits bounded by both k and candidates
     assert(rep.filter(col("recall_at_5") =!= col("n_hits") / 5.0).count() === 0)
     assert(rep.filter(col("n_hits") > least(lit(5L), col("n_cand"))).count() === 0)
     // independent lower bound: any ann_lsh top-3 result that is also in
-    // the exact top-5 must be counted as a hit by the report
+    // the exact top-5 must be counted as a hit by the lsh family rows
     val exactTop5 = run("ann_bruteforce")
       .filter(col("rank") <= 5).select("query_id", "cand_id")
     val floor = run("ann_lsh").select("query_id", "cand_id")
       .join(exactTop5, Seq("query_id", "cand_id"))
       .groupBy("query_id").agg(count(lit(1)).as("floor_hits"))
-    val below = rep.join(floor, "query_id")
+    val below = rep.filter(col("family") === "lsh").join(floor, "query_id")
       .filter(col("n_hits") < col("floor_hits"))
     assert(below.count() === 0)
+    // family cost/recall structure: sq8 scans everything (n_cand =
+    // N-1) and must dominate the pruned families on total recall;
+    // ivfpq's candidates are cell-pruned, strictly fewer than sq8's
+    val byFam = rep.groupBy("family")
+      .agg(sum(col("n_hits")).as("hits"), max(col("n_cand")).as("maxc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(byFam("sq8")._2 === n - 1)
+    assert(byFam("ivfpq")._2 < n - 1)
+    assert(byFam("sq8")._1 >= byFam("ivfpq")._1)
+    assert(byFam("sq8")._1 >= byFam("lsh")._1)
     rep.unpersist()
   }
 
