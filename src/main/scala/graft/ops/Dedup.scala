@@ -1341,35 +1341,52 @@ object Dedup {
     * arrays are filtered to match the oracle's unnest semantics.
     * Unordered — the pair op adds the output sort; graph consumers
     * ([[dedupClusters]]) skip it. */
-  private def simhashPairs(s: SparkSession, d: String) = {
-    GraftFunctions.ensure(s)
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val target = s.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
-      else docs
-    val sim = spread
+  /** Per-doc 32-bit simhash from text — the 8-byte row a production
+    * pipeline PERSISTS as its simhash signature store. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", tokens($"text").as("w"))
       .filter(size($"w") > 0)
       .select($"doc_id", expr("simhash32(w)").as("simhash"))
+  }
+
+  /** Band rows of a `(doc_id, simhash)` frame — derived ROW-LOCALLY
+    * from the 8-byte signature, so a store read needs no text. */
+  private[graft] def simBandRows(sim: DataFrame): DataFrame = {
+    import sim.sparkSession.implicits._
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("k"),
         shiftright($"simhash", k * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1)).as("v")).as(s"b$k")
     }
-    val banded = sim
+    sim
       .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"simhash", $"b.k".as("k"), $"b.v".as("v"))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r, $"l.k" === $"r.k" && $"l.v" === $"r.v" &&
-        $"l.doc_id" < $"r.doc_id")
+  }
+
+  /** Verified (hamming ≤ [[MaxHamming]]) ordered pairs from one banded
+    * frame self-joined — exact by the pigeonhole argument at
+    * [[simhashPairs]]. */
+  private[graft] def simBandSelfPairs(banded: DataFrame): DataFrame = {
+    import banded.sparkSession.implicits._
+    banded.as("l").join(banded.as("r"),
+        $"l.k" === $"r.k" && $"l.v" === $"r.v" && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"),
         bit_count($"l.simhash".bitwiseXOR($"r.simhash")).cast("int")
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= MaxHamming)
+  }
+
+  private def simhashPairs(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    simBandSelfPairs(simBandRows(simhashOf(spread)))
   }
 
   private def dedupSimhash(s: SparkSession, d: String) = {
@@ -1470,6 +1487,213 @@ object Dedup {
     var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
     for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
     labels.orderBy($"doc_id")
+  }
+
+  /** Bounded min-label propagation over a forward edge list
+    * `(src, dst)` — the [[dedupClusters]] pipeline from the pair
+    * graph down, reusable against any pair source (the incremental
+    * op feeds it the OLD-side pairs as its stored-label stand-in). */
+  private[graft] def boundedClusterLabels(fwd: DataFrame): DataFrame = {
+    import fwd.sparkSession.implicits._
+    val edges = fwd.select(explode(array(
+        struct($"src".as("s"), $"dst".as("t")),
+        struct($"dst".as("s"), $"src".as("t")))).as("e"))
+      .select($"e.s".as("src"), $"e.t".as("dst"))
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    val closed = edges
+      .union(nodes.select($"doc_id".as("src"), $"doc_id".as("dst")))
+      .cache()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    labels
+  }
+
+  /** Priority offset separating ADOPTED old-cluster labels from
+    * new-doc self-labels in the incremental propagation key: any old
+    * label sorts below any new self-label, so cluster ids stay STABLE
+    * across ingests regardless of numeric id order — a new doc with a
+    * smaller id than an old cluster's min member still adopts the old
+    * id (the id downstream stores already reference) instead of
+    * relabeling the cluster. Ids must stay below 2^61, the same
+    * non-negative bounded-id contract `agg_bitmap_distinct` asserts. */
+  private val AdoptBase = 1L << 61
+
+  /** Incremental cluster assignment of an ingest batch against a
+    * PERSISTED simhash-signature store and cluster-label store.
+    * Candidates: the new batch's band rows (derived row-locally from
+    * its fresh 8-byte signatures) join the store's band rows (derived
+    * row-locally from STORED signatures — no old text) plus
+    * themselves; hamming-verified pairs split into new×old links and
+    * the new×new subgraph. Assignment: each new doc's initial key is
+    * the MIN stored label over its old neighbors (old singletons count
+    * as their own id) tagged below [[AdoptBase]], else its own id
+    * tagged above; [[ClusterHops]] rounds of min-propagation over the
+    * new×new closed neighborhood spread adoption transitively. Old
+    * labels are FROZEN — an ingest never relabels the existing corpus;
+    * a new doc whose old neighbors span ≥ 2 stored clusters is a
+    * MERGE EVENT the output surfaces as `n_bridged` (the work list a
+    * periodic full re-cluster reconciles) rather than silently picking
+    * one. Per-ingest cost: sign the increment, one band join against
+    * stored rows, a propagation over the increment-sized subgraph —
+    * the old graph is never re-propagated. */
+  private[graft] def clustersIncrementalCore(
+      s: SparkSession, newSim: DataFrame, newDocs: DataFrame,
+      storeSim: DataFrame, storeLabels: DataFrame): DataFrame = {
+    import s.implicits._
+    val nb = simBandRows(newSim).cache() // feeds new×old AND new×new
+    val no = nb.as("l")
+      .join(simBandRows(storeSim).as("r"),
+        $"l.k" === $"r.k" && $"l.v" === $"r.v")
+      .select($"l.doc_id".as("n"), $"r.doc_id".as("o"),
+        bit_count($"l.simhash".bitwiseXOR($"r.simhash")).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= MaxHamming)
+      .select($"n", $"o")
+    val oldlink = no.join(
+        storeLabels.select($"doc_id".as("o_id"), $"cluster_id".as("s_cluster")),
+        $"o" === $"o_id", "left")
+      .select($"n", coalesce($"s_cluster", $"o").as("slabel"))
+    val adopt = oldlink.groupBy($"n").agg(
+        min($"slabel").as("adopt"),
+        count(lit(1)).as("n_old_links"),
+        countDistinct($"slabel").as("n_bridged"))
+      .cache() // feeds the init keys AND the final report columns
+    val init = newDocs.join(adopt, newDocs("doc_id") === adopt("n"), "left")
+      .select(newDocs("doc_id"),
+        coalesce($"adopt", newDocs("doc_id") + lit(AdoptBase))
+          .as("cluster_id"))
+    val edges = simBandSelfPairs(nb).select(explode(array(
+        struct($"doc_a".as("s"), $"doc_b".as("t")),
+        struct($"doc_b".as("s"), $"doc_a".as("t")))).as("e"))
+      .select($"e.s".as("src"), $"e.t".as("dst"))
+    val closed = edges
+      .union(newDocs.select($"doc_id".as("src"), $"doc_id".as("dst")))
+      .cache()
+    var labels = init
+    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    labels.join(adopt, labels("doc_id") === adopt("n"), "left")
+      .select(labels("doc_id"),
+        when($"cluster_id" >= AdoptBase, $"cluster_id" - AdoptBase)
+          .otherwise($"cluster_id").as("cluster_id"),
+        ($"cluster_id" < AdoptBase).as("adopted"),
+        coalesce($"n_old_links", lit(0L)).as("n_old_links"),
+        coalesce($"n_bridged", lit(0L)).as("n_bridged"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental near-dup CLUSTER maintenance — the missing third leg
+    * of the incremental story (`dedup_incremental` maintains PAIRS,
+    * `ann_ivf_incremental`/`lexical_index_merge` maintain indexes;
+    * clusters were full-recompute only): the [[isNewBatch]] slice
+    * plays today's crawl, the old slice's signatures and bounded-
+    * propagation labels stand in for the persisted stores (the
+    * `dedup_incremental` convention; IncrementalClustersSpec proves a
+    * parquet round-trip of both stores is assignment-identical), and
+    * [[clustersIncrementalCore]] assigns every ingested doc a STABLE
+    * cluster id with its old-link and bridge counts. */
+  private def dedupClustersIncremental(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+      else docs
+    val sim = simhashOf(spread).cache() // one signature pass, both sides
+    val oldSim = sim.filter(!isNewBatch($"doc_id"))
+    val storeLabels = boundedClusterLabels(
+      simBandSelfPairs(simBandRows(oldSim))
+        .select($"doc_a".as("src"), $"doc_b".as("dst")))
+    clustersIncrementalCore(s,
+      sim.filter(isNewBatch($"doc_id")),
+      spread.filter(isNewBatch($"doc_id")).select($"doc_id"),
+      oldSim, storeLabels)
+  }
+
+  /** Oracle twin of [[dedupClustersIncremental]]: the full-corpus
+    * simhash pair CTEs, split by the ingest hash into the old-side
+    * bounded propagation (the stored labels), the new×old adoption
+    * fold, and the new-side propagation over [[AdoptBase]]-tagged
+    * keys. `vp`/closed-neighborhood/`adopt` CTEs are multi-referenced
+    * → MATERIALIZED (the kcore inlining-blowup rule). */
+  private def clustersIncOracle: String = {
+    val isNewA = s"${hash60Sql("'inc:' || doc_a")} % 10 = 0"
+    val isNewB = s"${hash60Sql("'inc:' || doc_b")} % 10 = 0"
+    val isNewD = s"${hash60Sql("'inc:' || doc_id")} % 10 = 0"
+    val oldRounds = (1 to ClusterHops).map { i =>
+      s"""ol$i AS (
+         |  SELECT e.src AS doc_id, MIN(l.cluster_id) AS cluster_id
+         |  FROM oldclosed e JOIN ol${i - 1} l ON e.dst = l.doc_id
+         |  GROUP BY e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    val newRounds = (1 to ClusterHops).map { i =>
+      s"""nl$i AS (
+         |  SELECT e.src AS doc_id, MIN(l.ckey) AS ckey
+         |  FROM nclosed e JOIN nl${i - 1} l ON e.dst = l.doc_id
+         |  GROUP BY e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashCtes,
+       |vp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM pairs WHERE hamming <= $MaxHamming
+       |),
+       |oldfwd AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vp
+       |  WHERE NOT ($isNewA) AND NOT ($isNewB)
+       |),
+       |oldedges AS (
+       |  SELECT src, dst FROM oldfwd UNION ALL SELECT dst, src FROM oldfwd
+       |),
+       |oldnodes AS (SELECT DISTINCT src AS doc_id FROM oldedges),
+       |oldclosed AS MATERIALIZED (
+       |  SELECT src, dst FROM oldedges
+       |  UNION ALL SELECT doc_id, doc_id FROM oldnodes
+       |),
+       |ol0 AS (SELECT doc_id, doc_id AS cluster_id FROM oldnodes),
+       |$oldRounds,
+       |newold AS (
+       |  SELECT CASE WHEN $isNewA THEN doc_a ELSE doc_b END AS n,
+       |         CASE WHEN $isNewA THEN doc_b ELSE doc_a END AS o
+       |  FROM vp WHERE ($isNewA) <> ($isNewB)
+       |),
+       |oldlink AS (
+       |  SELECT x.n, COALESCE(s.cluster_id, x.o) AS slabel
+       |  FROM newold x LEFT JOIN ol$ClusterHops s ON x.o = s.doc_id
+       |),
+       |adopt AS MATERIALIZED (
+       |  SELECT n, MIN(slabel) AS adopt, COUNT(*) AS n_old_links,
+       |    COUNT(DISTINCT slabel) AS n_bridged
+       |  FROM oldlink GROUP BY n
+       |),
+       |newdocs AS (SELECT doc_id FROM documents WHERE $isNewD),
+       |nfwd AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vp
+       |  WHERE ($isNewA) AND ($isNewB)
+       |),
+       |nedges AS (
+       |  SELECT src, dst FROM nfwd UNION ALL SELECT dst, src FROM nfwd
+       |),
+       |nclosed AS MATERIALIZED (
+       |  SELECT src, dst FROM nedges
+       |  UNION ALL SELECT doc_id, doc_id FROM newdocs
+       |),
+       |nl0 AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN a.adopt IS NOT NULL THEN a.adopt
+       |         ELSE d.doc_id + $AdoptBase END AS ckey
+       |  FROM newdocs d LEFT JOIN adopt a ON d.doc_id = a.n
+       |),
+       |$newRounds
+       |SELECT l.doc_id,
+       |  CASE WHEN l.ckey >= $AdoptBase THEN l.ckey - $AdoptBase
+       |       ELSE l.ckey END AS cluster_id,
+       |  l.ckey < $AdoptBase AS adopted,
+       |  COALESCE(a.n_old_links, 0) AS n_old_links,
+       |  COALESCE(a.n_bridged, 0) AS n_bridged
+       |FROM nl$ClusterHops l LEFT JOIN adopt a ON l.doc_id = a.n
+       |ORDER BY l.doc_id""".stripMargin
   }
 
   /** Production clustering: iterate min-label propagation TO
@@ -1763,6 +1987,8 @@ object Dedup {
     OpDef("dedup_containment", dedupContainment _, containmentOracle),
     OpDef("dedup_simhash", dedupSimhash _, simhashOracle),
     OpDef("dedup_clusters", dedupClusters _, clustersOracle),
+    OpDef("dedup_clusters_incremental", dedupClustersIncremental _,
+      clustersIncOracle),
     OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),
     OpDef("dedup_canonical_quality", dedupCanonicalQuality _,
       canonicalQualityOracle),

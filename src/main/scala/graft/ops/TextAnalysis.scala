@@ -1100,9 +1100,15 @@ object TextAnalysis {
       .orderBy($"query_id", $"rk")
   }
 
-  private def bm25FromStoreOracle: String = {
-    val qvals = (BmQuery.map(t => s"('q1', '$t')") ++
-      BmQuery2.map(t => s"('q2', '$t')")).mkString(", ")
+  private def bm25FromStoreOracle: String =
+    fromStoreOracleFor(BmQuery.map(("q1", _)) ++ BmQuery2.map(("q2", _)))
+
+  /** The from-store retrieval oracle, parameterized by the query set —
+    * shared by `rank_bm25_from_store` and `lexical_index_merge`
+    * (the latter's merged index must equal a full rebuild EXACTLY, so
+    * its oracle is the rebuild-side retrieval over the whole corpus). */
+  private def fromStoreOracleFor(queries: Seq[(String, String)]): String = {
+    val qvals = queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
     val scExpr = roundHalfUpSql(
       "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (p.tf * 2.2) / " +
         "(p.tf + 1.2 * (0.25 + 0.75 * p.dl / " +
@@ -1144,9 +1150,66 @@ object TextAnalysis {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Query set answered from the MERGED index — drawn from the same
+    * corpus vocabulary but distinct from the q1/q2 build-time sets so
+    * the merge gate exercises terms neither store query touched. */
+  private val BmQueryM = Seq("filter", "window", "vector")
+
+  /** Deterministic ~10 % ingest slice for the lexical store — its own
+    * salt, so the lexical "today's batch" is independent of the dedup
+    * signature store's slice (a real pipeline has an ingest column). */
+  private[graft] def isLexBatch(docId: Column): Column =
+    hash60(concat(lit("lex:"), docId.cast("string"))) % 10 === 0
+
+  /** Merge an ingest increment into the persisted lexical index — the
+    * store-refresh job [[lexicalIndex]]'s doc-comment promises: stored
+    * postings union the increment's (doc sets are disjoint, so union
+    * IS the merged postings table — at 100 TB an append, no rewrite);
+    * per-term df merges by summation (one keyed shuffle of two
+    * vocab-sized frames — millions of rows, never the corpus); the
+    * 1-row corpus stats add component-wise. Exactness, not
+    * approximation: every merged frame is value-identical to a full
+    * rebuild over old ∪ new, which is what lets `lexical_index_merge`
+    * face a rebuild-side oracle. */
+  private[graft] def lexicalIndexMerge(
+      storePostings: DataFrame, storeDf: DataFrame, storeStats: DataFrame,
+      incPostings: DataFrame, incDf: DataFrame, incStats: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val postings = storePostings.unionByName(incPostings)
+    val dfAll = storeDf.unionByName(incDf)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = storeStats.unionByName(incStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (postings, dfAll, stats)
+  }
+
+  /** Incremental lexical-index ingest — the retrieval twin of
+    * `ann_ivf_incremental`: the existing corpus' index is the
+    * persisted store, the deterministic [[isLexBatch]] slice is
+    * today's crawl, and the increment is tokenized ALONE
+    * ([[lexicalIndex]] over the new docs only), then merged into the
+    * store by [[lexicalIndexMerge]] — old text is never re-read. The
+    * merged index answers a fresh term query; because merge ≡ rebuild
+    * exactly, the oracle is the full-corpus retrieval, so the gate
+    * proves the merge math (postings append, df summation, stats add)
+    * through final BM25 scores. LexicalIndexSpec additionally proves
+    * frame-level merge ≡ rebuild equality and that the merge path's
+    * store side comes from parquet, not the corpus. */
+  private def lexicalIndexMergeOp(s: SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (sp, sdf, sst) = lexicalIndex(s, docs.filter(!isLexBatch($"doc_id")))
+    val (ip, idf, ist) = lexicalIndex(s, docs.filter(isLexBatch($"doc_id")))
+    val (p, f, st) = lexicalIndexMerge(sp, sdf, sst, ip, idf, ist)
+    bm25FromStore(s, p, f, st, BmQueryM.map(("m1", _)).toDF("query_id", "term"))
+      .orderBy($"query_id", $"rk")
+  }
+
   val defs: Seq[OpDef] = Seq(
     OpDef("rank_bm25", rankBm25 _, bm25Oracle),
     OpDef("rank_bm25_from_store", rankBm25FromStore _, bm25FromStoreOracle),
+    OpDef("lexical_index_merge", lexicalIndexMergeOp _,
+      fromStoreOracleFor(BmQueryM.map(("m1", _)))),
     OpDef("sample_hash", sampleHash _,
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hash60Sql("'smp:' || doc_id")} % 100 < 10

@@ -50,6 +50,49 @@ class LexicalIndexSpec extends SparkSpecBase {
     assert(plan.contains("postings"), "retrieval must read the stored postings")
   }
 
+  test("lexical_index_merge: merged store equals a full rebuild, frame by frame") {
+    val docs = Tables.documents(spark, sf)
+    val oldSide = docs.filter(!ops.TextAnalysis.isLexBatch(col("doc_id")))
+    val incSide = docs.filter(ops.TextAnalysis.isLexBatch(col("doc_id")))
+    assert(incSide.count() > 0 && oldSide.count() > 0,
+      "the fixture must exercise both sides of the ingest split")
+    val (sp, sdf, sst) = ops.TextAnalysis.lexicalIndex(spark, oldSide)
+    val (ip, idf, ist) = ops.TextAnalysis.lexicalIndex(spark, incSide)
+    val (p, f, st) =
+      ops.TextAnalysis.lexicalIndexMerge(sp, sdf, sst, ip, idf, ist)
+    val (rp, rf, rst) = ops.TextAnalysis.lexicalIndex(spark, docs)
+    assert(p.exceptAll(rp).isEmpty && rp.exceptAll(p).isEmpty,
+      "merged postings must equal rebuilt postings exactly")
+    assert(f.exceptAll(rf).isEmpty && rf.exceptAll(f).isEmpty,
+      "merged df must equal rebuilt df exactly")
+    assert(st.collect().toSeq === rst.collect().toSeq,
+      "merged corpus stats must equal rebuilt stats exactly")
+  }
+
+  test("lexical_index_merge: store from parquet + increment-only tokenize " +
+    "gives identical retrieval") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val (sp, sdf, sst) = ops.TextAnalysis.lexicalIndex(spark,
+      docs.filter(!ops.TextAnalysis.isLexBatch(col("doc_id"))))
+    val dir = java.nio.file.Files.createTempDirectory("lexmerge").toString
+    sp.write.parquet(s"$dir/postings")
+    sdf.write.parquet(s"$dir/df")
+    sst.write.parquet(s"$dir/stats")
+    val (ip, idf, ist) = ops.TextAnalysis.lexicalIndex(spark,
+      docs.filter(ops.TextAnalysis.isLexBatch(col("doc_id"))))
+    val (p, f, st) = ops.TextAnalysis.lexicalIndexMerge(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/stats"), ip, idf, ist)
+    val fromStore = ops.TextAnalysis.bm25FromStore(spark, p, f, st,
+      Seq(("m1", "filter"), ("m1", "window"), ("m1", "vector"))
+        .toDF("query_id", "term"))
+      .orderBy($"query_id", $"rk")
+    val inQuery = SparkEntry.queries("lexical_index_merge")(spark, sf)
+    assert(fromStore.collect().toSeq === inQuery.collect().toSeq,
+      "merging a parquet store must reproduce the catalog op exactly")
+  }
+
   test("from-store q1 ranking equals rank_bm25's head — same scores, same order") {
     import spark.implicits._
     val q1 = SparkEntry.queries("rank_bm25_from_store")(spark, sf)
