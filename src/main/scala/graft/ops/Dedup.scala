@@ -82,10 +82,12 @@ object Dedup {
   /** Width-capped band rows from a (doc_id, sig) frame: band the
     * signature ([[Bands]] × [[RowsPerBand]]) and drop over-wide
     * buckets (the enforced skew guard, see [[MaxBucket]]). */
-  private def keptBands(signed: DataFrame, maxBucket: Int): DataFrame = {
-    val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col("sig").getItem(b * RowsPerBand + r).cast("string"))
+  private def keptBands(signed: DataFrame, maxBucket: Int,
+                        bands: Int = Bands,
+                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col("sig").getItem(b * rowsPerBand + r).cast("string"))
       struct(lit(b).as("band"),
         md5(concat_ws(",", parts: _*)).as("sig")).as(s"band$b")
     }
@@ -101,8 +103,18 @@ object Dedup {
   }
 
   /** Candidate pairs: [[keptBands]] self-joined on (band, band-sig). */
-  private def bandCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
-    val kept = keptBands(signed, maxBucket)
+  private def bandCandidates(signed: DataFrame, maxBucket: Int): DataFrame =
+    bandCandidatesGeom(Bands, RowsPerBand)(signed, maxBucket)
+
+  /** Candidate generator with an EXPLICIT band geometry over the same
+    * 16-member signature: more bands × fewer rows trades precision
+    * for recall at lower Jaccard (P(surface) = 1 − (1 − J^rows)^bands
+    * — 4×4 is ~3 % at J = 0.3 where 8×2 is ~53 %, and ~90 % at 0.5).
+    * The text family keeps 4×4 (tuned for its 0.8 threshold); the
+    * trim-tolerant video near-dup op passes 8×2. */
+  private[ops] def bandCandidatesGeom(bands: Int, rowsPerBand: Int)(
+      signed: DataFrame, maxBucket: Int): DataFrame = {
+    val kept = keptBands(signed, maxBucket, bands, rowsPerBand)
     kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -293,7 +305,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql,
        |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
@@ -409,7 +421,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql,
        |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
@@ -462,7 +474,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql
        |SELECT c.doc_a, c.doc_b,
@@ -558,11 +570,13 @@ object Dedup {
     .map(i => s"MIN(${MinHash.memberSql(i, "b")}) AS mh$i")
     .mkString(",\n    ")
 
-  private def bandRowsSql: String = (0 until Bands).map { b =>
-    val parts = (0 until RowsPerBand)
-      .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
-    s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
-  }.mkString("\n  UNION ALL\n  ")
+  private def bandRowsSql(bands: Int = Bands,
+                          rowsPerBand: Int = RowsPerBand): String =
+    (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${parts.mkString(", ")})) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
 
   private def keptSql: String =
     s"""kept AS (
@@ -594,10 +608,12 @@ object Dedup {
   /** Oracle twin of [[lshPairs]]: `gramCte` must define
     * `grams AS (SELECT doc_id, ... AS grams ...)`; `candSql` picks the
     * candidate CTE (self-join default, or cross-batch incremental). */
-  private def lshOracle(gramCte: String, threshold: Double,
-                        candSql: String = keptCandSql): String = {
+  private[ops] def lshOracle(gramCte: String, threshold: Double,
+                             candSql: String = keptCandSql,
+                             bands: Int = Bands,
+                             rowsPerBand: Int = RowsPerBand): String = {
     val members = membersSql
-    val bandRows = bandRowsSql
+    val bandRows = bandRowsSql(bands, rowsPerBand)
     val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
     s"""WITH $gramCte,
        |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
@@ -949,7 +965,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql,
        |dropb AS (
@@ -1055,7 +1071,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql,
        |dropb AS (
@@ -1195,7 +1211,7 @@ object Dedup {
        |  FROM gh GROUP BY doc_id
        |),
        |banded AS (
-       |  $bandRowsSql
+       |  ${bandRowsSql()}
        |),
        |$keptCandSql,
        |dropb AS (

@@ -319,6 +319,73 @@ object Multimodal {
        |  FROM fr
        |)""".stripMargin
 
+  // Video near-dup geometry: 64-byte frames (128 hex chars), 2-frame
+  // shingles, trim-tolerant Jaccard threshold.
+  private val VideoFrameHex = 128
+  private val VideoJaccard = 0.3
+  // 8 bands × 2 rows over the 16-member signature: recall-tuned for
+  // the LOW trim threshold (P(surface) ≈ 53 % at J = 0.3, 90 % at
+  // 0.5, ~100 % at 0.75) where the text family's 4×4 — tuned for its
+  // 0.8 threshold — surfaces ~3 % at 0.3.
+  private val VideoBands = 8
+  private val VideoRows = 2
+
+  /** Trim-tolerant VIDEO-level near-dup over the frame-hash SEQUENCE —
+    * what `mm_dedup` (exact payload md5) and `mm_phash` (one whole-
+    * payload signature) both miss: a trimmed or extended cut of the
+    * same footage shares most of its frame sequence but neither its
+    * bytes nor necessarily its global signature. Each payload becomes
+    * a sequence of 64-byte-frame md5s, consecutive frame-hash 2-grams
+    * become the video's shingle set (order-sensitive: the same frames
+    * reshuffled share no shingles), and the shingle sets run through
+    * the EXACT text-minhash machinery ([[Dedup.lshPairs]]: 16-member
+    * signature, banded candidates with the width cap, merge-walk
+    * Jaccard verify ≥ [[VideoJaccard]] — low on purpose, a trim keeps
+    * `(n−t)/(n+t)` of the shingles). The corpus' planted prefix pairs
+    * are the ground truth TrimSpec-pins.
+    *
+    * Scale: the shingle array is built ROW-LOCALLY from the payload in
+    * the scan partition (one hex + per-frame md5 pass — with a real
+    * codec the same 2-gram shingles come from decoded keyframe
+    * phashes); only (doc_id, frame-hash shingles) enters the LSH
+    * pipeline, so payload bytes never shuffle — a 2-hour video
+    * contributes ~⌈frames⌉ 64-char strings, not its gigabytes. */
+  private def mmVideoNeardup(s: SparkSession, d: String) = {
+    import s.implicits._
+    val f = VideoFrameHex
+    val grams = media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp"))
+      .withColumn("nf", expr(s"(length(hexp) + ${f - 1}) div $f"))
+      .filter($"nf" >= 2)
+      .select($"doc_id", expr(
+        s"""transform(sequence(0, nf - 2), i ->
+           |  concat(md5(substring(hexp, i * $f + 1, $f)),
+           |         md5(substring(hexp, (i + 1) * $f + 1, $f))))""".stripMargin)
+        .as("grams"))
+    Dedup.lshPairs(s, grams, identity, VideoJaccard,
+        candidatesOf = Dedup.bandCandidatesGeom(VideoBands, VideoRows))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle gram CTE chain for [[mmVideoNeardup]] — media → framing →
+    * shingle lists, spliced into [[Dedup.lshOracle]]'s shared
+    * signature/band/verify chain. */
+  private def videoGramCte: String = {
+    val f = VideoFrameHex
+    s"""$mediaSql,
+       |vg0 AS (
+       |  SELECT doc_id, hexp, CAST((len(hexp) + ${f - 1}) // $f AS INT) AS nf
+       |  FROM media
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, nf - 1), i ->
+       |      md5(substring(hexp, CAST(i * $f + 1 AS INT), $f)) ||
+       |      md5(substring(hexp, CAST((i + 1) * $f + 1 AS INT), $f))) AS grams
+       |  FROM vg0 WHERE nf >= 2
+       |)""".stripMargin
+  }
+
   private def mmSceneCuts(s: SparkSession, d: String) = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"frame_no".asc)
@@ -418,6 +485,9 @@ object Multimodal {
     OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),
+    OpDef("mm_video_neardup", mmVideoNeardup _,
+      Dedup.lshOracle(videoGramCte, VideoJaccard,
+        bands = VideoBands, rowsPerBand = VideoRows)),
     OpDef("mm_dedup", mmDedup _,
       s"""WITH $mediaSql
          |SELECT MIN(doc_id) AS keep_doc_id, md5(hexp) AS payload_md5,
