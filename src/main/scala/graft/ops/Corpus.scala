@@ -148,8 +148,53 @@ object Corpus {
 
   // Contamination probe set: the first 20 documents stand in for a
   // held-out benchmark; 5-word shingles are the overlap unit.
-  private val ProbeMaxId = 20
-  private val ContamMinOverlap = 3
+  // graft-wide so the STREAMING twin (`stream_contamination`,
+  // graft.streaming.EventStream.contaminationMatches) applies the
+  // same rule in-flight.
+  private[graft] val ProbeMaxId = 20
+  private[graft] val ContamMinOverlap = 3
+
+  /** Distinct 5-word-shingle fingerprints `(doc_id, gh)` of a
+    * documents frame — the contamination overlap unit, shared verbatim
+    * by the batch op and the streaming twin (row-local: tokenize,
+    * shingle, de-dup within the row, hash — safe on a stream). Caller
+    * runs `GraftFunctions.ensure`. */
+  private[graft] def contaminationGrams(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("w", tokens($"text"))
+      .withColumn("g", wordShingles("w", 5))
+      .filter(size($"g") > 0)
+      .select($"doc_id", explode(array_distinct($"g")).as("gram"))
+      .select($"doc_id", hash60($"gram").as("gh"))
+  }
+
+  /** Contamination oracle SQL — shared by the batch op and (verbatim)
+    * the streaming gate `stream_contamination`, whose drained
+    * complete-mode sink equals the batch result exactly. */
+  private[ops] def contaminationOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gs
+       |  FROM toks WHERE len(w) >= 5
+       |),
+       |gx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+       |ghx AS (SELECT doc_id, ${hash60Sql("gram")} AS gh FROM gx),
+       |probe AS (SELECT doc_id AS probe_id, gh FROM ghx WHERE doc_id < $ProbeMaxId),
+       |corpus AS (SELECT doc_id, gh FROM ghx WHERE doc_id >= $ProbeMaxId),
+       |sizes AS (SELECT probe_id, COUNT(*) AS n_probe FROM probe GROUP BY probe_id),
+       |ov AS (
+       |  SELECT c.doc_id, p.probe_id, COUNT(*) AS overlap
+       |  FROM corpus c JOIN probe p ON c.gh = p.gh
+       |  GROUP BY c.doc_id, p.probe_id
+       |)
+       |SELECT o.doc_id, o.probe_id, o.overlap,
+       |  ${roundHalfUpSql("1.0 * o.overlap / s.n_probe", 6)} AS containment
+       |FROM ov o JOIN sizes s ON s.probe_id = o.probe_id
+       |WHERE o.overlap >= $ContamMinOverlap
+       |ORDER BY o.doc_id, o.probe_id""".stripMargin
 
   /** Benchmark-contamination check: corpus documents sharing ≥
     * [[ContamMinOverlap]] distinct 5-word shingles with any probe
@@ -158,12 +203,7 @@ object Corpus {
   private def textContamination(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.ensure(s)
     import s.implicits._
-    def gramSet(df: DataFrame): DataFrame = df
-      .withColumn("w", tokens($"text"))
-      .withColumn("g", wordShingles("w", 5))
-      .filter(size($"g") > 0)
-      .select($"doc_id", explode(array_distinct($"g")).as("gram"))
-      .select($"doc_id", hash60($"gram").as("gh"))
+    def gramSet(df: DataFrame): DataFrame = contaminationGrams(df)
     val docs = Tables.documents(s, d)
     val probe = gramSet(docs.filter($"doc_id" < ProbeMaxId))
       .select($"doc_id".as("probe_id"), $"gh")
@@ -454,30 +494,7 @@ object Corpus {
          |  (dup_2gram_frac <= $Dup2Max AND dup_3gram_frac <= $Dup3Max) AS keep
          |FROM fr
          |ORDER BY doc_id""".stripMargin),
-    OpDef("text_contamination", textContamination _,
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents
-         |),
-         |grams AS (
-         |  SELECT doc_id,
-         |    list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gs
-         |  FROM toks WHERE len(w) >= 5
-         |),
-         |gx AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
-         |ghx AS (SELECT doc_id, ${hash60Sql("gram")} AS gh FROM gx),
-         |probe AS (SELECT doc_id AS probe_id, gh FROM ghx WHERE doc_id < $ProbeMaxId),
-         |corpus AS (SELECT doc_id, gh FROM ghx WHERE doc_id >= $ProbeMaxId),
-         |sizes AS (SELECT probe_id, COUNT(*) AS n_probe FROM probe GROUP BY probe_id),
-         |ov AS (
-         |  SELECT c.doc_id, p.probe_id, COUNT(*) AS overlap
-         |  FROM corpus c JOIN probe p ON c.gh = p.gh
-         |  GROUP BY c.doc_id, p.probe_id
-         |)
-         |SELECT o.doc_id, o.probe_id, o.overlap,
-         |  ${roundHalfUpSql("1.0 * o.overlap / s.n_probe", 6)} AS containment
-         |FROM ov o JOIN sizes s ON s.probe_id = o.probe_id
-         |WHERE o.overlap >= $ContamMinOverlap
-         |ORDER BY o.doc_id, o.probe_id""".stripMargin),
+    OpDef("text_contamination", textContamination _, contaminationOracle),
     OpDef("text_pii_scrub", piiScrub _,
       s"""WITH notes AS (
          |  SELECT c_custkey,

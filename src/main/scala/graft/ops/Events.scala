@@ -1145,6 +1145,30 @@ object Events {
     * an observable of this run. Dedup emits in append mode
     * immediately (state only SUPPRESSES later duplicates), so no
     * sealed-window cutoff applies. */
+  /** Streaming DOCUMENTS source — the crawl-stream analogue of
+    * [[streamingEvents]] (same single-file-as-glob addressing). */
+  private def streamingDocuments(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
+  }
+
+  /** Oracle-gated run of the stream-static decontamination gate
+    * ([[graft.streaming.EventStream.contaminationMatches]]): the crawl
+    * arrives as a document STREAM, the benchmark fingerprints are a
+    * STATIC broadcast (sizes attached pre-join so nothing joins after
+    * the stateful aggregation), and the drained complete-mode sink
+    * equals batch `text_contamination` exactly — the same oracle text
+    * gates both. */
+  private def streamContamination(s: SparkSession, d: String) = {
+    graft.expressions.GraftFunctions.ensure(s)
+    import s.implicits._
+    val probe = graft.streaming.EventStream.contaminationProbe(
+      Tables.documents(s, d))
+    runStream(s, graft.streaming.EventStream.contaminationMatches(
+        streamingDocuments(s, d), probe), "graft_stream_contam", "complete")
+      .orderBy($"doc_id", $"probe_id")
+  }
+
   private def streamDedup(s: SparkSession, d: String) = {
     import s.implicits._
     runStream(s, graft.streaming.EventStream.dedupEventKeys(
@@ -1901,6 +1925,8 @@ object Events {
          |GROUP BY 1, 2
          |HAVING epoch_us(win_start + INTERVAL 1 HOUR) <= (SELECT w_us FROM wm)
          |ORDER BY win_start, event_type""".stripMargin),
+    OpDef("stream_contamination", streamContamination _,
+      Corpus.contaminationOracle),
     OpDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type, ts
         |FROM events

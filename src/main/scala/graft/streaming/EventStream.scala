@@ -113,6 +113,49 @@ object EventStream {
       }
   }
 
+  /** One crawl-document row as fed to the streaming contamination
+    * gate (doc_id + raw text — fingerprints derive in-flight). */
+  case class CrawlDoc(doc_id: Long, text: String)
+
+  /** Static (benchmark) side of the decontamination gate: distinct
+    * probe 5-gram fingerprints with each probe's gram count ATTACHED
+    * per row — so the streaming side needs no join AFTER its
+    * aggregation (stream-static joins are legal only before stateful
+    * ops). Tiny by construction: eval sets are KBs against a corpus
+    * of TBs — always a broadcast. */
+  def contaminationProbe(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val p = graft.ops.Corpus.contaminationGrams(
+        docs.filter($"doc_id" < graft.ops.Corpus.ProbeMaxId))
+      .select($"doc_id".as("probe_id"), $"gh")
+    p.join(p.groupBy($"probe_id").agg(count(lit(1)).as("n_probe")),
+      "probe_id")
+  }
+
+  /** Stream-static decontamination — the batch `text_contamination`
+    * rule applied IN-FLIGHT to a crawl stream: each micro-batch's
+    * documents fingerprint row-locally (tokenize → 5-word shingles →
+    * per-row distinct → hash, the exact batch gram function), join the
+    * BROADCAST static probe table statelessly, and one complete-mode
+    * aggregation folds per-(doc, probe) overlaps across batches; the
+    * threshold filter and containment ratio are stateless post-agg
+    * decorations. Drained, the sink equals the batch result exactly —
+    * the same oracle gates both. State is one counter per
+    * (contaminated doc × probe) pair — bounded by the MATCH volume,
+    * not the stream; clean documents hold no state at all. */
+  def contaminationMatches(docs: DataFrame, probe: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.ops.Corpus.contaminationGrams(
+        docs.filter($"doc_id" >= graft.ops.Corpus.ProbeMaxId))
+      .join(broadcast(probe), "gh")
+      .groupBy($"doc_id", $"probe_id", $"n_probe")
+      .agg(count(lit(1)).as("overlap"))
+      .filter($"overlap" >= graft.ops.Corpus.ContamMinOverlap)
+      .select($"doc_id", $"probe_id", $"overlap",
+        graft.functions.Exact.roundHalfUp(
+          lit(1.0) * $"overlap" / $"n_probe", 6).as("containment"))
+  }
+
   /** Built-in bounded-state dedup: first document per content hash
     * within the watermark horizon (`dropDuplicatesWithinWatermark`).
     * Duplicates arriving after the horizon re-emit — the standard

@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming contamination equals the batch op across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    expressions.GraftFunctions.ensure(spark)
+    val docRows = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (i, t) => EventStream.CrawlDoc(i, t) }.toSeq
+    val src = MemoryStream[EventStream.CrawlDoc]
+    // three chunks: aggregation state from earlier batches must merge
+    // with later arrivals in complete mode
+    val third = docRows.size / 3
+    src.addData(docRows.take(third): _*)
+    src.addData(docRows.slice(third, 2 * third): _*)
+    src.addData(docRows.drop(2 * third): _*)
+    val probe = EventStream.contaminationProbe(Tables.documents(spark, sf))
+    runToTable(EventStream.contaminationMatches(src.toDF(), probe),
+      "contam_stream", "complete")
+    val got = spark.table("contam_stream")
+    val want = SparkEntry.queries("text_contamination")(spark, sf)
+    assert(want.count() > 0, "fixture must contain contaminated docs")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup suppresses cross-batch duplicates = batch DISTINCT") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
