@@ -146,6 +146,60 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // Shard fan-out for the manifest op. 64 here; a production run sizes
+  // shards to a target byte count (shards ≈ corpus / target) — the
+  // assignment expression is the same at any count.
+  private val NShards = 64
+
+  private lazy val shardTmp: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_shards_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Deterministic shard assignment + per-shard MANIFEST — the write
+    * side of a training-data pipeline: the curated corpus is hash-
+    * assigned to [[NShards]] shards (`hash60('shard:' || doc_id) %
+    * N` — reproducible across runs and engines, balanced in
+    * expectation), physically WRITTEN as a shard-partitioned parquet
+    * sink, then the manifest is computed from the FILES READ BACK —
+    * doc count, token count, byte count, an order-independent XOR
+    * content digest, and the doc-id range per shard. The digest is
+    * what lets a trainer verify shard integrity without re-reading
+    * text order-sensitively (XOR commutes, so any partition order
+    * yields the same digest); the token counts are what epoch
+    * planning consumes. Writing then reading back proves the sink
+    * round-trip, not just the assignment math ([[Sources]]'
+    * `sink_partitioned` convention).
+    *
+    * Scale: assignment is row-local; the write is one shuffle-free
+    * partitioned sink (each task appends to its shards); the manifest
+    * is one map-side-combinable aggregate onto [[NShards]] rows. */
+  private def corpusShardManifest(s: SparkSession, d: String) = {
+    import s.implicits._
+    val path = s"$shardTmp/corpus_shards"
+    Tables.documents(s, d)
+      .withColumn("shard_id",
+        (hash60(concat(lit("shard:"), $"doc_id".cast("string"))) % NShards)
+          .cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(path)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, shard_id INT")
+      .parquet(path)
+      .withColumn("w", tokens($"text"))
+      .withColumn("th", hash60($"text"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"w")).cast("long").as("n_tokens"),
+        sum(octet_length($"text")).cast("long").as("n_bytes"),
+        expr("bit_xor(th)").as("digest"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+      .orderBy($"shard_id")
+  }
+
   // Contamination probe set: the first 20 documents stand in for a
   // held-out benchmark; 5-word shingles are the overlap unit.
   // graft-wide so the STREAMING twin (`stream_contamination`,
@@ -494,6 +548,18 @@ object Corpus {
          |  (dup_2gram_frac <= $Dup2Max AND dup_3gram_frac <= $Dup3Max) AS keep
          |FROM fr
          |ORDER BY doc_id""".stripMargin),
+    OpDef("corpus_shard_manifest", corpusShardManifest _,
+      s"""SELECT CAST(${hash60Sql("'shard:' || doc_id")} % $NShards AS INT)
+         |    AS shard_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+         |  bit_xor(${hash60Sql("text")}) AS digest,
+         |  MIN(doc_id) AS min_doc_id,
+         |  MAX(doc_id) AS max_doc_id
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY shard_id""".stripMargin),
     OpDef("text_contamination", textContamination _, contaminationOracle),
     OpDef("text_pii_scrub", piiScrub _,
       s"""WITH notes AS (

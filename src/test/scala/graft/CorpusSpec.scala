@@ -68,4 +68,43 @@ class CorpusSpec extends SparkSpecBase {
     assert(p.filter(col("n_iban") === 0).count() > 0)
     p.unpersist()
   }
+
+  test("shard manifest reconciles exactly with the corpus") {
+    import graft.functions.TextFns
+    val out = SparkEntry.queries("corpus_shard_manifest")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    assert(out.agg(sum("n_tokens")).head.getLong(0) ===
+      docs.agg(sum(size(TextFns.tokens(col("text"))))).head.getLong(0))
+    assert(out.agg(sum("n_bytes")).head.getLong(0) ===
+      docs.agg(sum(octet_length(col("text")))).head.getLong(0))
+    // doc-id ranges stay inside the corpus id range
+    val (lo, hi) = (docs.agg(min("doc_id")).head.getLong(0),
+      docs.agg(max("doc_id")).head.getLong(0))
+    assert(out.filter(col("min_doc_id") < lo || col("max_doc_id") > hi)
+      .count() === 0)
+    out.unpersist()
+  }
+
+  test("shard digest is partition-order-independent and corruption-sensitive") {
+    import graft.functions.TextFns
+    val out = SparkEntry.queries("corpus_shard_manifest")(spark, sf)
+      .select(col("shard_id"), col("digest"))
+    def digests(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("shard_id", (TextFns.hash60(
+        concat(lit("shard:"), col("doc_id").cast("string"))) % 64).cast("int"))
+      .withColumn("th", TextFns.hash60(col("text")))
+      .groupBy("shard_id").agg(expr("bit_xor(th)").as("digest"))
+    // a differently-partitioned recompute yields identical digests (XOR
+    // commutes — the property that makes the manifest verifiable at all)
+    val re = digests(Tables.documents(spark, sf).repartition(7))
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
+    // flipping ONE document's text changes exactly that shard's digest
+    val corrupted = digests(Tables.documents(spark, sf)
+      .withColumn("text", when(col("doc_id") === 0, lit("tampered"))
+        .otherwise(col("text"))))
+    val changed = out.as("a").join(corrupted.as("b"), "shard_id")
+      .filter(col("a.digest") =!= col("b.digest")).count()
+    assert(changed === 1, s"exactly one shard digest must change, got $changed")
+  }
 }
