@@ -470,6 +470,118 @@ object Graph {
       .orderBy($"node_type", $"node_key")
   }
 
+  /** Modularity of the [[graphComponents]] partition — the
+    * partition-quality score (Newman Q) that tells you whether the
+    * component/cluster structure is REAL before you act on it (cap a
+    * syndication family, peel a spam cluster): per community,
+    * `in_c/M − (deg_c/M)²` over the directed symmetric edge list
+    * (M = all directed edges, so the undirected 2m cancels); Q = the
+    * sum over communities, in [−1, 1], ≈ 0 for hash-random structure.
+    * Labels are the SAME bounded-round propagation as
+    * `graph_components` (its oracle CTEs reused verbatim), so the
+    * score measures exactly the partition that op ships.
+    *
+    * Scale: two label joins on the edge key + map-side-combined
+    * aggregates onto |communities| rows; the 1-row edge total rides a
+    * broadcast cross join. The score is exact-integer counts divided
+    * once at the end — one literal formula order, both engines. */
+  private def graphModularity(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges = coOrderEdges(s, d)
+    val nodes = edges.select($"src".as("node")).distinct()
+    val closed = edges
+      .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
+      .repartition($"src").sortWithinPartitions($"src")
+      .cache()
+    var labels = nodes.select($"node", $"node".as("label"))
+    for (_ <- 1 to CcRounds) {
+      labels = closed.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"label").as("label"))
+        .withColumnRenamed("src", "node")
+    }
+    modularityOf(edges, labels)
+  }
+
+  /** Per-community modularity rows from a directed-symmetric edge
+    * list and a (node, label) partition — the [[graphModularity]]
+    * core, reusable against any partition (GraphSpec feeds it the
+    * two-triangles fixture whose Q = ½ is textbook). */
+  private[graft] def modularityOf(edges: DataFrame,
+                                  labelsIn: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val labels = labelsIn.cache() // joined twice below
+    val mTot = edges.agg(count(lit(1)).as("m")) // 1 row
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val dsum = labels.join(deg, $"node" === $"src")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("degree_sum"))
+    val inC = edges
+      .join(labels.select($"node".as("src"), $"label".as("la")), "src")
+      .join(labels.select($"node".as("dst"), $"label".as("lb")), "dst")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("label")).agg(count(lit(1)).as("n_in"))
+    dsum.join(inC, Seq("label"), "left")
+      .crossJoin(broadcast(mTot))
+      .select($"label".as("component"), $"n_nodes",
+        coalesce($"n_in", lit(0L)).as("internal_edges"),
+        $"degree_sum",
+        roundHalfUp(lit(1.0) * coalesce($"n_in", lit(0L)) / $"m" -
+          (lit(1.0) * $"degree_sum" / $"m") * (lit(1.0) * $"degree_sum" / $"m"),
+          6).as("contribution"))
+      .orderBy($"component")
+  }
+
+  private def modularityOracle: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT c.src AS node, MIN(l.label) AS label
+         |  FROM closed c JOIN l${i - 1} l ON c.dst = l.node
+         |  GROUP BY c.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |closed AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT node, node FROM nodes
+       |),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |mt AS (SELECT COUNT(*) AS m FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodelab AS (SELECT node, label FROM l$CcRounds),
+       |dsum AS (
+       |  SELECT nl.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(dg.deg) AS BIGINT) AS degree_sum
+       |  FROM nodelab nl JOIN deg dg ON dg.src = nl.node
+       |  GROUP BY nl.label
+       |),
+       |inc AS (
+       |  SELECT a.label, COUNT(*) AS n_in
+       |  FROM edges e
+       |  JOIN nodelab a ON e.src = a.node
+       |  JOIN nodelab b ON e.dst = b.node AND b.label = a.label
+       |  GROUP BY a.label
+       |)
+       |SELECT d.label AS component, d.n_nodes,
+       |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
+       |  d.degree_sum,
+       |  $contrib AS contribution
+       |FROM dsum d CROSS JOIN mt m LEFT JOIN inc i ON i.label = d.label
+       |ORDER BY component""".stripMargin
+  }
+
   private def componentsOracle: String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""l$i AS (
@@ -922,6 +1034,7 @@ object Graph {
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),
     OpDef("graph_degrees", graphDegrees _, degreesOracle),
     OpDef("graph_components", graphComponents _, componentsOracle),
+    OpDef("graph_modularity", graphModularity _, modularityOracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),

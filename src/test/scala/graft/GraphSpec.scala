@@ -255,4 +255,35 @@ class GraphSpec extends SparkSpecBase {
     assert(labels.forall(_._2 === 0L),
       "every chain node must reach the min label at fixpoint")
   }
+
+  test("modularity: two triangles score the textbook Q = 1/2") {
+    import spark.implicits._
+    // two disjoint triangles, symmetric directed edges: M = 12, each
+    // community has in = 6, deg_sum = 6 -> contribution = 6/12 - (6/12)^2
+    // = 0.25 each, Q = 0.5 (the classic perfectly-separated example)
+    val tri = Seq((1L,2L),(2L,3L),(1L,3L),(4L,5L),(5L,6L),(4L,6L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L,1L),(2L,1L),(3L,1L),(4L,4L),(5L,4L),(6L,4L))
+      .toDF("node", "label")
+    val out = ops.Graph.modularityOf(edges, labels)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((3L, 6L, 6L, 0.25)))
+    assert(out(4L) === ((3L, 6L, 6L, 0.25)))
+    // merging both triangles into ONE label wipes the structure: Q -> it
+    // can only fall (here to 12/12 - 1 = 0 for the single community)
+    val merged = ops.Graph.modularityOf(edges,
+      labels.select(col("node"), lit(1L).as("label")))
+      .collect()
+    assert(merged.length === 1 && merged.head.getDouble(4) === 0.0)
+  }
+
+  test("graph_modularity catalog rows: Q in [-1, 1], counts consistent") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_modularity")(spark, sf).cache()
+    val q = out.agg(sum("contribution")).head.getDouble(0)
+    assert(q >= -1.0 - 1e-9 && q <= 1.0 + 1e-9, s"Q = $q out of range")
+    assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0,
+      "internal edges cannot exceed the community degree sum")
+  }
 }
