@@ -568,6 +568,70 @@ object TextAnalysis {
   private def bpeEncode(s: SparkSession, d: String) =
     bpeEncodeOf(s, Tables.documents(s, d))
 
+  /** The ordered merge frame `(round, mg)` the encode-from-store path
+    * PERSISTS — mg in the `ab` form `bpe_apply` consumes, NOT
+    * the display form "a b": a merged symbol contains spaces, so from
+    * round 2 on the space-joined pair is ambiguous and the store must
+    * keep the -delimited form. Training is the same loop as
+    * [[bpeMerges]]. */
+  private[graft] def bpeMergeStore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    var arr = docs.select($"doc_id", tokens($"text").as("w"))
+    var out: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val top = arrayPairs(arr).groupBy($"a", $"b")
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy($"occurrences".desc, $"a".asc, $"b".asc).limit(1)
+      val mg = top.select(concat($"a", lit(""), $"b").as("mg"))
+      val row = top.select(lit(r.toLong).as("round"),
+        concat($"a", lit(""), $"b").as("mg"))
+      out = if (out == null) row else out.unionByName(row)
+      if (r < BpeRounds)
+        arr = arr.crossJoin(broadcast(mg))
+          .select($"doc_id", expr("bpe_apply(w, array(mg))").as("w"))
+    }
+    out
+  }
+
+  /** Encode the corpus from a PERSISTED merge store — the half of the
+    * BPE loop a production pipeline actually runs daily (`bpe_encode`
+    * re-trains its merges in-query every call, which at 100 TB means
+    * [[BpeRounds]] full pair-count shuffles per run): the ordered
+    * merge list packs into ONE broadcast row and `bpe_apply` rewrites
+    * every document in a single row-local pass — the encode plan has
+    * NO shuffle at all before the output sort (LmCurationSpec pins
+    * zero hash exchanges). Applying the full rank-ordered list in one
+    * `bpe_apply` call is sequential-merge-equivalent by the
+    * expression's own semantics (one full greedy pass per merge, rank
+    * order), so the output — and the oracle — are exactly
+    * `bpe_encode`'s. In this catalog entry the store derives in-query
+    * (the `dedup_incremental` stand-in convention); the spec proves
+    * the parquet round-trip path row-identical. */
+  private def bpeEncodeFromStore(s: SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    bpeEncodeFromMerges(s, docs, bpeMergeStore(s, docs))
+  }
+
+  /** The encode pass alone, from any (round, mg) merge frame. */
+  private[graft] def bpeEncodeFromMerges(s: SparkSession, docs: DataFrame,
+                                         merges: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val packed = merges
+      .agg(expr("transform(array_sort(collect_list(struct(round, mg))), x -> x.mg)")
+        .as("mgs"))
+    docs.select($"doc_id", tokens($"text").as("w"))
+      .crossJoin(broadcast(packed))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens_raw"),
+        size(expr("bpe_apply(w, mgs)")).cast("long").as("n_tokens_enc"))
+      .withColumn("compression",
+        roundHalfUp(lit(1.0) * $"n_tokens_enc" / $"n_tokens_raw", 6))
+      .orderBy($"doc_id")
+  }
+
   /** [[bpeEncode]] over an arbitrary (doc_id, text) frame (spec hook —
     * encode a hand-computable corpus). The encode pass itself — apply
     * every learned merge — is entirely row-local (`bpe_apply` over the
@@ -1239,6 +1303,7 @@ object TextAnalysis {
     OpDef("text_lm_bigram", textLmBigram _, lmBigramOracle),
     OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
+    OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences

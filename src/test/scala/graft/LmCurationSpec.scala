@@ -186,4 +186,33 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r.filter(col("doc_id") >= 20 && col("keep")).count() === 0)
     r.unpersist()
   }
+
+  test("bpe_encode_from_store: parquet merge store reproduces the catalog op") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val store = ops.TextAnalysis.bpeMergeStore(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
+    store.write.parquet(s"$dir/merges")
+    val fromStore = ops.TextAnalysis.bpeEncodeFromMerges(spark, docs,
+      spark.read.parquet(s"$dir/merges"))
+    val inQuery = SparkEntry.queries("bpe_encode_from_store")(spark, sf)
+    assert(fromStore.collect().toSeq === inQuery.collect().toSeq)
+    val direct = SparkEntry.queries("bpe_encode")(spark, sf)
+    assert(fromStore.collect().toSeq === direct.collect().toSeq,
+      "one-pass apply of the full rank-ordered merge list must equal " +
+        "the per-round rewrite")
+  }
+
+  test("the encode-from-store plan is shuffle-free before the output sort") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val store = ops.TextAnalysis.bpeMergeStore(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("bpeplan").toString
+    store.write.parquet(s"$dir/merges")
+    val plan = ops.TextAnalysis.bpeEncodeFromMerges(spark, docs,
+        spark.read.parquet(s"$dir/merges"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must be one row-local pass, no keyed shuffle:\n$plan")
+  }
 }
