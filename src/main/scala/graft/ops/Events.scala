@@ -665,16 +665,75 @@ object Events {
     * the changelog. Ties on ts break by event_id in both engines. */
   private def scd2Intervals(s: SparkSession, d: String) = {
     import s.implicits._
+    scd2Of(Tables.events(s, d)).orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
+  /** The SCD2 interval build over any (user_id, event_type, ts,
+    * event_id) frame — shared by the full-rebuild op and the
+    * incremental path's store stand-in. Unordered (callers sort). */
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val changes = Tables.events(s, d)
+    events
       .select($"user_id", $"event_type", $"ts", $"event_id")
       .withColumn("prev_type", lag($"event_type", 1).over(byUser))
       .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
-    changes
       .withColumn("valid_to", lead($"ts", 1).over(byUser))
       .select($"user_id", $"event_type", $"ts".as("valid_from"),
         $"valid_to", $"valid_to".isNull.as("is_current"))
+  }
+
+  /** Merge a day's CDC batch into a PERSISTED SCD2 dimension — the
+    * maintenance job `scd2_intervals`' full rebuild stands in for at
+    * 100 TB (rebuilding type-2 history over years of events per day
+    * is exactly the anti-pattern): each new event's change detection
+    * is SEEDED with the affected key's stored open-interval type (the
+    * last pre-batch type by construction, since events between
+    * changes share the current change's type), the stored open
+    * interval closes at the key's first new change, new intervals
+    * chain among themselves, and unaffected keys pass through
+    * UNTOUCHED — per-batch cost tracks the increment plus one keyed
+    * join against the store, never the history. Batches must be time
+    * slices (late data re-opens history — the standard SCD2 contract).
+    * The merge is EXACTLY rebuild-equivalent, so the incremental op
+    * faces the full-rebuild oracle. */
+  private[graft] def scd2Merge(store: DataFrame, newEvents: DataFrame): DataFrame = {
+    import store.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val seed = store.filter($"is_current")
+      .select($"user_id", $"event_type".as("seed_type"))
+    val ch = newEvents
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .join(seed, Seq("user_id"), "left")
+      .withColumn("prev_type",
+        coalesce(lag($"event_type", 1).over(byUser), $"seed_type"))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val newIntervals = ch
+      .withColumn("valid_to", lead($"ts", 1).over(byUser))
+      .select($"user_id", $"event_type", $"ts".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+    val firstChange = ch.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+    store.join(firstChange, Seq("user_id"), "left")
+      .select($"user_id", $"event_type", $"valid_from",
+        when($"is_current" && $"first_ts".isNotNull, $"first_ts")
+          .otherwise($"valid_to").as("valid_to"),
+        ($"is_current" && $"first_ts".isNull).as("is_current"))
+      .unionByName(newIntervals)
       .orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
+  /** The last 7 days of the log play the CDC batch; everything before
+    * is the persisted dimension (built in-query as the store stand-in
+    * — Scd2IncrementalSpec proves the parquet store path identical). */
+  private def scd2Incremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0) // driver scalar
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 7L * 86400 * 1000)
+    scd2Merge(scd2Of(ev.filter($"ts" < lit(cutoff))),
+      ev.filter($"ts" >= lit(cutoff)))
   }
 
   /** Per-type z-score anomaly flagging: events whose value sits more
@@ -2024,6 +2083,22 @@ object Events {
         |  ON s.hour = h.hour AND s.event_type = h.event_type
         |ORDER BY s.event_type, s.hour""".stripMargin),
     OpDef("scd2_intervals", scd2Intervals _,
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events
+        |),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin),
+    OpDef("scd2_incremental", scd2Incremental _,
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
