@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -225,18 +225,26 @@ object Aggregates {
     * amount is undefined — so the op asserts the contract up front
     * (`raise_error` on the first negative id) rather than failing
     * later via a silent hash mismatch. */
-  private def aggBitmapDistinct(s: SparkSession, d: String) = {
-    import s.implicits._
-    val words = Tables.events(s, d)
+  /** Per-(type, word) bitmap words — the shared first level of the
+    * bitmap family (`agg_bitmap_distinct`, `agg_bitmap_overlap`).
+    * Asserts the non-negative-id contract up front. */
+  private def bitmapWords(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .select($"event_type",
         when($"user_id" < 0, expr(
-          "raise_error('agg_bitmap_distinct: negative user_id — " +
+          "raise_error('bitmap ops: negative user_id — " +
             "bitmap id-space contract requires non-negative ids')"))
           .otherwise($"user_id").as("user_id"))
       .select($"event_type", expr(s"user_id div $BmBits").as("word"),
         expr(s"shiftleft(1L, CAST(user_id % $BmBits AS INT))").as("mask"))
       .groupBy($"event_type", $"word")
       .agg(expr("bit_or(mask)").as("bm"))
+  }
+
+  private def aggBitmapDistinct(s: SparkSession, d: String) = {
+    import s.implicits._
+    val words = bitmapWords(Tables.events(s, d))
       .groupBy($"event_type")
       .agg(sum(expr("bit_count(bm)")).cast("long").as("n_distinct_bitmap"),
         count(lit(1)).as("n_words"))
@@ -248,6 +256,69 @@ object Aggregates {
         $"n_words")
       .orderBy($"event_type")
   }
+
+  /** EXACT audience overlap between every pair of event types from
+    * the SAME per-(type, word) bitmap words [[bitmapWords]] builds —
+    * the segment-overlap engine pattern: intersection is a word-keyed
+    * join + `bit_count(a & b)` per shared word (word-sharded, so a
+    * mega-segment fans across partitions), union is inclusion-
+    * exclusion on the popcounts — user ids are NEVER pairwise-joined;
+    * the pair stage touches one 8-byte word per (pair, word-bucket),
+    * bounded by id-space density at any event volume. Pairs with no
+    * shared word surface with intersection 0 via the size-table cross
+    * (|types|² rows, trivially broadcast). */
+  private def aggBitmapOverlap(s: SparkSession, d: String) = {
+    import s.implicits._
+    val words = bitmapWords(Tables.events(s, d)).cache() // sizes + pair join
+    val sizes = words.groupBy($"event_type")
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n"))
+    val inter = words.select($"event_type".as("type_a"), $"word", $"bm".as("ba"))
+      .join(words.select($"event_type".as("type_b"), $"word", $"bm".as("bb")),
+        Seq("word"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(sum(expr("bit_count(ba & bb)")).cast("long").as("n_intersect"))
+    sizes.select($"event_type".as("type_a"), $"n".as("n_a"))
+      .join(sizes.select($"event_type".as("type_b"), $"n".as("n_b")),
+        $"type_a" < $"type_b")
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"n_a", $"n_b",
+        coalesce($"n_intersect", lit(0L)).as("n_intersect"))
+      .withColumn("n_union", $"n_a" + $"n_b" - $"n_intersect")
+      .withColumn("jaccard",
+        roundHalfUp(lit(1.0) * $"n_intersect" / $"n_union", 6))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  private def bitmapOverlapOracle: String =
+    s"""WITH words AS (
+       |  SELECT event_type, user_id // $BmBits AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % $BmBits AS INT)) AS bm
+       |  FROM events
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (
+       |  SELECT event_type, CAST(SUM(bit_count(bm)) AS BIGINT) AS n
+       |  FROM words GROUP BY event_type
+       |),
+       |inter AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS n_intersect
+       |  FROM words a JOIN words b
+       |    ON a.word = b.word AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  CAST(COALESCE(i.n_intersect, 0) AS BIGINT) AS n_intersect,
+       |  sa.n + sb.n - CAST(COALESCE(i.n_intersect, 0) AS BIGINT) AS n_union,
+       |  ${roundHalfUpSql(
+      "1.0 * COALESCE(i.n_intersect, 0) / " +
+        "(sa.n + sb.n - COALESCE(i.n_intersect, 0))", 6)} AS jaccard
+       |FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type
+       |LEFT JOIN inter i
+       |  ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+       |ORDER BY type_a, type_b""".stripMargin
 
   private def bitmapDistinctOracle: String =
     s"""WITH words AS (
@@ -346,6 +417,7 @@ object Aggregates {
   val defs: Seq[OpDef] = Seq(
     OpDef("sketch_rolling_quantile", sketchRollingQuantile _, rollingQuantileOracle),
     OpDef("agg_bitmap_distinct", aggBitmapDistinct _, bitmapDistinctOracle),
+    OpDef("agg_bitmap_overlap", aggBitmapOverlap _, bitmapOverlapOracle),
     OpDef("agg_mode", aggMode _,
       """WITH counts AS (
         |  SELECT source, lang, COUNT(*) AS n_docs

@@ -98,4 +98,27 @@ class SketchAggSpec extends SparkSpecBase {
       assert(out.filter(!col("within_bound")).count() === 0, name)
     }
   }
+
+  test("agg_bitmap_overlap: bitmap intersections equal exact pairwise counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("agg_bitmap_overlap")(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct().cache()
+    val exact = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("x"))
+    val bad = out.join(exact, Seq("type_a", "type_b"), "left")
+      .filter(col("n_intersect") =!= coalesce(col("x"), lit(0L)))
+    assert(bad.count() === 0,
+      "word-sharded bitmap AND must equal the exact pairwise overlap")
+    // union via inclusion-exclusion is consistent
+    assert(out.filter(col("n_union") =!=
+      col("n_a") + col("n_b") - col("n_intersect")).count() === 0)
+    val types = ev.select("event_type").distinct().count()
+    assert(out.count() === types * (types - 1) / 2, "every unordered pair")
+  }
 }
