@@ -320,6 +320,94 @@ object Curation {
        |  )
        |)""".stripMargin
 
+  /** Feature + logit CTEs shared by the classifier oracle and the
+    * calibration oracle (ends in `scored(doc_id, f_*, z)`). */
+  private def classifierCtes: String =
+    s"""feats AS (
+       |  SELECT doc_id,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(regexp_replace(norm, '[^a-z]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_alpha,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(regexp_replace(norm, '[^0-9]', '', 'g')) " +
+            "/ NULLIF(len(norm), 0)", 6)}, 0.0) AS f_digit,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(list_filter(w, t -> ${
+            TextAnalysis.inListSql("t", TextAnalysis.En)})) " +
+            "/ NULLIF(len(w), 0)", 6)}, 0.0) AS f_stop,
+       |    ${roundHalfUpSql("ln(1.0 + len(w))", 6)} AS f_len
+       |  FROM (
+       |    SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |      ${tokensSql("text")} AS w
+       |    FROM documents
+       |  )
+       |),
+       |scored AS (
+       |  SELECT doc_id, f_alpha, f_stop, f_len, f_digit,
+       |    $QcBias + $QcWAlpha * f_alpha + $QcWStop * f_stop +
+       |      $QcWLen * f_len + $QcWDigit * f_digit AS z
+       |  FROM feats
+       |)""".stripMargin
+
+  /** Reliability histogram of the learned gate against the rule-based
+    * gate — the check a pipeline runs BEFORE swapping the heuristic
+    * for the classifier: per calibration decile, how many documents
+    * the classifier keeps and how many the `quality_gate` rule
+    * actually passes. Monotone gate-pass rate across deciles means
+    * the score ORDERS documents the way the shipped rule does (the
+    * judgment the swap rests on); a flat or inverted decile says the
+    * classifier disagrees where it is most confident. One scan for
+    * features + the gate's per-source window + a ≤ 10-row fold. */
+  private def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cls = qualityClassifier(s, d).select($"doc_id", $"cal_bucket", $"keep")
+    val gate = qualityGate(s, d).select($"doc_id").withColumn("g", lit(1L))
+    cls.join(gate, Seq("doc_id"), "left")
+      .groupBy($"cal_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(coalesce($"g", lit(0L))).as("n_gate_pass"))
+      .withColumn("gate_pass_rate",
+        roundHalfUp(lit(1.0) * $"n_gate_pass" / $"n_docs", 6))
+      .orderBy($"cal_bucket")
+  }
+
+  private def qualityCalibrationOracle: String = {
+    val sig = "1.0 / (1.0 + exp(-z))"
+    s"""WITH $classifierCtes,
+       |cls AS (
+       |  SELECT doc_id, z >= 0.0 AS keep,
+       |    CAST(LEAST(FLOOR(${roundHalfUpSql(sig, 6)} * 10), 9) AS INT)
+       |      AS cal_bucket
+       |  FROM scored
+       |),
+       |gscored AS (
+       |  SELECT doc_id, source,
+       |    COALESCE(${roundHalfUpSql(
+          s"1.0 * len(regexp_replace(${normalizeTextSql("text")}, '[^a-z]', '', 'g')) " +
+            s"/ nullif(len(${normalizeTextSql("text")}), 0)", 6)}, 0.0) AS quality
+       |  FROM documents
+       |),
+       |granked AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM gscored
+       |),
+       |gpass AS (SELECT doc_id FROM granked WHERE rn > n // 4)
+       |SELECT c.cal_bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gate_pass,
+       |  ${roundHalfUpSql(
+        "1.0 * SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+          "/ COUNT(*)", 6)} AS gate_pass_rate
+       |FROM cls c LEFT JOIN gpass g ON c.doc_id = g.doc_id
+       |GROUP BY c.cal_bucket
+       |ORDER BY cal_bucket""".stripMargin
+  }
+
   private def qualityClassifierOracle: String = {
     val sig = "1.0 / (1.0 + exp(-z))"
     s"""WITH feats AS (
@@ -710,6 +798,8 @@ object Curation {
          |WHERE ${hash60Sql("'mix:' || doc_id")} % 1000 < mix_permille
          |ORDER BY doc_id""".stripMargin),
     OpDef("quality_classifier", qualityClassifier _, qualityClassifierOracle),
+    OpDef("quality_calibration", qualityCalibration _,
+      qualityCalibrationOracle),
     OpDef("quality_gate", qualityGate _,
       s"""WITH scored AS (
          |  SELECT doc_id, source,

@@ -99,4 +99,18 @@ class CurationSpec extends SparkSpecBase {
     assert(byShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
     sh.unpersist()
   }
+
+  test("quality_calibration reconciles with its two source gates") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("quality_calibration")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) === docs,
+      "the decile histogram must cover every document exactly once")
+    val keeps = SparkEntry.queries("quality_classifier")(spark, sf)
+      .filter(col("keep")).count()
+    assert(out.agg(sum("n_keep")).head.getLong(0) === keeps)
+    val gatePass = SparkEntry.queries("quality_gate")(spark, sf).count()
+    assert(out.agg(sum("n_gate_pass")).head.getLong(0) === gatePass)
+    assert(out.filter(col("n_gate_pass") > col("n_docs")).count() === 0)
+  }
 }
