@@ -606,6 +606,109 @@ object Events {
     * cohort/offset count, map-side combined); the offset is integer
     * day-arithmetic on week-truncated dates, so both engines agree
     * exactly. */
+  /** Censoring horizon for [[customerSurvival]]: customers whose last
+    * order falls within this many calendar months of the corpus end
+    * are CENSORED (still alive at observation end), not churned. */
+  private val SurvivalCensorMonths = 3
+
+  /** Kaplan–Meier customer-lifetime table — the survival/churn curve
+    * `events_retention`'s cohort triangle does not give you: per
+    * customer, lifetime = calendar months from first to last order
+    * (the `fn_date_diff_month` integer-arithmetic form, exact in both
+    * engines), censored if the last order sits within
+    * [[SurvivalCensorMonths]] months of the corpus end (counting the
+    * still-active as churned is the classic right-censoring bias —
+    * 487 of 1500 customers here); per death month t, the at-risk
+    * count (lifetime ≥ t, censored included while at risk), deaths,
+    * hazard d/n, and the product-limit survival Π(1 − d/n) — computed
+    * as exp of the DECIMAL-summed 9 dp-quantized ln terms (the
+    * `corpus_temperature_mix` transcendental recipe, so both engines
+    * walk identical doubles), with extinction (d = n) pinned to 0
+    * explicitly since its ln term is −∞.
+    *
+    * Scale: one customer-keyed fold to lifetimes, then everything
+    * runs on the ≤ |corpus-span-months| histogram — the ordered
+    * windows touch ~80 rows at any order volume. */
+  private def customerSurvival(s: SparkSession, d: String) = {
+    import s.implicits._
+    def mIdx(c: org.apache.spark.sql.Column) = year(c) * lit(12) + month(c)
+    val maxM = Tables.orders(s, d)
+      .agg(max(mIdx($"o_orderdate")).as("max_m")) // 1 row
+    val life = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(min(mIdx($"o_orderdate")).as("fm"), max(mIdx($"o_orderdate")).as("lm"))
+      .crossJoin(broadcast(maxM))
+      .select($"o_custkey", ($"lm" - $"fm").as("dur"),
+        ($"max_m" - $"lm" > SurvivalCensorMonths).as("died"))
+    val tot = life.agg(count(lit(1)).as("n_users")) // 1 row
+    val hist = life.groupBy($"dur")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when($"died", 1L).otherwise(0L)).as("n_died"))
+    val byDay = Window.orderBy($"dur".asc)
+    val prior = byDay.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        $"n_users" - coalesce(sum($"n_all").over(prior), lit(0L)))
+      .filter($"n_died" > 0)
+      .withColumn("hazard", roundHalfUp(lit(1.0) * $"n_died" / $"n_risk", 6))
+      .withColumn("lnterm",
+        when($"n_died" === $"n_risk", lit(0.0)).otherwise(
+          roundHalfUp(log(lit(1.0) - lit(1.0) * $"n_died" / $"n_risk"), 9)))
+      .withColumn("survival",
+        when($"n_died" === $"n_risk", lit(0.0)).otherwise(
+          roundHalfUp(exp(
+            sum($"lnterm".cast("decimal(27,18)")).over(upto).cast("double")),
+            6)))
+      .select($"dur".as("month"), $"n_risk", $"n_died", $"hazard", $"survival")
+      .orderBy($"month")
+  }
+
+  private def survivalOracle: String = {
+    val h = "1.0 * n_died / n_risk"
+    import graft.functions.Exact.roundHalfUpSql
+    s"""WITH md AS (
+       |  SELECT MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS max_m
+       |  FROM orders
+       |),
+       |life AS (
+       |  SELECT o_custkey,
+       |    MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) -
+       |      MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS dur,
+       |    (SELECT max_m FROM md) -
+       |      MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate))
+       |      > $SurvivalCensorMonths AS died
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |tot AS (SELECT COUNT(*) AS n_users FROM life),
+       |hist AS (
+       |  SELECT dur, COUNT(*) AS n_all,
+       |    CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS n_died
+       |  FROM life GROUP BY dur
+       |),
+       |risk AS (
+       |  SELECT dur, n_died,
+       |    t.n_users - COALESCE(SUM(n_all) OVER (ORDER BY dur ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM hist CROSS JOIN tot t
+       |),
+       |terms AS (
+       |  SELECT dur, n_died, n_risk,
+       |    CASE WHEN n_died = n_risk THEN 0.0
+       |         ELSE ${roundHalfUpSql(s"ln(1.0 - $h)", 9)} END AS lnterm
+       |  FROM risk WHERE n_died > 0
+       |)
+       |SELECT CAST(dur AS INT) AS month, CAST(n_risk AS BIGINT) AS n_risk,
+       |  n_died, ${roundHalfUpSql(h, 6)} AS hazard,
+       |  CASE WHEN n_died = n_risk THEN 0.0
+       |       ELSE ${roundHalfUpSql(
+        "exp(CAST(SUM(CAST(lnterm AS DECIMAL(27,18))) OVER (ORDER BY dur ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))", 6)}
+       |  END AS survival
+       |FROM terms
+       |ORDER BY month""".stripMargin
+  }
+
   private def eventsRetention(s: SparkSession, d: String) = {
     import s.implicits._
     val ev = Tables.events(s, d)
@@ -731,7 +834,9 @@ object Events {
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_type", $"ts", $"event_id")
     val maxTs = ev.agg(max($"ts")).head.getTimestamp(0) // driver scalar
-    val cutoff = new java.sql.Timestamp(maxTs.getTime - 7L * 86400 * 1000)
+    // empty log → null max; any cutoff yields the same (empty) result
+    val cutoff = new java.sql.Timestamp(
+      (if (maxTs == null) 0L else maxTs.getTime) - 7L * 86400 * 1000)
     scd2Merge(scd2Of(ev.filter($"ts" < lit(cutoff))),
       ev.filter($"ts" >= lit(cutoff)))
   }
@@ -2132,6 +2237,7 @@ object Events {
         |FROM events e JOIN st t ON e.event_type = t.event_type
         |WHERE abs(e.value - t.mu) > 3 * t.sigma
         |ORDER BY e.event_type, e.event_id""".stripMargin),
+    OpDef("customer_survival", customerSurvival _, survivalOracle),
     OpDef("events_retention", eventsRetention _,
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -116,4 +116,25 @@ class EventsSpec extends SparkSpecBase {
       ("2024-01-01", 2L, 3L),
       ("2024-01-02", 1L, 1L)), got.mkString(","))
   }
+
+  test("customer_survival: a valid Kaplan-Meier curve that reconciles") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("customer_survival")(spark, sf).cache()
+    val rows = out.orderBy("month").collect()
+    assert(rows.nonEmpty, "the order history must contain churn")
+    // survival and at-risk are non-increasing; survival stays in (0, 1]
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(4) <= a.getDouble(4) + 1e-9, "survival monotone")
+      assert(b.getLong(1) <= a.getLong(1), "at-risk monotone")
+    }
+    assert(rows.forall(r => r.getDouble(4) > 0.0 || r.getLong(2) === r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(4) <= 1.0))
+    // total deaths reconcile with the censoring rule applied directly
+    val mIdx = year(col("o_orderdate")) * lit(12) + month(col("o_orderdate"))
+    val orders = Tables.orders(spark, sf)
+    val maxM = orders.agg(max(mIdx)).head.getInt(0)
+    val churned = orders.groupBy(col("o_custkey")).agg(max(mIdx).as("lm"))
+      .filter(lit(maxM) - col("lm") > 3).count()
+    assert(out.agg(sum("n_died")).head.getLong(0) === churned)
+  }
 }
