@@ -40,7 +40,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt-and-braces channel: the results must survive even if late
+    // shutdown threads spew over stdout's tail (round 11 lost its
+    // per-query map exactly that way), so write the file FIRST.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    // Quiesce everything that prints at JVM teardown BEFORE the final
+    // line: drain any stray streaming query, stop the StateStore
+    // maintenance machinery (its threads race JVM shutdown and stack-
+    // trace over stdout), then stop Spark itself — all noise lands
+    // above the results line, never after it.
+    try spark.streams.active.foreach(q => try q.stop() catch {
+      case _: Throwable => ()
+    }) catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

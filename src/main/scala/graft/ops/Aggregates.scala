@@ -848,9 +848,13 @@ object Aggregates {
     * across shards or time windows, which is the mergeability
     * `GROUP BY key` lacks when the key space itself won't fit). The
     * exact-count branch exists purely as the verification anchor,
-    * priced honestly like the sketch family's other recounts; the
-    * top-K window runs over the already-aggregated per-key table,
-    * never the raw scan. Deterministic: all [[CmDepth]] hash rows
+    * priced honestly like the sketch family's other recounts; its
+    * top-K head is `orderBy(...).limit(K)` → TakeOrderedAndProject
+    * (partition-local heads, driver merge of P×K rows — never a
+    * single-partition sort of the key space), and `rn` is then a
+    * strict-predecessor count over a broadcast self-pairing of that
+    * K-row head (K² comparisons on a constant frame), so the plan
+    * carries NO partition-less Window. Deterministic: all [[CmDepth]] hash rows
     * slice DISJOINT 10-hex-digit (40-bit) windows of ONE md5 per key —
     * one hash computation per row instead of depth, bit-identical
     * counters in both engines, no seed/partition dependence. */
@@ -868,10 +872,17 @@ object Aggregates {
     val sketch = probes(li)
       .groupBy($"dep", $"bucket").agg(count(lit(1)).as("c"))
     val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_cnt"))
-    val topk = exact
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"exact_cnt".desc, $"l_partkey".asc)).cast("int"))
-      .filter($"rn" <= CmTopK)
+    // cached so the broadcast self-pairing below replays the 10-row
+    // head, not the full key-space aggregate, a second time
+    val top = exact
+      .orderBy($"exact_cnt".desc, $"l_partkey".asc).limit(CmTopK).cache()
+    val topk = top.as("a")
+      .join(broadcast(top.select(
+        $"l_partkey".as("pk"), $"exact_cnt".as("pc"))),
+        $"pc" > $"exact_cnt" ||
+          ($"pc" === $"exact_cnt" && $"pk" < $"l_partkey"), "left")
+      .groupBy($"l_partkey", $"exact_cnt")
+      .agg((count($"pk") + 1).cast("int").as("rn"))
     probes(topk)
       .join(broadcast(sketch), Seq("dep", "bucket"))
       .groupBy($"l_partkey", $"exact_cnt", $"rn")

@@ -479,6 +479,12 @@ class PlanSpec extends SparkSpecBase {
   test("count-min probes broadcast the fixed-size sketch, never the scan") {
     val p = plan("agg_countmin")
     assert(p.contains("BroadcastHashJoin"), p)
+    // the exact anchor's top-K is partition-local heads + driver merge,
+    // and rn derives from a broadcast K-row self-pairing — a regression
+    // to a partition-less row_number Window would single-partition-sort
+    // the whole key space
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
     // the raw lineitem scan reads only the key column
     val schema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
