@@ -82,6 +82,46 @@ class AnnRecallSpec extends SparkSpecBase {
     rep.unpersist()
   }
 
+  test("k-means|| init recall ≥ md5-sample init recall vs exact top-3") {
+    // the d²-spread seeding is the production init; it must not lose
+    // recall to the demo-grade md5-min sample it replaces
+    val md5Init = recall("ann_ivf_kmeans")
+    val kpp = recall("ann_ivf_kmeans_scalable")
+    assert(kpp >= md5Init, s"kpp=$kpp md5=$md5Init")
+  }
+
+  test("k-means|| init beats md5-sample init on clustering cost at equal rounds") {
+    // the paper's actual guarantee is on the k-means objective
+    // φ = Σ d²(x, nearest centroid), not on fixed-nprobe recall (which
+    // is boundary noise on near-uniform synthetic embeddings) — pin φ
+    // strictly better at the SAME number of Lloyd rounds
+    import ops.Similarity
+    val e = Similarity.normalize(spark, Tables.embeddings(spark, sf)).cache()
+    def phi(c: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(e.select(col("ne")), c)
+        .join(c, "cell")
+        .withColumn("d2", lit(2.0) - lit(2.0) * expr("vec_dot(ne, cv)"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    val md5Phi = phi(Similarity.kmeansCentroids(spark, e, 16, 2))
+    val kppPhi = phi(Similarity.kmLloyd(spark, e,
+      Similarity.kmeansParInit(spark, e, 16), 2))
+    assert(kppPhi < md5Phi, s"kpp=$kppPhi md5=$md5Phi")
+  }
+
+  test("k-means|| init yields at most k distinct, unit-norm centroids") {
+    import ops.Similarity
+    val e = Similarity.normalize(spark, Tables.embeddings(spark, sf))
+    val init = Similarity.kmeansParInit(spark, e, 16).cache()
+    assert(init.count() <= 16)
+    assert(init.select(countDistinct(col("cell"))).head().getLong(0)
+      === init.count())
+    // centroids are renormalized: |cv|² = 1 within fp tolerance
+    val offUnit = init
+      .withColumn("n2", expr("vec_dot(cv, cv)"))
+      .filter(abs(col("n2") - 1.0) > 1e-9)
+    assert(offUnit.count() === 0)
+  }
+
   test("range search contains every single-probe pair above its radius") {
     // ann_range_search probes a SUPERSET of ann_lsh's buckets (own +
     // Hamming-1), so any same-bucket pair at cosine ≥ 0.3 must appear
