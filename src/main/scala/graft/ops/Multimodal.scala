@@ -94,6 +94,98 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // CLIP-style pair gate: cosine threshold in the shared 8-dim space,
+  // and the fixed decile geometry over [-1, 1] (width-based, never a
+  // global-sort ntile — the bin is a row-local map at any corpus size).
+  private val PairTau = 0.2
+  private val PairDims = 8
+
+  /** Cross-modal (image↔text) pair curation — the CLIP/LAION filtering
+    * shape (Schuhmann et al. 2021, arXiv:2111.02114): join each doc's
+    * media-side embedding ([[mmFeatures]]' deterministic payload
+    * features — the stand-in for an image-tower encode) to its
+    * text-side embedding (the `embeddings` vector truncated to the
+    * shared [[PairDims]] dims, the matryoshka idiom), cosine-score the
+    * pair in the shared space, and gate at [[PairTau]] — LAION kept
+    * image-text pairs at CLIP cosine ≥ 0.28; the threshold here is
+    * tuned to the synthetic features. Emits the score (6 dp), the keep
+    * flag, and a fixed-width score decile over [-1, 1] for the
+    * curation report.
+    *
+    * Scale: ONE doc_id-keyed equi-join of the two modality frames;
+    * everything else (feature derivation, normalization, dot, gate,
+    * decile) is row-local codegen'd compute. Payload bytes never
+    * shuffle — the media side reduces to its 8 doubles before the
+    * join. A production build swaps the fake towers for real encoders;
+    * schema, join shape, and gate stay identical. */
+  private def mmTextPairFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.expressions.GraftFunctions.ensure(s)
+    val img = media(s, d)
+      .select($"doc_id", md5(hex($"payload")).as("pm"))
+      .select($"doc_id", array((0 until PairDims).map(i =>
+        hash60(concat(lit(s"f$i:"), $"pm")).cast("double") /
+          lit(Pow60.toDouble)): _*).as("fv"))
+    val txt = Tables.embeddings(s, d).select(
+      $"vec_id".as("doc_id"),
+      expr(s"slice(CAST(embedding AS array<double>), 1, $PairDims)")
+        .as("tv"))
+    pairFilter(s, img, txt)
+  }
+
+  /** The gate over arbitrary `(doc_id, fv)` × `(doc_id, tv)` frames —
+    * split out so the planted matched/mismatched fixture spec drives
+    * the exact production path. */
+  private[graft] def pairFilter(s: SparkSession, img: DataFrame,
+                                txt: DataFrame): DataFrame = {
+    import s.implicits._
+    img.join(txt, "doc_id")
+      .withColumn("cosv",
+        expr("vec_dot(vec_normalize(fv), vec_normalize(tv))"))
+      .select($"doc_id",
+        roundHalfUp($"cosv", 6).as("clip_score"),
+        ($"cosv" >= PairTau).as("keep"),
+        least(lit(9.0), floor(($"cosv" + lit(1.0)) / lit(2.0) * lit(10.0)))
+          .cast("int").as("score_decile"))
+      .orderBy($"doc_id")
+  }
+
+  private def pairFilterOracle: String = {
+    val fv = (0 until PairDims)
+      .map(i => s"CAST(${hash60Sql(s"'f$i:' || md5(hexp)")} AS DOUBLE) / $Pow60")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH $mediaSql,
+       |img AS (
+       |  SELECT doc_id, $fv AS fv
+       |  FROM media
+       |),
+       |nimg AS (
+       |  SELECT doc_id,
+       |    list_transform(fv, x -> x / sqrt(${Similarity.dotSql("fv", "fv")})) AS nf
+       |  FROM img
+       |),
+       |txt AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_transform(embedding[1:$PairDims], x -> CAST(x AS DOUBLE)) AS tv
+       |  FROM embeddings
+       |),
+       |ntxt AS (
+       |  SELECT doc_id,
+       |    list_transform(tv, x -> x / sqrt(${Similarity.dotSql("tv", "tv")})) AS nt
+       |  FROM txt
+       |),
+       |scored AS (
+       |  SELECT i.doc_id, ${Similarity.dotSql("i.nf", "t.nt")} AS cosv
+       |  FROM nimg i JOIN ntxt t ON t.doc_id = i.doc_id
+       |)
+       |SELECT doc_id, ${roundHalfUpSql("cosv", 6)} AS clip_score,
+       |  cosv >= $PairTau AS keep,
+       |  CAST(LEAST(9.0, FLOOR((cosv + 1.0) / 2.0 * 10.0)) AS INT)
+       |    AS score_decile
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact dedup of the BINARY modality — the dedup family's reach
     * into media: group payloads by content hash, keep the min-doc_id
     * survivor (the same deterministic rule as `dedup_exact`), report
@@ -482,6 +574,7 @@ object Multimodal {
        |ORDER BY doc_id, seg_start""".stripMargin
 
   val defs: Seq[OpDef] = Seq(
+    OpDef("mm_text_pair_filter", mmTextPairFilter _, pairFilterOracle),
     OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),

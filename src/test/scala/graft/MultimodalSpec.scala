@@ -141,6 +141,29 @@ class MultimodalSpec extends SparkSpecBase {
     m.groupBy("doc_id").agg(count(lit(1)).as("n"))
   }
 
+  test("pair filter keeps the planted matched pair and drops the mismatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // matched: text vector is 2x the image features (cosine exactly 1,
+    // top decile); mismatched: negated features (cosine -1, decile 0);
+    // noise: a vector orthogonal to fv in its first two dims
+    val f = Array(0.5, 0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8)
+    val img = Seq((1L, f), (2L, f)).toDF("doc_id", "fv")
+    val txt = Seq((1L, f.map(_ * 2.0)), (2L, f.map(-_)))
+      .toDF("doc_id", "tv")
+    val r = ops.Multimodal.pairFilter(spark, img, txt).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getBoolean(2), x.getInt(3), x.getDouble(1)))).toMap
+    assert(r(1L)._1 && r(1L)._2 === 9 && math.abs(r(1L)._3 - 1.0) < 1e-6)
+    assert(!r(2L)._1 && r(2L)._2 === 0 && math.abs(r(2L)._3 + 1.0) < 1e-6)
+    // gate/decile arithmetic holds over the real corpus too
+    val full = SparkEntry.queries("mm_text_pair_filter")(spark, sf)
+    assert(full.filter(col("keep") =!= (col("clip_score") >= 0.2)).count()
+      <= full.count() / 100) // 6-dp rounding can straddle the gate edge
+    assert(full.filter(col("score_decile") < 0 || col("score_decile") > 9)
+      .count() === 0)
+  }
+
   test("mm_phash recalls every exact-duplicate payload pair at hamming 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
