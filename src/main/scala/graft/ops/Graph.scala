@@ -531,6 +531,131 @@ object Graph {
       .orderBy($"component")
   }
 
+  /** One parallel Louvain move phase (Blondel et al. 2008,
+    * arXiv:0803.0476) from the singleton partition — the community-
+    * IMPROVING pass `graph_modularity` (a scorer) lacks. Sequential
+    * Louvain moves one node at a time; a naive all-nodes parallel
+    * round is NOT safe (measured at sf0.01: label swaps between
+    * restless singletons, then — with one side pinned — whole customer
+    * cohorts herding onto the lowest-degree suppliers, Σdeg_c²
+    * exploding 25M → 512M and the batch LOSING modularity). The safe
+    * parallel subset shipped here: (1) only the even color moves (an
+    * exact 2-coloring of the bipartite co-order graph — movers are
+    * pairwise non-adjacent and every target community is stationary);
+    * (2) each target community admits ONE mover (best gain, then
+    * smallest node) — with unshared stationary targets the batch's ΔQ
+    * is EXACTLY the sum of the individual gains, so a committed round
+    * can only increase Q. The whole batch is still gated on the exact
+    * modularity ordering (general graphs lose the additivity
+    * guarantee; if Q would decrease the partition stands and
+    * q_after = q_before). A full Louvain alternates colors and
+    * re-derives gains round over round — this op is one such round,
+    * the unit the loop repeats.
+    *
+    * All gain/gate arithmetic is exact integers over the directed-
+    * symmetric list: with M directed edges, moving node i (degree k,
+    * own-community degree deg_a, d_ia internal edges) into community b
+    * satisfies ΔQ·M² = 2M(d_ib − d_ia) − 2k(deg_b − deg_a) − 2k², and
+    * Q·M² = in_total·M − Σ_c deg_c² — so the argmax, the positivity
+    * test, and the accept gate never compare floats (BIGINT-safe while
+    * in_total·M < 2⁶³, i.e. to ~3·10⁹ directed edges; past that the
+    * gate comparison moves to DECIMAL, nothing else changes).
+    *
+    * Scale: d_ic is one edge⋈label join folded map-side onto
+    * (node, community) rows; candidate gains join that frame against
+    * the ≤|communities| degree table; the per-node argmax window
+    * partitions on node (never global); the two Q evaluations are
+    * keyed joins + one-row aggregates. No stage touches N² anything. */
+  private def graphLouvainStep(s: SparkSession, d: String) = {
+    louvainStepOf(s, coOrderEdges(s, d).cache())
+  }
+
+  /** The move phase over any `(node, label)` base partition — split
+    * out so GraphSpec can drive the two-triangles hand case. */
+  private[graft] def louvainStepOf(s: SparkSession,
+                                   edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val mTot = edges.agg(count(lit(1)).as("m")) // 1 row
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
+      .withColumnRenamed("src", "node").cache()
+    // Singleton base specializes the general gain
+    // 2M(d_ib−d_ia) − 2k(deg_b−deg_a) − 2k² to 2M − 2·k_src·k_dst per
+    // DISTINCT edge (d_ia = 0, deg_a = k, d_ib = 1): no label joins,
+    // no (node, community) fold — two degree lookups per edge row.
+    // Half-coloring: only EVEN nodes move this phase (an exact
+    // 2-coloring of the bipartite co-order graph — movers pairwise
+    // non-adjacent, targets stationary). The DuckDB oracle keeps the
+    // GENERAL formulation, so the hash gate proves this specialized
+    // derivation equals the textbook algorithm.
+    val cand = edges.filter($"src" % 2 === 0)
+      .join(deg.select($"node".as("src"), $"k"), "src")
+      .join(deg.select($"node".as("dst"), $"k".as("kb")), "dst")
+      .crossJoin(broadcast(mTot))
+      .select($"src".as("node"), $"dst".as("b"),
+        (lit(2L) * $"m" - lit(2L) * $"k" * $"kb").as("gain"))
+    val w = Window.partitionBy($"node").orderBy($"gain".desc, $"b".asc)
+    // Per-TARGET capacity 1 (best gain wins the slot): movers are then
+    // pairwise non-adjacent with stationary, unshared targets, so the
+    // batch's ΔQ is EXACTLY Σ individual gains > 0 on the bipartite
+    // graph — without the cap the per-node "best" move herds whole
+    // customer cohorts onto the lowest-degree suppliers and the
+    // (Σk_i)² degree cross-terms swamp the 1-edge in-gains (measured
+    // at sf0.01: Σdeg_c² 25M → 512M, batch rejected).
+    val wt = Window.partitionBy($"b").orderBy($"gain".desc, $"node".asc)
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"gain" > 0)
+      .withColumn("tr", row_number().over(wt))
+      .filter($"tr" === 1)
+      .select($"node", $"b").cache()
+    val moved = deg.select($"node").join(best, Seq("node"), "left")
+      .select($"node", coalesce($"b", $"node").as("label"))
+    // Community stats in closed form — the gate's Q integers AND the
+    // output rows derive from these frames; accepted node labels never
+    // rejoin the edge list. Base (singletons): n_in = 0, degree = k.
+    // Moved: group members by final label; a community has internal
+    // edges (exactly 2: the one mover-target edge, both directions)
+    // iff it received a mover AND its anchor node itself stayed.
+    val sbst = deg.select($"node".as("label"),
+      lit(1L).as("n_nodes"), lit(0L).as("n_in"), $"k".as("degree_sum"))
+      .cache()
+    val inC = best.join(best.select($"node".as("b2")),
+        $"b" === $"b2", "left_anti")
+      .select($"b".as("label"), lit(2L).as("n_in"))
+    val smst = moved.join(deg, "node").groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum($"k").as("degree_sum"))
+      .join(inC, Seq("label"), "left")
+      .select($"label", $"n_nodes",
+        coalesce($"n_in", lit(0L)).as("n_in"), $"degree_sum")
+      .cache()
+    def qof(st: DataFrame) = st.agg(sum($"n_in").as("it"),
+      sum($"degree_sum" * $"degree_sum").as("s2"))
+    val qcmp = qof(sbst).select($"it".as("ib"), $"s2".as("sb"))
+      .crossJoin(qof(smst).select($"it".as("im"), $"s2".as("sm")))
+      .crossJoin(mTot)
+      .withColumn("acc", $"im" * $"m" - $"sm" >= $"ib" * $"m" - $"sb")
+      .withColumn("qbd",
+        lit(1.0) * $"ib" / $"m" - lit(1.0) * $"sb" / $"m" / $"m")
+      .withColumn("qad", when($"acc",
+        lit(1.0) * $"im" / $"m" - lit(1.0) * $"sm" / $"m" / $"m")
+        .otherwise($"qbd"))
+      .select($"acc", roundHalfUp($"qbd", 6).as("q_before"),
+        roundHalfUp($"qad", 6).as("q_after"))
+      .cache() // 1 row, three consumers
+    val accFlag = broadcast(qcmp.select($"acc"))
+    val accepted = smst.crossJoin(accFlag).filter($"acc")
+      .unionByName(sbst.crossJoin(accFlag).filter(!$"acc"))
+    accepted
+      .crossJoin(broadcast(mTot))
+      .select($"label".as("component"), $"n_nodes",
+        $"n_in".as("internal_edges"), $"degree_sum",
+        roundHalfUp(lit(1.0) * $"n_in" / $"m" -
+          (lit(1.0) * $"degree_sum" / $"m") *
+            (lit(1.0) * $"degree_sum" / $"m"), 6).as("contribution"))
+      .crossJoin(broadcast(qcmp.select($"q_before", $"q_after")))
+      .orderBy($"component")
+  }
+
   private def modularityOracle: String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""l$i AS (
@@ -579,6 +704,123 @@ object Graph {
        |  d.degree_sum,
        |  $contrib AS contribution
        |FROM dsum d CROSS JOIN mt m LEFT JOIN inc i ON i.label = d.label
+       |ORDER BY component""".stripMargin
+  }
+
+  /** Oracle twin of [[graphLouvainStep]]: singleton base, integer
+    * gains/argmax, the exact-integer accept gate, modularity rows over
+    * the accepted partition. Multi-referenced CTEs MATERIALIZED (the
+    * kcore inlining rule). */
+  private def louvainOracle: String = {
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |base AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |),
+       |mt AS (SELECT COUNT(*) AS m FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY src
+       |),
+       |cdeg AS MATERIALIZED (
+       |  SELECT b.label, SUM(d.k) AS degc
+       |  FROM base b JOIN deg d ON d.node = b.node GROUP BY b.label
+       |),
+       |dic AS MATERIALIZED (
+       |  SELECT e.src AS node, lb.label AS c, COUNT(*) AS dcount
+       |  FROM edges e JOIN base lb ON lb.node = e.dst
+       |  GROUP BY e.src, lb.label
+       |),
+       |selfx AS (
+       |  SELECT b.node, b.label AS a, d.k, ca.degc AS deg_a,
+       |    COALESCE(o.dcount, 0) AS d_ia
+       |  FROM base b
+       |  JOIN deg d ON d.node = b.node
+       |  JOIN cdeg ca ON ca.label = b.label
+       |  LEFT JOIN dic o ON o.node = b.node AND o.c = b.label
+       |),
+       |cand AS (
+       |  SELECT f.node, t.c AS b,
+       |    2 * m.m * (t.dcount - f.d_ia) - 2 * f.k * (cb.degc - f.deg_a)
+       |      - 2 * f.k * f.k AS gain
+       |  FROM selfx f
+       |  JOIN dic t ON t.node = f.node AND t.c <> f.a
+       |  JOIN cdeg cb ON cb.label = t.c
+       |  CROSS JOIN mt m
+       |  WHERE f.node % 2 = 0
+       |),
+       |best AS (
+       |  SELECT node, b FROM (
+       |    SELECT node, b, gain, ROW_NUMBER() OVER (PARTITION BY b
+       |      ORDER BY gain DESC, node ASC) AS tr
+       |    FROM (
+       |      SELECT node, b, gain, ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY gain DESC, b ASC) AS rn FROM cand) t
+       |    WHERE rn = 1 AND gain > 0) u
+       |  WHERE tr = 1
+       |),
+       |moved AS MATERIALIZED (
+       |  SELECT b.node, COALESCE(bs.b, b.label) AS label
+       |  FROM base b LEFT JOIN best bs ON bs.node = b.node
+       |),
+       |mdeg AS (
+       |  SELECT mv.label, SUM(d.k) AS degc
+       |  FROM moved mv JOIN deg d ON d.node = mv.node GROUP BY mv.label
+       |),
+       |qb AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM edges e JOIN base x ON x.node = e.src
+       |      JOIN base y ON y.node = e.dst AND y.label = x.label) AS ib,
+       |    (SELECT SUM(degc * degc) FROM cdeg) AS sb
+       |),
+       |qm AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM edges e JOIN moved x ON x.node = e.src
+       |      JOIN moved y ON y.node = e.dst AND y.label = x.label) AS im,
+       |    (SELECT SUM(degc * degc) FROM mdeg) AS sm
+       |),
+       |qc AS MATERIALIZED (
+       |  SELECT (qm.im * m.m - qm.sm) >= (qb.ib * m.m - qb.sb) AS acc,
+       |    1.0 * qb.ib / m.m - 1.0 * qb.sb / m.m / m.m AS qbd,
+       |    CASE WHEN (qm.im * m.m - qm.sm) >= (qb.ib * m.m - qb.sb)
+       |      THEN 1.0 * qm.im / m.m - 1.0 * qm.sm / m.m / m.m
+       |      ELSE 1.0 * qb.ib / m.m - 1.0 * qb.sb / m.m / m.m END AS qad
+       |  FROM qb CROSS JOIN qm CROSS JOIN mt m
+       |),
+       |final AS MATERIALIZED (
+       |  SELECT b.node,
+       |    CASE WHEN qc.acc THEN mv.label ELSE b.label END AS label
+       |  FROM base b JOIN moved mv ON mv.node = b.node CROSS JOIN qc
+       |),
+       |fdsum AS (
+       |  SELECT nl.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(dg.k) AS BIGINT) AS degree_sum
+       |  FROM final nl JOIN deg dg ON dg.node = nl.node GROUP BY nl.label
+       |),
+       |finc AS (
+       |  SELECT a.label, COUNT(*) AS n_in
+       |  FROM edges e
+       |  JOIN final a ON e.src = a.node
+       |  JOIN final b2 ON e.dst = b2.node AND b2.label = a.label
+       |  GROUP BY a.label
+       |)
+       |SELECT d.label AS component, d.n_nodes,
+       |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
+       |  d.degree_sum,
+       |  $contrib AS contribution,
+       |  ${roundHalfUpSql("qc.qbd", 6)} AS q_before,
+       |  ${roundHalfUpSql("qc.qad", 6)} AS q_after
+       |FROM fdsum d CROSS JOIN mt m LEFT JOIN finc i ON i.label = d.label
+       |CROSS JOIN qc
        |ORDER BY component""".stripMargin
   }
 
@@ -1035,6 +1277,7 @@ object Graph {
     OpDef("graph_degrees", graphDegrees _, degreesOracle),
     OpDef("graph_components", graphComponents _, componentsOracle),
     OpDef("graph_modularity", graphModularity _, modularityOracle),
+    OpDef("graph_louvain_step", graphLouvainStep _, louvainOracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),

@@ -286,4 +286,37 @@ class GraphSpec extends SparkSpecBase {
     assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0,
       "internal edges cannot exceed the community degree sum")
   }
+
+  test("louvain step: two triangles + bridge, the hand-traced round") {
+    import spark.implicits._
+    // nodes 0,1,2 and 3,4,5 are triangles, 2-3 is the bridge; from
+    // singletons the even color moves: 0->cty(1) g=20, 2->cty(0) g=16
+    // (tie 0/1 broken to the smaller label), 4->cty(5) g=20 — targets
+    // all distinct so the capacity cap keeps every move; accepted
+    // partition {0,1},{2},{3},{4,5}: qint -34 -> 6 on M=14
+    val und = Seq((0L,1L),(0L,2L),(1L,2L),(3L,4L),(3L,5L),(4L,5L),(2L,3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = ops.Graph.louvainStepOf(spark, edges).cache()
+    val rows = out.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === Map(0L -> ((1L, 0L)), 1L -> ((2L, 2L)),
+      3L -> ((1L, 0L)), 5L -> ((2L, 2L))))
+    val qs = out.select("q_before", "q_after").distinct().collect()
+    assert(qs.length === 1)
+    assert(qs.head.getDouble(0) === -0.173469) // -34/196, half-up 6dp
+    assert(qs.head.getDouble(1) === 0.030612) // 6/196
+  }
+
+  test("louvain step on the corpus: Q non-decreasing, nodes conserved") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_louvain_step")(spark, sf).cache()
+    val qs = out.select("q_before", "q_after").distinct().collect()
+    assert(qs.length === 1, "q scalars must be constant across rows")
+    assert(qs.head.getDouble(1) >= qs.head.getDouble(0),
+      "the gate must never commit a Q-decreasing round")
+    // node conservation vs the raw co-order node set
+    val comps = SparkEntry.queries("graph_components")(spark, sf)
+    assert(out.agg(sum("n_nodes")).head.getLong(0) === comps.count())
+    assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
+  }
 }
