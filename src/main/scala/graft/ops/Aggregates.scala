@@ -341,34 +341,55 @@ object Aggregates {
        |FROM bitmap b JOIN exact e ON e.event_type = b.event_type
        |ORDER BY b.event_type""".stripMargin
 
-  // Quantile-sketch geometry: 32 equal-width buckets over [0, 512)
-  // (events.value spans ~[0, 490]) and a 7-day trailing merge window.
-  private val QsBuckets = 32
-  private val QsStep = 16
+  // Quantile-sketch geometry: bucket COUNT scales as √N from a one-row
+  // stats job (floored at 32, capped explicitly at 2^20 counters so
+  // per-day state is bounded — the cap is in BOTH engines, never
+  // silent), bucket WIDTH is the integer step covering the measured
+  // [min, max] value range. 7-day trailing merge window.
+  private val QsMinBuckets = 32
+  private val QsMaxBuckets = 1048576
   private val QsWindow = 7
 
   /** Mergeable quantile sketch with period rollup — the quantile twin
-    * of `sketch_rolling_distinct`: each day's `value` distribution
-    * collapses to a fixed [[QsBuckets]]-counter equal-width histogram,
-    * and the trailing-[[QsWindow]]-day median estimate comes from
-    * MERGING those daily sketches (counter addition — no re-scan of
-    * event rows), reported as the bucket containing the merged p50
-    * with its exact-error bounds (the bucket's edges).
+    * of `sketch_rolling_distinct`, with the same production geometry
+    * treatment: a one-row stats job measures N and the value range,
+    * buckets = max([[QsMinBuckets]], ⌈√N⌉) (capped at
+    * [[QsMaxBuckets]]), step = the integer width covering the range —
+    * so the error bound is STATED and shrinking: p50 lies in
+    * [p50_lo, p50_hi), a band of width step = max(1, ⌈range/√N⌉),
+    * instead of the old fixed 32×16 grid whose error was frozen at 16
+    * and whose clamp silently swallowed any value past 512. Each day's
+    * distribution collapses to ≤ buckets counters; the trailing
+    * [[QsWindow]]-day estimate MERGES daily sketches (counter
+    * addition — no re-scan of event rows).
     *
-    * Scale: one map-side-combined aggregate to ≤ |days|×[[QsBuckets]]
-    * sketch rows; the trailing merge explodes day INDEXES over those
-    * SKETCH rows only (never events) and re-aggregates; the p50 walk
-    * is a window over ≤ [[QsBuckets]] rows per day. This is the
-    * pre-aggregated-store shape: persisted daily sketches answer any
-    * trailing-window quantile without touching raw data — the fixed
-    * bucket grid trades accuracy (bounded by [[QsStep]]) for O(1)
-    * merge state, the same deal HLL strikes for distincts. */
+    * Scale: the stats job is one map-side-combined row; daily sketches
+    * are one aggregate onto |days|×occupied-buckets rows (occupancy is
+    * bounded by BOTH the bucket cap and the integer value range —
+    * once step hits 1 the histogram is exact to the integer floor);
+    * the trailing merge explodes day INDEXES over sketch rows only;
+    * the p50 walk is a per-day window over sketch rows. Persisted
+    * daily sketches answer any trailing-window quantile without
+    * touching raw data — the equal-width grid trades accuracy
+    * (bounded, reported per row) for O(1)-merge state, the same deal
+    * HLL strikes for distincts. */
   private def sketchRollingQuantile(s: SparkSession, d: String) = {
     import s.implicits._
+    val geo = Tables.events(s, d)
+      .agg(count(lit(1)).as("nn"),
+        expr("CAST(FLOOR(MIN(value)) AS BIGINT)").as("vmin"),
+        (expr("CAST(FLOOR(MAX(value)) AS BIGINT)") + lit(1L)).as("vmax"))
+      .select($"vmin", $"vmax",
+        least(greatest(lit(QsMinBuckets.toLong),
+          expr("CAST(CEIL(SQRT(nn)) AS BIGINT)")), lit(QsMaxBuckets.toLong))
+          .as("b"))
+      .select($"vmin", $"b",
+        greatest(lit(1L), expr("(vmax - vmin + b - 1) div b")).as("step"))
     val daily = Tables.events(s, d)
-      .select(to_date($"ts").as("day"),
-        least(expr(s"CAST(FLOOR(value / $QsStep) AS INT)"), lit(QsBuckets - 1))
-          .as("bucket"))
+      .select(to_date($"ts").as("day"), $"value")
+      .crossJoin(broadcast(geo))
+      .select($"day", least($"b" - 1,
+        expr("(CAST(FLOOR(value) AS BIGINT) - vmin) div step")).as("bucket"))
       .groupBy($"day", $"bucket").agg(count(lit(1)).as("n"))
     val merged = daily
       .select(explode(expr(s"sequence(day, date_add(day, ${QsWindow - 1}))"))
@@ -382,18 +403,31 @@ object Aggregates {
       .withColumn("total", sum($"n").over(tot))
       .filter($"cum" * 2 >= $"total" &&
         ($"cum" - $"n") * 2 < $"total")
-      .select($"day", $"total".as("n_7d"), $"bucket".as("p50_bucket"),
-        ($"bucket" * QsStep).cast("double").as("p50_lo"),
-        (($"bucket" + 1) * QsStep).cast("double").as("p50_hi"))
+      .crossJoin(broadcast(geo))
+      .select($"day", $"total".as("n_7d"), $"bucket".cast("int").as("p50_bucket"),
+        ($"vmin" + $"bucket" * $"step").cast("double").as("p50_lo"),
+        ($"vmin" + ($"bucket" + 1) * $"step").cast("double").as("p50_hi"))
       .orderBy($"day")
   }
 
   private def rollingQuantileOracle: String =
-    s"""WITH daily AS (
+    s"""WITH geo0 AS (
+       |  SELECT CAST(FLOOR(MIN(value)) AS BIGINT) AS vmin,
+       |    CAST(FLOOR(MAX(value)) AS BIGINT) + 1 AS vmax,
+       |    LEAST(GREATEST($QsMinBuckets, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)),
+       |      $QsMaxBuckets) AS b
+       |  FROM events
+       |),
+       |geo AS (
+       |  SELECT vmin, b, GREATEST(1, (vmax - vmin + b - 1) // b) AS step
+       |  FROM geo0
+       |),
+       |daily AS (
        |  SELECT CAST(ts AS DATE) AS day,
-       |    LEAST(CAST(value // $QsStep AS INT), ${QsBuckets - 1}) AS bucket,
+       |    LEAST(g.b - 1,
+       |      (CAST(FLOOR(value) AS BIGINT) - g.vmin) // g.step) AS bucket,
        |    COUNT(*) AS n
-       |  FROM events GROUP BY 1, 2
+       |  FROM events CROSS JOIN geo g GROUP BY 1, 2
        |),
        |merged AS (
        |  SELECT d.day + CAST(t.k AS INT) AS day, bucket, SUM(n) AS n
@@ -408,9 +442,9 @@ object Aggregates {
        |  FROM merged
        |)
        |SELECT day, CAST(total AS BIGINT) AS n_7d, CAST(bucket AS INT) AS p50_bucket,
-       |  CAST(bucket * $QsStep AS DOUBLE) AS p50_lo,
-       |  CAST((bucket + 1) * $QsStep AS DOUBLE) AS p50_hi
-       |FROM walked
+       |  CAST(g.vmin + bucket * g.step AS DOUBLE) AS p50_lo,
+       |  CAST(g.vmin + (bucket + 1) * g.step AS DOUBLE) AS p50_hi
+       |FROM walked CROSS JOIN geo g
        |WHERE cum * 2 >= total AND (cum - n) * 2 < total
        |ORDER BY day""".stripMargin
 

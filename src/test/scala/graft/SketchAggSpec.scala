@@ -99,6 +99,33 @@ class SketchAggSpec extends SparkSpecBase {
     }
   }
 
+  test("rolling quantile: the reported band contains the exact lower median") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bucketizing is monotone, so the sketch's p50 bucket MUST contain
+    // the true lower median of every trailing window — the band
+    // [p50_lo, p50_hi) is an exact error bound, not an estimate
+    val out = SparkEntry.queries("sketch_rolling_quantile")(spark, sf).cache()
+    val win = Tables.events(spark, sf)
+      .select(explode(expr("sequence(CAST(ts AS DATE), " +
+        "date_add(CAST(ts AS DATE), 6))")).as("day"), $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day").orderBy($"value".asc)
+    val med = win
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tot", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"day")))
+      .filter($"rn" * 2 >= $"tot" && ($"rn" - 1) * 2 < $"tot")
+      .groupBy($"day").agg(min($"value").as("exact_med"))
+    val bad = out.join(med, "day")
+      .filter($"exact_med" < $"p50_lo" || $"exact_med" >= $"p50_hi")
+    assert(bad.count() === 0, "exact lower median escaped the p50 band")
+    // the adaptive geometry's stated bound: band width = one step,
+    // shrinking with sqrt(N) until it floors at the integer grid
+    val widths = out.select(($"p50_hi" - $"p50_lo").as("w")).distinct()
+    assert(widths.count() === 1)
+  }
+
   test("agg_bitmap_overlap: bitmap intersections equal exact pairwise counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
