@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.Exact._
+import graft.functions.TextFns.{hash60, hash60Sql}
 
 /** [EXT] Iterative graph scoring — the Pregel-shaped family beyond the
   * connected components in [[Dedup]] (`dedup_clusters`). PageRank over
@@ -174,7 +175,8 @@ object Graph {
     * jobs bracketed by `localCheckpoint`, so the loop-invariant
     * edges⋈outdeg wiring must be a real cache — pre-partitioned on
     * the per-round join key, the [[componentsConvergedOf]] shape. */
-  private[graft] def pagerankConvergedOf(edges: DataFrame): (DataFrame, Int) = {
+  private[graft] def pagerankConvergedOf(edges: DataFrame,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
@@ -185,9 +187,17 @@ object Graph {
     // edge lineage EVERY round — nothing in the loop caches it — which
     // doubled the per-round cost when first measured.
     val nNodes = wired.select($"src").distinct().count()
-    var ranks = wired.select($"src".as("node")).distinct()
-      .select($"node", roundHalfUp(lit(1.0 / nNodes), 9).as("pr"))
-      .localCheckpoint()
+    val nodes = wired.select($"src".as("node")).distinct()
+    var ranks = (init match {
+      // warm start: stored ranks where present, uniform mass for nodes
+      // the store has never seen (the day's new arrivals)
+      case Some(st) => nodes
+        .join(st.select($"node", $"pr".as("sp")), Seq("node"), "left")
+        .select($"node",
+          coalesce($"sp", roundHalfUp(lit(1.0 / nNodes), 9)).as("pr"))
+      case None => nodes
+        .select($"node", roundHalfUp(lit(1.0 / nNodes), 9).as("pr"))
+    }).localCheckpoint()
     var round = 0
     var dm = Double.MaxValue
     while (round < PrMaxRounds && dm >= PrTol) {
