@@ -39,9 +39,23 @@ object Graph {
     * co-order graph). Every node in the graph has outdeg ≥ 1 by
     * construction, so no dangling-mass handling is needed — and the
     * oracle needs none either. */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    coOrderEdgesOf(s, d, oldOnly = false)
+
+  /** [[coOrderEdges]] with an optional deterministic "yesterday" cut:
+    * `oldOnly = true` drops the ~10% of ORDERS whose
+    * `hash60("inc:" || o_orderkey) % 10 = 0` — the same increment
+    * convention the dedup family uses on doc ids — BEFORE the distinct
+    * pair projection, so the old edge set is exactly what a store
+    * built before today's order batch would contain. */
+  private def coOrderEdgesOf(s: SparkSession, d: String,
+                             oldOnly: Boolean): DataFrame = {
     import s.implicits._
-    val co = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+    val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+    val base = if (oldOnly)
+      ord.filter(hash60(concat(lit("inc:"), $"o_orderkey")) % 10 =!= 0)
+    else ord
+    val co = base
       .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
@@ -92,17 +106,18 @@ object Graph {
     * round AND two delta probes AND the final round-pick union —
     * without it DuckDB's inlining re-expands the whole prefix per
     * reference (the `graph_kcore` spill lesson). */
-  private def prRoundSql(i: Int, mat: Boolean = false): String = {
-    val contrib = roundHalfUpSql(s"r${i - 1}.pr / d.outdeg", 12)
+  private def prRoundSql(i: Int, mat: Boolean = false,
+                         p: String = ""): String = {
+    val contrib = roundHalfUpSql(s"${p}r${i - 1}.pr / d.outdeg", 12)
     val damped = roundHalfUpSql(
       s"${1.0 - Damping} / n.n_nodes + $Damping * " +
         s"CAST(SUM(CAST($contrib AS DECIMAL(27,12))) AS DOUBLE)", 9)
-    s"""r$i AS ${if (mat) "MATERIALIZED " else ""}(
+    s"""${p}r$i AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT e.dst AS node, $damped AS pr
-       |  FROM edges e
-       |  JOIN deg d ON d.src = e.src
-       |  JOIN r${i - 1} ON r${i - 1}.node = e.src
-       |  CROSS JOIN n
+       |  FROM ${p}edges e
+       |  JOIN ${p}deg d ON d.src = e.src
+       |  JOIN ${p}r${i - 1} ON ${p}r${i - 1}.node = e.src
+       |  CROSS JOIN ${p}n n
        |  GROUP BY e.dst, n.n_nodes
        |)""".stripMargin
   }
@@ -236,22 +251,37 @@ object Graph {
     * All rounds are `AS MATERIALIZED`: r{i} is referenced by r{i+1},
     * two delta probes, and the round-pick union, and DuckDB's default
     * inlining would re-expand the whole prefix per reference. */
-  private def pagerankConvergedOracle: String = {
-    val rounds = (1 to PrMaxRounds).map(prRoundSql(_, mat = true))
+  /** The unrolled tolerance loop as CTE text: `${p}r1..${p}r{max}`
+    * rounds off a caller-provided `${p}r0`/`${p}edges`/`${p}deg`/
+    * `${p}n`, the per-round delta probes, the stop pick, and
+    * `${p}allr` — shared by the converged and incremental oracles so
+    * every variant walks bit-identical round arithmetic. */
+  private def prUnrolledSql(p: String): String = {
+    val rounds = (1 to PrMaxRounds).map(prRoundSql(_, mat = true, p = p))
       .mkString(",\n")
     val deltas = (1 to PrMaxRounds).map { i =>
-      s"""d$i AS MATERIALIZED (
+      s"""${p}d$i AS MATERIALIZED (
          |  SELECT $i AS round,
          |    CAST(SUM(CAST(${roundHalfUpSql("ABS(a.pr - b.pr)", 9)}
          |      AS DECIMAL(27,12))) AS DOUBLE) AS dm
-         |  FROM r$i a JOIN r${i - 1} b ON a.node = b.node
+         |  FROM ${p}r$i a JOIN ${p}r${i - 1} b ON a.node = b.node
          |)""".stripMargin
     }.mkString(",\n")
-    val dunion = (1 to PrMaxRounds).map(i => s"SELECT * FROM d$i")
+    val dunion = (1 to PrMaxRounds).map(i => s"SELECT * FROM ${p}d$i")
       .mkString(" UNION ALL ")
     val runion = (1 to PrMaxRounds)
-      .map(i => s"SELECT $i AS round, node, pr FROM r$i")
+      .map(i => s"SELECT $i AS round, node, pr FROM ${p}r$i")
       .mkString(" UNION ALL ")
+    s"""$rounds,
+       |$deltas,
+       |${p}stop AS (
+       |  SELECT CAST(COALESCE(MIN(round), $PrMaxRounds) AS INT) AS sr
+       |  FROM ($dunion) t WHERE dm < $PrTol
+       |),
+       |${p}allr AS ($runion)""".stripMargin
+  }
+
+  private def pagerankConvergedOracle: String = {
     s"""WITH co AS (
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -267,16 +297,103 @@ object Graph {
        |  SELECT src AS node, ${roundHalfUpSql("1.0 / n.n_nodes", 9)} AS pr
        |  FROM deg CROSS JOIN n
        |),
-       |$rounds,
-       |$deltas,
-       |stop AS (
-       |  SELECT CAST(COALESCE(MIN(round), $PrMaxRounds) AS INT) AS sr
-       |  FROM ($dunion) t WHERE dm < $PrTol
-       |),
-       |allr AS ($runion)
+       |${prUnrolledSql("")}
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        |  node // 2 AS node_key, pr, s.sr AS rounds_run
        |FROM allr CROSS JOIN stop s WHERE allr.round = s.sr
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
+  /** Incremental PageRank — rank maintenance under edge ingest, the
+    * last member of the incremental family (pairs, clusters, lexical,
+    * SCD2, semantic, IVF/IVFPQ already maintain their stores). The
+    * store is yesterday's converged rank vector over the old edge set
+    * (deterministic ~10% of ORDERS held out as today's batch, the
+    * dedup family's `hash60("inc:"||key) % 10` convention); today's
+    * merge WARM-STARTS [[pagerankConvergedOf]] from that vector —
+    * stored ranks where present, uniform teleport mass for nodes the
+    * store has never seen — and re-converges on the full graph.
+    *
+    * The op's value is the measured round count: the warm start's
+    * initial displacement from the new fixpoint is only the
+    * increment's perturbation, so the L1 delta mass starts far below
+    * the cold start's oscillating teleport series and the tolerance
+    * loop stops at `rounds_warm` = 1 (measured at sf0.01 AND sf0.1)
+    * vs the cold start's scale-invariant 12
+    * (`graph_pagerank_converged`) — the nightly superstep bill
+    * collapses to the store read plus one merge round, queryable from
+    * the output instead of asserted in prose. Store round-trip
+    * (parquet write → read → warm start) is spec-proven identical to
+    * the in-query stand-in, the `scd2_incremental` pattern.
+    *
+    * Scale: both loops are the converged op's two-shuffle supersteps;
+    * the store is one (node, pr) row per vertex — the artifact a
+    * 1000-executor nightly job persists. Nothing here is
+    * increment²-shaped; the warm loop's per-round cost equals the cold
+    * loop's, the saving is purely the round count. */
+  private def graphPagerankIncremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    val (store, rStore) =
+      pagerankConvergedOf(coOrderEdgesOf(s, d, oldOnly = true))
+    val (ranks, rWarm) = pagerankConvergedOf(coOrderEdges(s, d), Some(store))
+    ranks.select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"), $"pr",
+        lit(rStore).cast("int").as("rounds_store"),
+        lit(rWarm).cast("int").as("rounds_warm"))
+      .orderBy($"node_type", $"node_key")
+  }
+
+  /** Oracle: the converged unroll TWICE — once over the old edge set
+    * (prefix `st`, producing the store vector at its own stop round),
+    * once over the full graph with `r0 = COALESCE(store.pr, 1/n)`
+    * (the warm init) — so DuckDB walks the exact store-build and
+    * re-converge arithmetic the engine's two loops execute. */
+  private def pagerankIncrementalOracle: String = {
+    s"""WITH stco AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  WHERE ${hash60Sql("'inc:' || o.o_orderkey")} % 10 <> 0
+       |),
+       |stedges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM stco
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM stco
+       |),
+       |stdeg AS (SELECT src, COUNT(*) AS outdeg FROM stedges GROUP BY src),
+       |stn AS (SELECT COUNT(*) AS n_nodes FROM stdeg),
+       |str0 AS MATERIALIZED (
+       |  SELECT src AS node, ${roundHalfUpSql("1.0 / n.n_nodes", 9)} AS pr
+       |  FROM stdeg CROSS JOIN stn n
+       |),
+       |${prUnrolledSql("st")},
+       |store AS MATERIALIZED (
+       |  SELECT node, pr FROM stallr CROSS JOIN ststop s
+       |  WHERE stallr.round = s.sr
+       |),
+       |co AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS MATERIALIZED (
+       |  SELECT d.src AS node,
+       |    COALESCE(st.pr, ${roundHalfUpSql("1.0 / n.n_nodes", 9)}) AS pr
+       |  FROM deg d CROSS JOIN n LEFT JOIN store st ON st.node = d.src
+       |),
+       |${prUnrolledSql("")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, pr,
+       |  sts.sr AS rounds_store, s.sr AS rounds_warm
+       |FROM allr CROSS JOIN stop s CROSS JOIN ststop sts
+       |WHERE allr.round = s.sr
        |ORDER BY node_type, node_key""".stripMargin
   }
 
@@ -655,7 +772,7 @@ object Graph {
     val accFlag = broadcast(qcmp.select($"acc"))
     val accepted = smst.crossJoin(accFlag).filter($"acc")
       .unionByName(sbst.crossJoin(accFlag).filter(!$"acc"))
-    accepted
+    val out = accepted
       .crossJoin(broadcast(mTot))
       .select($"label".as("component"), $"n_nodes",
         $"n_in".as("internal_edges"), $"degree_sum",
@@ -664,6 +781,13 @@ object Graph {
             (lit(1.0) * $"degree_sum" / $"m"), 6).as("contribution"))
       .crossJoin(broadcast(qcmp.select($"q_before", $"q_after")))
       .orderBy($"component")
+      // ≤|communities| rows: eager-checkpoint so the op's caches have
+      // served their (single-materialization) purpose here, then drop
+      // them — repeated calls in a long-lived session must not
+      // accumulate cached blocks
+      .localCheckpoint()
+    Seq(deg, best, sbst, smst, qcmp, edges).foreach(_.unpersist(false))
+    out
   }
 
   private def modularityOracle: String = {
@@ -1281,6 +1405,8 @@ object Graph {
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_similarity", graphSimilarity _, similarityOracle),
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
+    OpDef("graph_pagerank_incremental", graphPagerankIncremental _,
+      pagerankIncrementalOracle),
     OpDef("graph_pagerank_converged", graphPagerankConverged _,
       pagerankConvergedOracle),
     OpDef("graph_triangles", graphTriangles _, trianglesOracle),

@@ -319,4 +319,59 @@ class GraphSpec extends SparkSpecBase {
     assert(out.agg(sum("n_nodes")).head.getLong(0) === comps.count())
     assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
   }
+
+  test("incremental pagerank: the store round-trips through parquet") {
+    import spark.implicits._
+    // old: a 6-cycle; today's batch attaches a pendant 7-8 edge to
+    // node 1 — the warm start must coalesce uniform mass for 7 and 8
+    val oldU = (1L to 6L).map(i => (i, i % 6 + 1))
+    val oldE = (oldU ++ oldU.map(_.swap)).toDF("src", "dst")
+    val fullU = oldU ++ Seq((1L, 7L), (7L, 8L))
+    val fullE = (fullU ++ fullU.map(_.swap)).toDF("src", "dst")
+    val (store, rs) = ops.Graph.pagerankConvergedOf(oldE)
+    assert(rs >= 1)
+    val (warm, rw) = ops.Graph.pagerankConvergedOf(fullE, Some(store))
+    val dir = java.nio.file.Files.createTempDirectory("prstore").toString
+    store.write.mode("overwrite").parquet(dir)
+    val (warm2, rw2) =
+      ops.Graph.pagerankConvergedOf(fullE, Some(spark.read.parquet(dir)))
+    assert(rw2 === rw)
+    val a = warm.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = warm2.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b, "parquet store and in-query store must be identical")
+    assert(a.map(_._1).toSet === (1L to 8L).toSet)
+    // warm init carries 1 (the old fixpoint) + 2/8 (uniform mass for
+    // the two unseen nodes) = 1.25; each round contracts the excess by
+    // the damping factor, so mass must sit strictly inside (1, 1.25]
+    // until full convergence — and every node must hold positive rank
+    val mass = a.map(_._2).sum
+    assert(mass > 1.0 - 1e-9 && mass <= 1.25 + 1e-9,
+      s"warm mass outside the contraction envelope: $mass after $rw rounds")
+    assert(a.forall(_._2 > 0.0), "a node lost all rank under warm start")
+  }
+
+  test("incremental pagerank on the corpus: warm rounds beat the cold start") {
+    import spark.implicits._
+    val inc =
+      SparkEntry.queries("graph_pagerank_incremental")(spark, sf).cache()
+    val rounds = inc.select("rounds_store", "rounds_warm").distinct().collect()
+    assert(rounds.length === 1, "round counts must be constant across rows")
+    val (rStore, rWarm) = (rounds.head.getInt(0), rounds.head.getInt(1))
+    val cold = SparkEntry.queries("graph_pagerank_converged")(spark, sf)
+      .select("rounds_run").head.getInt(0)
+    assert(rWarm >= 1 && rWarm < cold,
+      s"warm start ($rWarm) must re-converge in fewer rounds than cold ($cold)")
+    assert(rStore >= 1 && rStore < ops.Graph.PrMaxRoundsForSpec)
+    // the warm fixpoint covers exactly the full co-order node set
+    val coldN = SparkEntry.queries("graph_pagerank_converged")(spark, sf).count()
+    assert(inc.count() === coldN)
+    // mass = 1 + damped excess from store-unseen nodes (uniform init);
+    // on this corpus every node appears in some old order, so the
+    // envelope is tight — but state the invariant, not the accident
+    val mass = inc.agg(sum(col("pr"))).head.getDouble(0)
+    assert(mass > 1.0 - 1e-4 && mass < 1.05,
+      s"rank mass outside the warm-start envelope: $mass")
+  }
 }
