@@ -1000,6 +1000,120 @@ object TextAnalysis {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Packs (doc_id, position) into one BIGINT so "global first
+    * occurrence" is a plain MIN — valid while positions stay below
+    * 2²⁰ tokens/doc and doc ids below 2⁴³ (both generous at 100 TB;
+    * the pack constant is the documented bound, not a magic number). */
+  private val ExPosW = 1048576L
+
+  /** Maximal-span EXCISION — the acting half of the ExactSubstr dedup
+    * recipe (Lee et al., arXiv:2107.06499) whose measuring half is
+    * `text_dup_spans`: that op scores how much of each doc is
+    * cross-doc duplicated; this one emits the concrete token intervals
+    * a rewrite job removes. Same [[SpanK]]-token hashed spans (built
+    * row-local, shuffled only as 60-bit hashes); a span occurrence is
+    * excisable when the span appears in ≥ 2 DISTINCT docs and the
+    * occurrence is not the corpus-wide FIRST (min packed
+    * (doc_id, pos) — the keep-one-copy rule, so every duplicated span
+    * provably survives somewhere); per doc, excisable K-token
+    * intervals merge into maximal spans via gaps-and-islands (running
+    * max of interval ends over a doc-keyed window — never global).
+    * Output: one row per maximal span, 1-based inclusive token
+    * interval — the removal manifest.
+    *
+    * Honest caveats, same as the production implementations: the
+    * keep-one guarantee is per-GRAM (an overlapping DIFFERENT gram's
+    * span may still clip tokens of a kept occurrence), and within-doc
+    * self-repetition alone never excises (cross-doc only —
+    * within-doc is `text_repetition`'s signal).
+    *
+    * Scale: one shuffle on span hash (map-side-combined agg to
+    * (nd, first-key) per gram), one hash join back, one doc-keyed
+    * window chain — the suffix array this approximates does not
+    * shard; this does. */
+  private def textSpanExcise(s: SparkSession, d: String) =
+    spanExcise(s, Tables.documents(s, d))
+
+  /** [[textSpanExcise]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def spanExcise(s: SparkSession, docs: DataFrame) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val occ = docs
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", posexplode(wordShingles("w", SpanK)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("p"),
+        hash60(concat(lit("ss:"), $"col")).as("h"))
+    // two-level fold instead of count_distinct+min in one agg: the
+    // mixed distinct/plain form plans an Expand (2x rows through the
+    // shuffle); (h, doc) then (h) keeps both stages map-side combined
+    val first = occ
+      .groupBy($"h", $"doc_id")
+      .agg(min($"doc_id" * ExPosW + $"p").as("k"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("nd"), min($"k").as("fk"))
+      .filter($"nd" >= 2)
+    val excise = occ.join(first, "h")
+      .filter($"doc_id" * ExPosW + $"p" =!= $"fk")
+      .select($"doc_id", $"p")
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"p".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"p".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    excise
+      .withColumn("pe", max($"p" + lit(SpanK - 1)).over(wPrev))
+      .withColumn("brk",
+        when($"pe".isNull || $"p" > $"pe" + 1, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(wRun))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"p").as("span_start"),
+        (max($"p") + lit(SpanK - 1).cast("long")).as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1L).as("span_tokens"))
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private def spanExciseOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS words FROM documents
+       |),
+       |pos AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(words) - ${SpanK - 2})) AS p, words
+       |  FROM toks WHERE len(words) >= $SpanK
+       |),
+       |occ AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    ${hash60Sql(
+              s"'ss:' || array_to_string(words[p:p+${SpanK - 1}], ' ')")} AS h
+       |  FROM pos
+       |),
+       |first AS (
+       |  SELECT h, MIN(doc_id * $ExPosW + p) AS fk
+       |  FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+       |),
+       |ex AS (
+       |  SELECT o.doc_id, o.p FROM occ o JOIN first f ON o.h = f.h
+       |  WHERE o.doc_id * $ExPosW + o.p <> f.fk
+       |),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    MAX(p + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM ex
+       |),
+       |grp AS (
+       |  SELECT doc_id, p,
+       |    SUM(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id, MIN(p) AS span_start,
+       |  MAX(p) + ${SpanK - 1} AS span_end,
+       |  MAX(p) + ${SpanK - 1} - MIN(p) + 1 AS span_tokens
+       |FROM grp GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** BM25 query terms — drawn from the corpus vocabulary. */
   private val BmQuery = Seq("hash", "join", "scan")
 
@@ -1305,6 +1419,7 @@ object TextAnalysis {
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
     OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
+    OpDef("text_span_excise", textSpanExcise _, spanExciseOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences
          |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)

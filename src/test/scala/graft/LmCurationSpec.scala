@@ -107,6 +107,57 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r(3L) === (3L, 0L))
   }
 
+  test("spanExcise: keep-one-copy, overlap merge, and gap preservation") {
+    val block = "one two three four five six seven eight"
+    val tail8 = "two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, s"$block nine ten"),   // 10 tokens, the corpus-first copy
+      (2L, s"$block nine ten"),   // exact dup of doc 1
+      (3L, s"xx yy $tail8 qq"),   // shares doc 1's tokens 2..9 only
+      // two disjoint shared blocks around differing middles (vs doc 5)
+      (4L, s"$block u1 u2 u3 p1 p2 p3 p4 p5 p6 p7 p8"),
+      (5L, s"$block v1 v2 v3 p1 p2 p3 p4 p5 p6 p7 p8")
+    ).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.spanExcise(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    // doc 1 is first everywhere -> keeps every copy (no rows); doc 2's
+    // three overlapping dup windows merge to ONE maximal span [1,10];
+    // doc 3 excises exactly its [3,10] window; docs 4/5 share the
+    // leading block (whose corpus-first copy is DOC 1's, so both
+    // excise it) and the trailing p-block (first in doc 4, so only
+    // doc 5 excises it) but NOT the middles — doc 5's two spans stay
+    // DISJOINT with the gap tokens 9..11 preserved
+    assert(r === Seq(
+      (2L, 1L, 10L, 10L),
+      (3L, 3L, 10L, 8L),
+      (4L, 1L, 8L, 8L),
+      (5L, 1L, 8L, 8L),
+      (5L, 12L, 19L, 8L)), r.toString)
+  }
+
+  test("text_span_excise: manifests are disjoint, in-bounds, and keep-one holds corpus-wide") {
+    val ex = SparkEntry.queries("text_span_excise")(spark, sf).cache()
+    // spans are 1-based, at least SpanK wide, and per-doc disjoint
+    // with a gap (islands merged adjacents, so consecutive spans must
+    // be separated by at least one kept token)
+    assert(ex.filter(col("span_start") < 1 ||
+      col("span_tokens") < 8 ||
+      col("span_tokens") =!= col("span_end") - col("span_start") + 1)
+      .count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val overlaps = ex.withColumn("pe", lag(col("span_end"), 1).over(w))
+      .filter(col("pe").isNotNull && col("span_start") <= col("pe") + 1)
+    assert(overlaps.count() === 0, "maximal spans must be disjoint, non-adjacent")
+    // every excised doc is one text_dup_spans flags, never a clean doc
+    val flagged = SparkEntry.queries("text_dup_spans")(spark, sf)
+      .filter(col("n_dup_spans") > 0).select("doc_id")
+    assert(ex.select("doc_id").distinct()
+      .join(flagged, Seq("doc_id"), "left_anti").count() === 0)
+    ex.unpersist()
+  }
+
   test("bpeMerges: greedy non-overlap within runs, round 2 counts merged symbols") {
     val docs = Seq(
       (1L, "a a a b a b"), // (a,a) run of 2 merges ONCE (greedy non-overlap)
