@@ -102,7 +102,19 @@ object ScaleData {
     }.reduce(_ union _)
     ordCopies.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
-    val counts = Seq("documents", "embeddings", "events", "lineitem", "orders")
+    // customer: copy k shifts c_custkey only — the quasi-identifier
+    // columns (nation, segment, balance) replicate untouched, so the
+    // privacy audit's QI domain stays fixed while every group's
+    // occupancy grows by the factor (the "more users, same
+    // demographics" shape)
+    val cust = Tables.customer(spark, sfDir)
+    val custCopies = (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    custCopies.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val counts = Seq("documents", "embeddings", "events", "lineitem",
+        "orders", "customer")
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor from $sfDir)")
     spark.stop()

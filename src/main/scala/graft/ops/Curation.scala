@@ -738,7 +738,68 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** Minimum group size below which a quasi-identifier combination is
+    * re-identifiable (the classic k-anonymity release bar). */
+  private val KAnonMin = 5L
+
+  /** k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy gate a pipeline runs BEFORE releasing a
+    * user-derived table into a training corpus: group the release
+    * candidate by its quasi-identifier combination (here nation ×
+    * market segment × 1000-unit balance band — the attacker-joinable
+    * attributes) and measure, per group, k = member count
+    * (re-identification risk when k < [[KAnonMin]]) and l = distinct
+    * sensitive values (attribute disclosure even at large k when
+    * l < 2: the group leaks every member's balance). `at_risk` rows
+    * are what a downstream generalize-or-suppress step consumes —
+    * this op is the audit artifact, the remediation ladder is a
+    * policy decision it feeds.
+    *
+    * Scale: the (qi, sensitive)→(qi) two-level fold keeps both
+    * stages map-side combined (no distinct-agg Expand); output is
+    * bounded by the QI domain, never the row count. Negative
+    * balances band with FLOOR (both engines floor toward −∞). */
+  private def privacyKanonymity(s: SparkSession, d: String): DataFrame =
+    kanonymityOf(Tables.customer(s, d))
+
+  /** [[privacyKanonymity]] over an arbitrary customer-shaped frame
+    * (spec hook for planted-group fixtures). */
+  private[graft] def kanonymityOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val qi = cust
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_band"),
+        $"c_acctbal")
+    qi.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band", $"c_acctbal")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(sum($"c").cast("long").as("k"),
+        count(lit(1)).as("l_distinct"))
+      .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"k",
+        $"l_distinct",
+        ($"k" < KAnonMin || $"l_distinct" < 2L).as("at_risk"))
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+  }
+
+  private def kanonymityOracle: String =
+    s"""WITH per_sens AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    c_acctbal, COUNT(*) AS c
+       |  FROM customer
+       |  GROUP BY c_nationkey, c_mktsegment, bal_band, c_acctbal
+       |)
+       |SELECT c_nationkey, c_mktsegment, bal_band,
+       |  CAST(SUM(c) AS BIGINT) AS k,
+       |  COUNT(*) AS l_distinct,
+       |  (CAST(SUM(c) AS BIGINT) < $KAnonMin OR COUNT(*) < 2) AS at_risk
+       |FROM per_sens
+       |GROUP BY c_nationkey, c_mktsegment, bal_band
+       |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
+    OpDef("privacy_kanonymity", privacyKanonymity _, kanonymityOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_report", corpusMixReport _,
       s"""WITH per_lang AS (

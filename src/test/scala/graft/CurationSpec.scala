@@ -113,4 +113,40 @@ class CurationSpec extends SparkSpecBase {
     assert(out.agg(sum("n_gate_pass")).head.getLong(0) === gatePass)
     assert(out.filter(col("n_gate_pass") > col("n_docs")).count() === 0)
   }
+
+  test("kanonymityOf: planted groups pin k, l, banding, and the risk gate") {
+    import spark.implicits._
+    val cust = Seq(
+      // group (1, X, band 0): k=5 with 2 distinct balances -> safe
+      (1, "X", 100.0), (1, "X", 100.0), (1, "X", 100.0),
+      (1, "X", 200.0), (1, "X", 200.0),
+      // group (1, X, band 1): k=2 -> at risk (small)
+      (1, "X", 1500.0), (1, "X", 1600.0),
+      // group (2, Y, band 0): k=6 but ONE balance -> at risk (l < 2)
+      (2, "Y", 50.0), (2, "Y", 50.0), (2, "Y", 50.0),
+      (2, "Y", 50.0), (2, "Y", 50.0), (2, "Y", 50.0),
+      // negative balance floors to band -1
+      (3, "Z", -500.0)
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val r = ops.Curation.kanonymityOf(cust)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2)) ->
+        (x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    assert(r === Map(
+      (1, "X", 0L) -> ((5L, 2L, false)),
+      (1, "X", 1L) -> ((2L, 2L, true)),
+      (2, "Y", 0L) -> ((6L, 1L, true)),
+      (3, "Z", -1L) -> ((1L, 1L, true))), r.toString)
+  }
+
+  test("privacy_kanonymity covers every customer exactly once") {
+    val out = SparkEntry.queries("privacy_kanonymity")(spark, sf).cache()
+    val n = Tables.customer(spark, sf).count()
+    assert(out.agg(sum("k")).head.getLong(0) === n)
+    assert(out.filter(col("l_distinct") > col("k")).count() === 0,
+      "distinct sensitive values can never exceed the group size")
+    assert(out.filter(
+      col("at_risk") =!= (col("k") < 5 || col("l_distinct") < 2))
+      .count() === 0)
+    out.unpersist()
+  }
 }
