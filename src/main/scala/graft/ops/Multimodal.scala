@@ -459,6 +459,129 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private val AfFrameHex = 128 // 64-byte frames, the video framing
+  private val AfPeakMod = 1024L // "peak frequency" bins per frame
+  private val AfFanout = 3 // targets paired per anchor (Wang's zone)
+  private val AfMinVotes = 4 // aligned agreements before a match
+  private val AfMaxKeyDocs = 16 // stop-landmark cap: hub keys dropped
+
+  /** Clip-in-recording AUDIO match via landmark ALIGNMENT (Wang 2003,
+    * the Shazam algorithm) — the capability the shingle family
+    * ([[mmVideoNeardup]]) doesn't have: a set-overlap score says two
+    * payloads share material, alignment voting says WHERE — a short
+    * clip embedded anywhere inside a longer recording produces one
+    * dominant time offset, and that offset is the evidence. Each wav
+    * payload's 64-byte frames hash to a "peak" bin (the spectral-peak
+    * stand-in; with a real codec the same landmarks come from
+    * constellation peaks); every anchor frame pairs with its next
+    * [[AfFanout]] frames into landmark keys (peak_a, peak_b, Δt);
+    * keys seen in ≥ 2 docs — but ≤ [[AfMaxKeyDocs]], the
+    * stop-landmark cut real systems apply to silence/hum hubs — join
+    * across docs, and each cross-doc agreement VOTES for the pair's
+    * time offset t_a − t_b. A true containment stacks its votes on
+    * one offset; coincidental hash hits scatter. Output: the winning
+    * offset per pair with its vote count, kept at ≥ [[AfMinVotes]].
+    *
+    * Scale: payload bytes never shuffle — frames slice and hash in
+    * the scan partition; landmark build is a doc-keyed self-join over
+    * (doc, t, peak) ints; the cross-doc stage joins 8-byte landmark
+    * keys whose bucket width the stop-landmark gate bounds, so pair
+    * work is key-occupancy-bounded, never all-pairs. */
+  private def mmAudioFingerprint(s: SparkSession, d: String) = {
+    import s.implicits._
+    audioFingerprintOf(media(s, d).filter($"format" === "wav")
+      .select($"doc_id", hex($"payload").as("hexp")))
+  }
+
+  /** [[mmAudioFingerprint]] over an arbitrary (doc_id, hexp) frame —
+    * the spec hook for planted clip-inside-recording fixtures. */
+  private[graft] def audioFingerprintOf(a: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    val f = AfFrameHex
+    val peaks = a
+      .withColumn("nf", expr(s"(length(hexp) + ${f - 1}) div $f"))
+      .filter($"nf" >= 2)
+      // slice array projected BEFORE the explode (the codegen-boundary
+      // rule: explode inputs stay trivial), peak hashed per row after
+      .select($"doc_id", expr(
+        s"transform(sequence(0, nf - 1), i -> substring(hexp, i * $f + 1, $f))")
+        .as("frames"))
+      .select($"doc_id", posexplode($"frames"))
+      .select($"doc_id", $"pos".cast("long").as("t"),
+        (hash60(concat(lit("af:"), $"col")) % AfPeakMod).as("fa"))
+    val lm = peaks.as("p").join(
+        peaks.select($"doc_id", $"t".as("tb"), $"fa".as("fb")).as("q"),
+        $"p.doc_id" === $"q.doc_id" &&
+          $"tb" > $"t" && $"tb" <= $"t" + AfFanout)
+      .select($"p.doc_id".as("doc_id"), $"t",
+        hash60(concat_ws(":", lit("afk"), $"fa", $"fb", $"tb" - $"t"))
+          .as("key"))
+    val keyDocs = lm.select($"key", $"doc_id").distinct()
+      .groupBy($"key").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2 && $"n_docs" <= AfMaxKeyDocs)
+      .select($"key")
+    val kept = lm.join(keyDocs, "key")
+    val votes = kept.as("x").join(
+        kept.select($"key", $"doc_id".as("doc_b"), $"t".as("t2")).as("y"),
+        $"x.key" === $"y.key" && $"x.doc_id" < $"doc_b")
+      .groupBy($"x.doc_id".as("doc_a"), $"doc_b",
+        ($"t" - $"t2").as("offset_frames"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"doc_a", $"doc_b")
+      .orderBy($"n_votes".desc, $"offset_frames".asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"n_votes" >= AfMinVotes)
+      .select($"doc_a", $"doc_b", $"offset_frames", $"n_votes")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def audioFingerprintOracle: String = {
+    val f = AfFrameHex
+    s"""WITH $mediaSql,
+       |af0 AS (
+       |  SELECT doc_id, hexp,
+       |    CAST((len(hexp) + ${f - 1}) // $f AS INT) AS nf
+       |  FROM media WHERE format = 'wav'
+       |),
+       |fr AS (
+       |  SELECT doc_id, unnest(range(0, nf)) AS t, hexp
+       |  FROM af0 WHERE nf >= 2
+       |),
+       |peaks AS (
+       |  SELECT doc_id, CAST(t AS BIGINT) AS t,
+       |    ${hash60Sql(
+              s"'af:' || substring(hexp, CAST(t * $f + 1 AS INT), $f)")}
+       |      % $AfPeakMod AS fa
+       |  FROM fr
+       |),
+       |lm AS (
+       |  SELECT p.doc_id, p.t,
+       |    ${hash60Sql(
+              "'afk:' || p.fa || ':' || q.fa || ':' || (q.t - p.t)")} AS key
+       |  FROM peaks p JOIN peaks q ON q.doc_id = p.doc_id
+       |    AND q.t > p.t AND q.t <= p.t + $AfFanout
+       |),
+       |kd AS (
+       |  SELECT key FROM (SELECT DISTINCT key, doc_id FROM lm)
+       |  GROUP BY key HAVING COUNT(*) BETWEEN 2 AND $AfMaxKeyDocs
+       |),
+       |kept AS (SELECT l.* FROM lm l JOIN kd ON kd.key = l.key),
+       |votes AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.t - y.t AS offset_frames, COUNT(*) AS n_votes
+       |  FROM kept x JOIN kept y
+       |    ON x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_a, doc_b, offset_frames, n_votes
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+       |        ORDER BY n_votes DESC, offset_frames ASC) AS rn
+       |      FROM votes)
+       |WHERE rn = 1 AND n_votes >= $AfMinVotes
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Oracle gram CTE chain for [[mmVideoNeardup]] — media → framing →
     * shingle lists, spliced into [[Dedup.lshOracle]]'s shared
     * signature/band/verify chain. */
@@ -575,6 +698,8 @@ object Multimodal {
 
   val defs: Seq[OpDef] = Seq(
     OpDef("mm_text_pair_filter", mmTextPairFilter _, pairFilterOracle),
+    OpDef("mm_audio_fingerprint", mmAudioFingerprint _,
+      audioFingerprintOracle),
     OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),

@@ -182,4 +182,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(phash.filter(col("hamming") > 3 || col("doc_a") >= col("doc_b"))
       .count() === 0)
   }
+
+  test("audioFingerprintOf: a planted clip aligns at its true offset") {
+    import spark.implicits._
+    // four distinct 128-hex "frames"; doc 1 = ABCD, doc 2 = XY + ABCD
+    // (the clip two frames in), doc 3 unrelated. The shared 4-frame
+    // run yields C(4,2) = 6 landmarks with fanout 3 — (0,1..3),
+    // (1,2..3), (2,3) — all voting offset t1 − t2 = −2.
+    def fr(c: Char) = c.toString * 128
+    val docs = Seq(
+      (1L, fr('a') + fr('b') + fr('c') + fr('d')),
+      (2L, fr('x') + fr('y') + fr('a') + fr('b') + fr('c') + fr('d')),
+      (3L, fr('p') + fr('q') + fr('r'))
+    ).toDF("doc_id", "hexp")
+    val r = ops.Multimodal.audioFingerprintOf(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r === Seq((1L, 2L, -2L, 6L)), r.toString)
+  }
+
+  test("mm_audio_fingerprint: matches are wav-only, ordered, above the vote floor") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("mm_audio_fingerprint")(spark, sf).cache()
+    assert(out.filter(col("doc_a") >= col("doc_b") || col("n_votes") < 4)
+      .count() === 0)
+    // every matched doc really is a wav payload (doc_id % 3 == 2)
+    assert(out.filter(col("doc_a") % 3 =!= 2 || col("doc_b") % 3 =!= 2)
+      .count() === 0)
+    out.unpersist()
+  }
 }
