@@ -258,6 +258,131 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Split-leakage report — the benchmark-validity audit that runs
+    * AFTER `sample_split` assigns train/val/test: a near-dup pair
+    * straddling the split boundary silently leaks training text into
+    * evaluation (the contamination `text_contamination` catches only
+    * for KNOWN benchmarks — this catches it for the pipeline's OWN
+    * held-out sets). The EXACT `dedup_minhash` pair set (same grams,
+    * bands, caps, 0.8 threshold — spec-reconciled) decorated with
+    * each doc's split (the `sample_split` hash rule verbatim, so the
+    * report audits exactly the split that op ships) and folded to one
+    * row per unordered split pair: pair count, mean Jaccard,
+    * `n_eval_docs` = distinct val/test documents touched by the
+    * class's pairs (the rows to drop from eval before the numbers
+    * can be trusted), `leaky` = the cross-split classes. Hash-by-key
+    * splitting prevents RESAMPLING leakage; this measures the
+    * remaining NEAR-DUP leakage only dedup can remove.
+    *
+    * Scale: the pair pipeline is the width-capped LSH the dedup
+    * family already bounds; split decoration is two keyed lookups
+    * computed row-locally from the doc id (no extra table); both
+    * folds are map-side combined onto ≤ 6 rows. */
+  private def splitLeakageReport(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val pairs = lshPairs(s, Tables.documents(s, d), wordGrams, 0.8)
+    val bucket =
+      hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+    val splits = Tables.documents(s, d).select($"doc_id",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+    val dec = pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"),
+        $"doc_a", $"doc_b", $"jaccard", $"sa", $"sb")
+      .cache() // two folds below walk it
+    val agg = dec.groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        roundHalfUp(sum($"jaccard".cast("decimal(27,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"))
+    val evalDocs = dec
+      .select($"split_a", $"split_b", $"doc_a".as("doc"), $"sa".as("sp"))
+      .unionByName(dec.select($"split_a", $"split_b",
+        $"doc_b".as("doc"), $"sb".as("sp")))
+      .filter($"sp" =!= "train")
+      .select($"split_a", $"split_b", $"doc").distinct()
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_eval_docs"))
+    agg.join(evalDocs, Seq("split_a", "split_b"), "left")
+      .select($"split_a", $"split_b", $"n_pairs", $"mean_jaccard",
+        coalesce($"n_eval_docs", lit(0L)).as("n_eval_docs"),
+        ($"split_a" =!= $"split_b").as("leaky"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  private def splitLeakageOracle: String = {
+    val jac = "1.0 * i.inter / (sa.n + sb.n - i.inter)"
+    val splitCase =
+      s"""CASE WHEN ${hash60Sql("'split:' || doc_id")} % 100 < 90 THEN 'train'
+         |     WHEN ${hash60Sql("'split:' || doc_id")} % 100 < 95 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH $shingleCte,
+       |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |gh AS (
+       |  SELECT doc_id, ${MinHash.baseSql("g")} AS b, ${hash60Sql("g")} AS g_h
+       |  FROM gx
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $membersSql
+       |  FROM gh GROUP BY doc_id
+       |),
+       |banded AS (
+       |  ${bandRowsSql()}
+       |),
+       |$keptCandSql,
+       |gset AS (SELECT DISTINCT doc_id, g_h FROM gh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN gset a ON a.doc_id = c.doc_a
+       |  JOIN gset b ON b.doc_id = c.doc_b AND b.g_h = a.g_h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b, ${roundHalfUpSql(jac, 6)} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE ${roundHalfUpSql(jac, 6)} >= 0.8
+       |),
+       |splits AS (SELECT doc_id, $splitCase AS split FROM documents),
+       |dec AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b,
+       |    p.doc_a, p.doc_b, p.jaccard, a.split AS sa, b.split AS sb
+       |  FROM pairs p
+       |  JOIN splits a ON a.doc_id = p.doc_a
+       |  JOIN splits b ON b.doc_id = p.doc_b
+       |),
+       |agg AS (
+       |  SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |    ${roundHalfUpSql(
+              "CAST(SUM(CAST(jaccard AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)",
+              6)} AS mean_jaccard
+       |  FROM dec GROUP BY split_a, split_b
+       |),
+       |ed AS (
+       |  SELECT split_a, split_b, COUNT(*) AS n_eval_docs FROM (
+       |    SELECT DISTINCT split_a, split_b, doc FROM (
+       |      SELECT split_a, split_b, doc_a AS doc, sa AS sp FROM dec
+       |      UNION ALL
+       |      SELECT split_a, split_b, doc_b AS doc, sb AS sp FROM dec)
+       |    WHERE sp <> 'train')
+       |  GROUP BY split_a, split_b
+       |)
+       |SELECT a.split_a, a.split_b, a.n_pairs, a.mean_jaccard,
+       |  CAST(COALESCE(e.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+       |  a.split_a <> a.split_b AS leaky
+       |FROM agg a LEFT JOIN ed e
+       |  ON e.split_a = a.split_a AND e.split_b = a.split_b
+       |ORDER BY a.split_a, a.split_b""".stripMargin
+  }
+
   /** Source-syndication matrix — the mirror-detection artifact web
     * curation reads before setting per-domain caps (the CCNet-shape
     * question "how much of source B is source A reprinted?"): the
@@ -1991,6 +2116,7 @@ object Dedup {
     OpDef("dedup_minhash", dedupMinhash _, lshOracle(shingleCte, 0.8)),
     OpDef("dedup_minhash_est", dedupMinhashEst _, estOracle(shingleCte, 0.75)),
     OpDef("dedup_minhash_eval", dedupMinhashEval _, minhashEvalOracle),
+    OpDef("split_leakage_report", splitLeakageReport _, splitLeakageOracle),
     OpDef("corpus_source_syndication", corpusSourceSyndication _,
       syndicationOracle),
     OpDef("dedup_ngram", dedupNgram _, lshOracle(ngramCte, 0.7)),

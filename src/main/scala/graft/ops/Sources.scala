@@ -6,6 +6,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
+import graft.functions.TextFns.{hash60, hash60Sql}
 import graft.sources.CsvIO
 
 /** Source/sink/staging demonstrations — SURVEY §2.1 (S1-S5).
@@ -365,6 +366,75 @@ object Sources {
     * snapshots are date-partitioned, so the join prunes to partitions
     * whose digests can differ; the digest-at-scan shape is what makes
     * diffing 100 TB snapshots a metadata-sized shuffle. */
+  private val MergeInsertOffset = 200000000L
+
+  /** MERGE INTO — the lakehouse three-way write (WHEN MATCHED UPDATE /
+    * WHEN MATCHED AND tombstone DELETE / WHEN NOT MATCHED INSERT) the
+    * maintenance family brackets from both sides (`snapshot_diff`
+    * measures what changed; `cdc_upsert` collapses a log latest-wins;
+    * this APPLIES a change batch in one pass). The corpus is the
+    * target; today's crawl batch is the deterministic inc slice of
+    * docs (`hash60("inc:"‖id) % 10`), each carrying its action by id:
+    * %3 = 0 tombstone, %3 = 1 recrawl (text gains a marker),
+    * %3 = 2 brand-new doc (id offset into fresh key space). One FULL
+    * OUTER join on the key, every action a row-local CASE — exactly
+    * the shuffle structure Delta/Iceberg MERGE executes, minus the
+    * file rewrite `corpus_shard_manifest` demonstrates separately.
+    * Output: the merged corpus as an audit frame — key, action
+    * (`kept`/`updated`/`deleted`/`inserted`), final content digest
+    * (old text for deletes, proving WHICH version each row holds),
+    * source.
+    *
+    * Scale: one key-partitioned full-outer shuffle; the batch side is
+    * increment-sized; no row ever carries more than one text. */
+  private def mergeInto(s: SparkSession, d: String) = {
+    import s.implicits._
+    val target = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val batch = target
+      .filter(hash60(concat(lit("inc:"), $"doc_id")) % 10 === 0)
+      .select(
+        when($"doc_id" % 3 === 2, $"doc_id" + MergeInsertOffset)
+          .otherwise($"doc_id").as("doc_id"),
+        when($"doc_id" % 3 === 1, concat($"text", lit(" [recrawl]")))
+          .otherwise($"text").as("btext"),
+        $"source".as("bsource"),
+        when($"doc_id" % 3 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"))
+    target.join(batch, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"op".isNull, "kept")
+          .when($"text".isNull, "inserted")
+          .when($"op" === "delete", "deleted")
+          .otherwise("updated").as("action"),
+        md5(when($"op".isNull || $"op" === "delete", $"text")
+          .otherwise($"btext")).as("content_md5"),
+        coalesce($"source", $"bsource").as("source"))
+      .orderBy($"doc_id")
+  }
+
+  private def mergeIntoOracle: String =
+    s"""WITH batch AS (
+       |  SELECT
+       |    CASE WHEN doc_id % 3 = 2 THEN doc_id + $MergeInsertOffset
+       |         ELSE doc_id END AS doc_id,
+       |    CASE WHEN doc_id % 3 = 1 THEN text || ' [recrawl]'
+       |         ELSE text END AS btext,
+       |    source AS bsource,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM documents
+       |  WHERE ${hash60Sql("'inc:' || doc_id")} % 10 = 0
+       |)
+       |SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN b.op IS NULL THEN 'kept'
+       |       WHEN t.text IS NULL THEN 'inserted'
+       |       WHEN b.op = 'delete' THEN 'deleted'
+       |       ELSE 'updated' END AS action,
+       |  md5(CASE WHEN b.op IS NULL OR b.op = 'delete' THEN t.text
+       |           ELSE b.btext END) AS content_md5,
+       |  COALESCE(t.source, b.bsource) AS source
+       |FROM documents t FULL OUTER JOIN batch b ON b.doc_id = t.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private def snapshotDiff(s: SparkSession, d: String) = {
     import s.implicits._
     val path = s"$tmpRoot/orders_snap"
@@ -472,6 +542,7 @@ object Sources {
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
+    OpDef("merge_into", mergeInto _, mergeIntoOracle),
     OpDef("layout_zonemap", layoutZonemap _, zonemapOracle),
     OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),
     OpDef("sink_partitioned", sinkPartitioned _,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.hash60
+
+/** Pins `merge_into`'s three-way action semantics against an
+  * independent re-derivation of the batch from the same documents
+  * table: action counts, key spaces, and per-action content digests
+  * (updates must hold the recrawled text, deletes the old text,
+  * inserts the original text under the offset key).
+  */
+class MergeIntoSpec extends SparkSpecBase {
+
+  private val Off = 200000000L
+
+  test("merge_into: actions, key spaces, and digests reconcile") {
+    val out = SparkEntry.queries("merge_into")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        (hash60(concat(lit("inc:"), col("doc_id"))) % 10 === 0).as("inc"))
+      .cache()
+    val n = docs.count()
+    val byAction = out.groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDel = docs.filter(col("inc") && col("doc_id") % 3 === 0).count()
+    val nUpd = docs.filter(col("inc") && col("doc_id") % 3 === 1).count()
+    val nIns = docs.filter(col("inc") && col("doc_id") % 3 === 2).count()
+    // an insert lands in fresh key space — its template doc stays kept
+    assert(byAction.getOrElse("kept", 0L) === n - nDel - nUpd)
+    assert(byAction.getOrElse("deleted", 0L) === nDel)
+    assert(byAction.getOrElse("updated", 0L) === nUpd)
+    assert(byAction.getOrElse("inserted", 0L) === nIns)
+    // inserted rows live in the offset key space with the ORIGINAL
+    // text; updated rows hold the recrawl marker; deleted/kept the old
+    val expected = docs.select(col("doc_id"), md5(col("text")).as("m"),
+      md5(concat(col("text"), lit(" [recrawl]"))).as("mr"))
+    val ins = out.filter(col("action") === "inserted")
+      .join(expected.withColumn("doc_id", col("doc_id") + Off), "doc_id")
+    assert(ins.filter(col("content_md5") =!= col("m")).count() === 0)
+    assert(out.filter(col("action") === "inserted" && col("doc_id") < Off)
+      .count() === 0)
+    val upd = out.filter(col("action") === "updated").join(expected, "doc_id")
+    assert(upd.filter(col("content_md5") =!= col("mr")).count() === 0)
+    val old = out.filter(col("action").isin("kept", "deleted"))
+      .join(expected, "doc_id")
+    assert(old.filter(col("content_md5") =!= col("m")).count() === 0)
+    out.unpersist(); docs.unpersist()
+  }
+}

@@ -5,6 +5,24 @@ package graft
   * cartesian product, a missed group-limit) fails the build instead of
   * shipping. Plans are built against sf0.001; physical planning does
   * not depend on the scale factor here.
+  *
+  * == Global-window whitelist (audited; re-audit only NEW sites) ==
+  * Every partition-less `Window.orderBy` in src/main runs over a
+  * BOUNDED frame — a histogram/bucket/candidate table whose row count
+  * is fixed by a constant or a domain, never by corpus size:
+  *  - Curation.scala `corpus_token_budget`: ≤ 1001 quality buckets.
+  *  - Diagnostics.scala `events_gini` (×2, asc/desc): ≤ distinct
+  *    per-user activity LEVELS (a count histogram, not users).
+  *  - Events.scala `customer_survival`: ≤ distinct whole-day
+  *    durations within the observation span.
+  *  - Similarity.scala ivfPacked/kmeans seeding (×2): ≤ IvfCells or
+  *    the k rows surviving an ORDER BY + LIMIT k (TakeOrdered feeds
+  *    the window, not the corpus).
+  *  - Similarity.scala PQ permutation: ≤ cells·M codebook rows.
+  *  - Similarity.scala `ann_hybrid_rerank`: ≤ HybridK fused rows.
+  * Unbounded global sorts belong to TakeOrderedAndProject patterns
+  * (`sample_reservoir`, `text_vocab_coverage`, `agg_countmin`) — the
+  * dedicated tests below pin those.
   */
 class PlanSpec extends SparkSpecBase {
 
