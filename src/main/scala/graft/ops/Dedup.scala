@@ -1898,6 +1898,52 @@ object Dedup {
        |SELECT doc_id, cluster_id FROM l$ClusterHops
        |ORDER BY doc_id""".stripMargin
 
+  /** Soft (probabilistic) dedup — the SAMPLING alternative to
+    * [[dedupCanonical]]'s hard keep-one: every document keeps with
+    * probability 1/|cluster| via the catalog's deterministic hash
+    * coin, so each near-dup cluster contributes ONE doc in
+    * EXPECTATION while the survivor VARIES across clusters instead of
+    * always being the longest member — the soft-dedup knob
+    * upsampling-sensitive pipelines prefer when hard dedup would
+    * delete legitimate stylistic variants (D4/SlimPajama lineage).
+    * Keep rule is integer on both engines: `hash % 10⁶ < 10⁶ div
+    * csize` — singletons always keep; a k-cluster keeps each member
+    * at ⌊10⁶/k⌋ ppm.
+    *
+    * Scale: cluster labels cover only pair-graph docs (joined to the
+    * corpus by doc_id), sizes are one map-side-combined fold, the
+    * coin is row-local — two keyed shuffles total, no text moves. */
+  private def dedupSoft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (closed, nodes) = closedNeighborhood(s, d)
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val lab = Tables.documents(s, d).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"csize",
+        (hash60(concat(lit("soft:"), $"doc_id".cast("string"))) % 1000000L <
+          expr("1000000 div csize")).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private def dedupSoftOracle: String =
+    s"""WITH $clusterCtes,
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN l$ClusterHops l ON l.doc_id = d.doc_id
+       |),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS csize FROM lab GROUP BY cluster_id
+       |)
+       |SELECT lab.doc_id, lab.cluster_id, s.csize,
+       |  ${hash60Sql("'soft:' || lab.doc_id")} % 1000000
+       |    < 1000000 // s.csize AS keep
+       |FROM lab JOIN sizes s ON s.cluster_id = lab.cluster_id
+       |ORDER BY lab.doc_id""".stripMargin
+
   /** Canonical-document selection: collapse each near-dup cluster to
     * ONE kept representative — the doc you actually train on — chosen
     * as the longest member (`n_chars` desc, doc_id tie-break), the
@@ -2132,6 +2178,7 @@ object Dedup {
     OpDef("dedup_clusters_incremental", dedupClustersIncremental _,
       clustersIncOracle),
     OpDef("dedup_canonical", dedupCanonical _, canonicalOracle),
+    OpDef("dedup_soft", dedupSoft _, dedupSoftOracle),
     OpDef("dedup_canonical_quality", dedupCanonicalQuality _,
       canonicalQualityOracle),
     OpDef("pipeline_docprep", docPrep _, docPrepOracle),

@@ -39,4 +39,28 @@ class CanonicalQualitySpec extends SparkSpecBase {
       "longest-member policy should pick the padded doc — the divergence " +
         "this op exists for")
   }
+
+  test("dedup_soft: full coverage, canonical-consistent clusters, exact coin") {
+    import graft.functions.TextFns.hash60
+    val soft = SparkEntry.queries("dedup_soft")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(soft.count() === docs, "one row per corpus document")
+    // singletons always keep; the coin is exactly the documented rule
+    assert(soft.filter(col("csize") === 1 && !col("keep")).count() === 0)
+    val coin =
+      hash60(concat(lit("soft:"), col("doc_id").cast("string"))) % 1000000L
+    assert(soft.filter(col("keep") =!=
+      (coin < expr("1000000 div csize"))).count() === 0)
+    // same partition as dedup_canonical (both run the bounded
+    // propagation over the same pair graph)
+    val can = SparkEntry.queries("dedup_canonical")(spark, sf)
+      .select(col("doc_id"), col("cluster_id").as("c2"))
+    assert(soft.join(can, "doc_id")
+      .filter(col("cluster_id") =!= col("c2")).count() === 0)
+    // csize really is the cluster's member count
+    val sz = soft.groupBy("cluster_id").count()
+    assert(soft.join(sz, "cluster_id")
+      .filter(col("csize") =!= col("count")).count() === 0)
+    soft.unpersist()
+  }
 }
