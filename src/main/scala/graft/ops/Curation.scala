@@ -738,6 +738,101 @@ object Curation {
       .orderBy($"lang")
   }
 
+  private val EnsBuckets = 1000
+
+  /** Bucket-CDF of a (doc_id, v) signal: percentile = share of docs
+    * in value-buckets ≤ mine, at 1/[[EnsBuckets]] granularity. The
+    * scale-correct rank: a true percent_rank global-sorts N rows; this
+    * is one stats row, one map-side-combined histogram, and a
+    * cumulative window over ≤ 1000 BUCKET rows (whitelisted in
+    * PlanSpec) — ties inside a bucket share a percentile, the stated
+    * approximation. */
+  private def bucketCdf(sig: DataFrame, out: String): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val st = sig.agg(min($"v").as("lo"), max($"v").as("hi"),
+      count(lit(1)).as("n"))
+    val b = sig.crossJoin(broadcast(st))
+      .select($"doc_id",
+        when($"hi" === $"lo", lit(0)).otherwise(
+          least(lit(EnsBuckets - 1),
+            floor(($"v" - $"lo") * EnsBuckets / ($"hi" - $"lo"))
+              .cast("int"))).as("b"))
+    val wc = Window.orderBy($"b".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.groupBy($"b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wc))
+    b.join(cum.select($"b", $"cum"), "b")
+      .crossJoin(broadcast(st.select($"n")))
+      .select($"doc_id", roundHalfUp(lit(1.0) * $"cum" / $"n", 6).as(out))
+  }
+
+  /** Quality-signal ENSEMBLE — the CCNet-shape fusion (Wenzek et al.,
+    * arXiv:1911.00359) of the catalog's two independent quality
+    * scorers: the learned classifier (`quality_classifier`'s sigmoid,
+    * the fastText-style gate) and the unigram LM's cross-entropy
+    * (`text_lm_score`, the KenLM-perplexity stand-in; negated so
+    * higher = better). Raw scores live on incomparable scales, so
+    * each converts to a corpus PERCENTILE via [[bucketCdf]] — rank
+    * fusion, robust to any monotone rescaling of either model — and
+    * the ensemble is their mean, gated at the median. One filter
+    * passing garbage (boilerplate scores high on alpha ratio; rare-
+    * word spam fools a unigram LM less than a ratio gate) gets
+    * vetoed by the other — the reason production pipelines fuse
+    * rather than pick one.
+    *
+    * Scale: both signal passes are the underlying ops' own (scan +
+    * vocab-broadcast joins); ranking adds NO global sort — two
+    * ≤ 1000-row bucket windows and doc-keyed joins. */
+  private def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clf = qualityClassifier(s, d).select($"doc_id", $"score".as("v"))
+    val lm = TextAnalysis.lmScore(s, Tables.documents(s, d))
+      .select($"doc_id", (-$"cross_entropy").as("v"))
+    bucketCdf(clf, "p_clf").join(bucketCdf(lm, "p_lm"), "doc_id")
+      .select($"doc_id", $"p_clf", $"p_lm",
+        roundHalfUp(($"p_clf" + $"p_lm") / 2.0, 6).as("ensemble"))
+      .withColumn("keep", $"ensemble" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  /** One signal's oracle CDF chain under a CTE prefix. */
+  private def cdfSql(p: String, sig: String): String =
+    s"""${p}st AS (
+       |  SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM $sig
+       |),
+       |${p}b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hi = lo THEN 0
+       |         ELSE LEAST(${EnsBuckets - 1},
+       |           CAST(FLOOR((v - lo) * $EnsBuckets / (hi - lo)) AS INT))
+       |    END AS b
+       |  FROM $sig CROSS JOIN ${p}st
+       |),
+       |${p}h AS (SELECT b, COUNT(*) AS c FROM ${p}b GROUP BY b),
+       |${p}c AS (
+       |  SELECT b, SUM(c) OVER (ORDER BY b ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ${p}h
+       |),
+       |${p}p AS (
+       |  SELECT x.doc_id, ${roundHalfUpSql("1.0 * c.cum / s.n", 6)} AS p
+       |  FROM ${p}b x JOIN ${p}c c ON c.b = x.b CROSS JOIN ${p}st s
+       |)""".stripMargin
+
+  private def qualityEnsembleOracle: String =
+    s"""WITH clf0 AS ($qualityClassifierOracle),
+       |lm0 AS (${TextAnalysis.lmScoreOracle}),
+       |csig AS (SELECT doc_id, score AS v FROM clf0),
+       |lsig AS (SELECT doc_id, -cross_entropy AS v FROM lm0),
+       |${cdfSql("c", "csig")},
+       |${cdfSql("l", "lsig")}
+       |SELECT c.doc_id, c.p AS p_clf, l.p AS p_lm,
+       |  ${roundHalfUpSql("(c.p + l.p) / 2.0", 6)} AS ensemble,
+       |  ${roundHalfUpSql("(c.p + l.p) / 2.0", 6)} >= 0.5 AS keep
+       |FROM cp c JOIN lp l ON l.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Minimum group size below which a quasi-identifier combination is
     * re-identifiable (the classic k-anonymity release bar). */
   private val KAnonMin = 5L
@@ -800,6 +895,7 @@ object Curation {
 
   val defs: Seq[OpDef] = Seq(
     OpDef("privacy_kanonymity", privacyKanonymity _, kanonymityOracle),
+    OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_report", corpusMixReport _,
       s"""WITH per_lang AS (

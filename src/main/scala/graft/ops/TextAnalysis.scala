@@ -795,7 +795,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  private def lmScoreOracle: String =
+  private[graft] def lmScoreOracle: String =
     s"""WITH inst AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
        |),

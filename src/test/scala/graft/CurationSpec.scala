@@ -114,6 +114,38 @@ class CurationSpec extends SparkSpecBase {
     assert(out.filter(col("n_gate_pass") > col("n_docs")).count() === 0)
   }
 
+  test("quality_ensemble: coverage, monotone percentiles, exact fusion") {
+    val ens = SparkEntry.queries("quality_ensemble")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(ens.count() === docs)
+    assert(ens.filter(col("p_clf") <= 0 || col("p_clf") > 1 ||
+      col("p_lm") <= 0 || col("p_lm") > 1).count() === 0)
+    assert(ens.filter(col("keep") =!= (col("ensemble") >= 0.5)).count() === 0)
+    // the percentile must be monotone in the raw signal: per distinct
+    // p level, the score ranges must not interleave (<= 1000 levels)
+    def monotone(joined: org.apache.spark.sql.DataFrame, p: String,
+                 v: String, asc: Boolean): Unit = {
+      val levels = joined.groupBy(col(p))
+        .agg(min(col(v)).as("lo"), max(col(v)).as("hi"))
+        .orderBy(col(p)).collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      levels.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          if (asc) assert(hi1 <= lo2 + 1e-12,
+            s"$p not monotone in $v: $hi1 > $lo2")
+          else assert(hi1 <= lo2 + 1e-12)
+        case _ =>
+      }
+    }
+    val clf = SparkEntry.queries("quality_classifier")(spark, sf)
+      .select(col("doc_id"), col("score"))
+    monotone(ens.join(clf, "doc_id"), "p_clf", "score", asc = true)
+    val lm = SparkEntry.queries("text_lm_score")(spark, sf)
+      .select(col("doc_id"), (-col("cross_entropy")).as("nce"))
+    monotone(ens.join(lm, "doc_id"), "p_lm", "nce", asc = true)
+    ens.unpersist()
+  }
+
   test("kanonymityOf: planted groups pin k, l, banding, and the risk gate") {
     import spark.implicits._
     val cust = Seq(

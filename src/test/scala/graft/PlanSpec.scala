@@ -20,6 +20,8 @@ package graft
   *    the window, not the corpus).
   *  - Similarity.scala PQ permutation: ≤ cells·M codebook rows.
   *  - Similarity.scala `ann_hybrid_rerank`: ≤ HybridK fused rows.
+  *  - Curation.scala `quality_ensemble` bucketCdf (×2): cumulative
+  *    sums over ≤ 1000 histogram-BUCKET rows, never documents.
   * Unbounded global sorts belong to TakeOrderedAndProject patterns
   * (`sample_reservoir`, `text_vocab_coverage`, `agg_countmin`) — the
   * dedicated tests below pin those.
