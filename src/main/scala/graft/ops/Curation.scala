@@ -229,6 +229,20 @@ object Curation {
     * UNROUNDED z / rounded score respectively, mirrored in SQL. */
   private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    classifierScoredOf(Tables.documents(s, d))
+      .select($"doc_id", $"f_alpha", $"f_stop", $"f_len", $"f_digit",
+        $"score", $"keep", $"cal_bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** The classifier's row-local scoring over any documents-shaped
+    * frame — STATELESS (the weight vector is a broadcast 1-row
+    * frame), so it runs unchanged on a STREAMING document source
+    * (the `stream_quality_gate` transform) and carries `source`
+    * through for per-source folds. */
+  private[graft] def classifierScoredOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val n = length($"norm")
     def ratio(c: org.apache.spark.sql.Column) = coalesce(
       roundHalfUp(lit(1.0) * c / nullif(n, lit(0)), 6), lit(0.0))
@@ -236,10 +250,10 @@ object Curation {
     val weights = s.range(1).select(
       lit(QcBias).as("b"), lit(QcWAlpha).as("wa"), lit(QcWStop).as("ws"),
       lit(QcWLen).as("wl"), lit(QcWDigit).as("wd"))
-    Tables.documents(s, d)
-      .select($"doc_id", normalizeText($"text").as("norm"),
+    docs
+      .select($"doc_id", $"source", normalizeText($"text").as("norm"),
         tokens($"text").as("w"))
-      .select($"doc_id",
+      .select($"doc_id", $"source",
         ratio(length(regexp_replace($"norm", "[^a-z]", ""))).as("f_alpha"),
         ratio(length(regexp_replace($"norm", "[^0-9]", ""))).as("f_digit"),
         coalesce(roundHalfUp(lit(1.0) *
@@ -249,12 +263,12 @@ object Curation {
       .crossJoin(broadcast(weights))
       .withColumn("z", $"b" + $"wa" * $"f_alpha" + $"ws" * $"f_stop" +
         $"wl" * $"f_len" + $"wd" * $"f_digit")
-      .select($"doc_id", $"f_alpha", $"f_stop", $"f_len", $"f_digit",
+      .select($"doc_id", $"source", $"f_alpha", $"f_stop", $"f_len",
+        $"f_digit",
         roundHalfUp(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("score"),
         ($"z" >= 0.0).as("keep"),
         least(floor(roundHalfUp(lit(1.0) / (lit(1.0) + exp(-$"z")), 6)
           * 10).cast("int"), lit(9)).as("cal_bucket"))
-      .orderBy($"doc_id")
   }
 
   /** The classifier's per-doc raw logit + 6-dp sigmoid score over an
@@ -408,7 +422,7 @@ object Curation {
        |ORDER BY cal_bucket""".stripMargin
   }
 
-  private def qualityClassifierOracle: String = {
+  private[graft] def qualityClassifierOracle: String = {
     val sig = "1.0 / (1.0 + exp(-z))"
     s"""WITH feats AS (
        |  SELECT doc_id,

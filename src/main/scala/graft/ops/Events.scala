@@ -1333,6 +1333,23 @@ object Events {
       .orderBy($"doc_id", $"probe_id")
   }
 
+  /** Oracle-gated run of the streaming ingest quality gate
+    * ([[graft.streaming.EventStream.qualityGateRates]]): documents
+    * stream in, the classifier scores each ROW-LOCALLY (stateless —
+    * weights are a broadcast 1-row frame), and ONE complete-mode fold
+    * maintains per-SOURCE doc/keep counts, DECIMAL-summed mean score,
+    * and the live keep rate — the feed-health gauge a crawler
+    * operator watches. Drained, the sink equals the batch per-source
+    * classifier summary, which is the oracle; state is one counter
+    * row per source, never per document. */
+  private def streamQualityGate(s: SparkSession, d: String) = {
+    graft.expressions.GraftFunctions.ensure(s)
+    import s.implicits._
+    runStream(s, graft.streaming.EventStream.qualityGateRates(
+        streamingDocuments(s, d)), "graft_stream_qgate", "complete")
+      .orderBy($"source")
+  }
+
   private def streamDedup(s: SparkSession, d: String) = {
     import s.implicits._
     runStream(s, graft.streaming.EventStream.dedupEventKeys(
@@ -2091,6 +2108,21 @@ object Events {
          |ORDER BY win_start, event_type""".stripMargin),
     OpDef("stream_contamination", streamContamination _,
       Corpus.contaminationOracle),
+    OpDef("stream_quality_gate", streamQualityGate _,
+      s"""WITH clf0 AS (${Curation.qualityClassifierOracle}),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT s.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  ${roundHalfUpSql(
+              "CAST(SUM(CAST(c.score AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)",
+              6)} AS mean_score,
+         |  ${roundHalfUpSql(
+              "1.0 * SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) / COUNT(*)",
+              6)} AS keep_rate
+         |FROM clf0 c JOIN src s ON s.doc_id = c.doc_id
+         |GROUP BY s.source
+         |ORDER BY s.source""".stripMargin),
     OpDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type, ts
         |FROM events

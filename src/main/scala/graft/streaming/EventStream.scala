@@ -117,6 +117,10 @@ object EventStream {
     * gate (doc_id + raw text — fingerprints derive in-flight). */
   case class CrawlDoc(doc_id: Long, text: String)
 
+  /** A crawl document with its feed tag — the [[qualityGateRates]]
+    * stream element. */
+  case class SourcedDoc(doc_id: Long, text: String, source: String)
+
   /** Static (benchmark) side of the decontamination gate: distinct
     * probe 5-gram fingerprints with each probe's gram count ATTACHED
     * per row — so the streaming side needs no join AFTER its
@@ -154,6 +158,31 @@ object EventStream {
       .select($"doc_id", $"probe_id", $"overlap",
         graft.functions.Exact.roundHalfUp(
           lit(1.0) * $"overlap" / $"n_probe", 6).as("containment"))
+  }
+
+  /** Streaming ingest quality gate — the crawl-time filter dashboard:
+    * every arriving document scores ROW-LOCALLY through the learned
+    * classifier ([[graft.ops.Curation.classifierScoredOf]] — the
+    * weight vector is a broadcast 1-row frame, so the stage is
+    * stateless), and ONE complete-mode fold maintains per-SOURCE doc
+    * and keep counts, mean score, and the live keep rate — the gauge
+    * an operator watches to catch a feed going bad mid-crawl. State
+    * is one counter row per source, never per document; scores sum
+    * as DECIMAL(27,6) so the running mean is batch-identical under
+    * any micro-batch slicing. Drained, the sink equals the batch
+    * per-source summary — the oracle. */
+  def qualityGateRates(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.ops.Curation.classifierScoredOf(docs)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"keep".cast("long")).as("n_keep"),
+        sum($"score".cast("decimal(27,6)")).as("ssum"))
+      .select($"source", $"n_docs", $"n_keep",
+        graft.functions.Exact.roundHalfUp(
+          $"ssum".cast("double") / $"n_docs", 6).as("mean_score"),
+        graft.functions.Exact.roundHalfUp(
+          lit(1.0) * $"n_keep" / $"n_docs", 6).as("keep_rate"))
   }
 
   /** Built-in bounded-state dedup: first document per content hash

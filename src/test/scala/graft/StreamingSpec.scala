@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming quality gate equals the batch fold across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    expressions.GraftFunctions.ensure(spark)
+    val docRows = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+      .map { case (i, t, src) => EventStream.SourcedDoc(i, t, src) }.toSeq
+    val src = MemoryStream[EventStream.SourcedDoc]
+    // three chunks: the per-source counters and decimal score sums
+    // must merge across micro-batches to the batch answer
+    val third = docRows.size / 3
+    src.addData(docRows.take(third): _*)
+    src.addData(docRows.slice(third, 2 * third): _*)
+    src.addData(docRows.drop(2 * third): _*)
+    runToTable(EventStream.qualityGateRates(src.toDF()),
+      "qgate_stream", "complete")
+    val got = spark.table("qgate_stream")
+    val want = SparkEntry.queries("stream_quality_gate")(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the gauge covers every document exactly once
+    assert(got.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head.getLong(0) === Tables.documents(spark, sf).count())
+  }
+
   test("streaming dedup suppresses cross-batch duplicates = batch DISTINCT") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
