@@ -1333,6 +1333,74 @@ object Events {
       .orderBy($"doc_id", $"probe_id")
   }
 
+  /** Point-in-time (PIT) join — attach to every fact row the dimension
+    * VERSION that was valid at the fact's event time, the correctness
+    * backbone of feature stores and ML training joins (training-time
+    * leakage is exactly a PIT join done wrong). Dim = the SCD2 type
+    * history over each user's NON-purchase events ([[scd2Of]]);
+    * facts = purchases; a purchase must see the user state as of its
+    * timestamp, never a later version.
+    *
+    * Engine plan: the as-of carry-forward — version starts and facts
+    * UNION into one user-keyed sorted window, `last(_, ignoreNulls)`
+    * carries the governing version onto each fact — ONE keyed shuffle,
+    * no interval-join row explosion. The ORACLE states the textbook
+    * predicate (`vf ≤ ts < vt` LEFT JOIN), so the hash gate PROVES the
+    * carry-forward implements interval semantics, including the edges:
+    * a fact AT a boundary takes the NEW version (versions sort before
+    * facts at equal ts), zero-width versions (two changes at one µs)
+    * lose to their successor (ties order by valid_to, open interval
+    * last), and pre-history facts carry NULLs (left-join parity). */
+  private def joinPit(s: SparkSession, d: String) =
+    pitJoinOf(Tables.events(s, d))
+
+  /** [[joinPit]] over an arbitrary events-shaped frame (spec hook for
+    * the boundary/zero-width/pre-history edge fixtures). */
+  private[graft] def pitJoinOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val dim = scd2Of(ev.filter($"event_type" =!= "purchase"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val u = dim.select($"user_id", $"valid_from".as("ts"), lit(0).as("tag"),
+        coalesce(unix_micros($"valid_to"), lit(Long.MaxValue)).as("vto"),
+        $"event_type".as("dtype"), $"valid_from".as("vf"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+      .unionByName(facts.select($"user_id", $"ts", lit(1).as("tag"),
+        lit(0L).as("vto"), lit(null).cast("string").as("dtype"),
+        lit(null).cast("timestamp").as("vf"), $"event_id", $"value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"vto".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("dim_type", last($"dtype", ignoreNulls = true).over(w))
+      .withColumn("valid_from", last($"vf", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"event_id", $"ts", $"value", $"dim_type",
+        $"valid_from")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private def pitOracle: String =
+    """WITH dim AS (
+      |  SELECT user_id, event_type AS dim_type, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS valid_to
+      |  FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC) AS prev_type
+      |    FROM events WHERE event_type <> 'purchase')
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT f.user_id, f.event_id, f.ts, f.value,
+      |  d.dim_type, d.valid_from
+      |FROM events f LEFT JOIN dim d
+      |  ON d.user_id = f.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.user_id, f.event_id""".stripMargin
+
   /** Oracle-gated run of the streaming ingest quality gate
     * ([[graft.streaming.EventStream.qualityGateRates]]): documents
     * stream in, the classifier scores each ROW-LOCALLY (stateless —
@@ -2314,6 +2382,7 @@ object Events {
         |ORDER BY stage""".stripMargin),
     OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
     OpDef("join_interval", joinInterval _, intervalOracle),
+    OpDef("join_pit", joinPit _, pitOracle),
     OpDef("join_range", joinRange _, rangeOracle),
     OpDef("join_asof_nearest", joinAsofNearest _, asofNearestOracle),
     OpDef("join_asof", joinAsof _,

@@ -117,6 +117,44 @@ class EventsSpec extends SparkSpecBase {
       ("2024-01-02", 1L, 1L)), got.mkString(","))
   }
 
+  test("pitJoinOf: boundary, zero-width version, and pre-history edges") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: view@10:00 → click@11:00; purchases probe each edge.
+    // user 2: two changes at the SAME µs (zero-width 'view' version)
+    // then a purchase — it must see 'error', never the empty version.
+    // user 3: purchase BEFORE any dim history → NULL version.
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 2L, "click", ts("2024-01-01 11:00:00"), 1.0),
+      (1L, 10L, "purchase", ts("2024-01-01 10:30:00"), 5.0), // mid-view
+      (1L, 11L, "purchase", ts("2024-01-01 11:00:00"), 6.0), // boundary
+      (2L, 3L, "view", ts("2024-01-01 09:00:00"), 1.0),
+      (2L, 4L, "error", ts("2024-01-01 09:00:00"), 1.0), // same µs
+      (2L, 12L, "purchase", ts("2024-01-01 09:30:00"), 7.0),
+      (3L, 13L, "purchase", ts("2024-01-01 08:00:00"), 8.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = ops.Events.pitJoinOf(ev).collect()
+      .map(r => r.getLong(1) -> Option(r.getString(4))).toMap
+    assert(got === Map(
+      10L -> Some("view"),  // inside the view version
+      11L -> Some("click"), // AT the boundary: the NEW version governs
+      12L -> Some("error"), // zero-width 'view' loses to its successor
+      13L -> None),         // pre-history: left-join NULL
+      got.toString)
+  }
+
+  test("join_pit covers every purchase exactly once, versions never future") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("join_pit")(spark, sf).cache()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() === purchases)
+    assert(out.filter(col("valid_from") > col("ts")).count() === 0,
+      "a PIT join must never attach a version from the future")
+    out.unpersist()
+  }
+
   test("customer_survival: a valid Kaplan-Meier curve that reconciles") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("customer_survival")(spark, sf).cache()
