@@ -34,4 +34,23 @@ class MinhashEvalSpec extends SparkSpecBase {
     assert(totalTrue === exactPairs,
       "every candidate pair at exact jaccard ≥ 0.8 IS a dedup_minhash row")
   }
+
+  test("embedding calibration curve reconciles with dedup_embedding") {
+    val erep =
+      SparkEntry.queries("dedup_embedding_eval")(spark, sf).collect()
+    assert(erep.nonEmpty)
+    for (r <- erep) {
+      val lvl = r.getAs[Long]("n_bands_match")
+      assert(lvl >= 1, "a candidate pair shares at least one band")
+      val (mn, mean, mx) = (r.getAs[Double]("min_cosine"),
+        r.getAs[Double]("mean_cosine"), r.getAs[Double]("max_cosine"))
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6, s"$mn/$mean/$mx")
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+    }
+    // the 0.4-gate tally over ALL agreement levels IS the exact-verify
+    // op's pair count (same candidates, same raw-cosine gate)
+    val exactPairs =
+      SparkEntry.queries("dedup_embedding")(spark, sf).count()
+    assert(erep.map(_.getAs[Long]("n_true")).sum === exactPairs)
+  }
 }
