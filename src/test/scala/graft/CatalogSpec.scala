@@ -198,12 +198,21 @@ class CatalogSpec extends SparkSpecBase {
     out.unpersist()
   }
 
-  test("sketch_rolling_quantile: one bucket per day, edges bracket the grid") {
+  test("sketch_rolling_quantile: one bucket per day, adaptive band is uniform") {
     import spark.implicits._
+    // round-12 adaptive geometry: buckets/step come from a corpus
+    // stats job, so the old fixed 32x16 grid no longer applies — pin
+    // the shape instead: one row per day, non-negative buckets, and
+    // ONE positive integer band width shared by every day (the stated
+    // error bound max(1, ceil(range/sqrt(N)))).
     val out = SparkEntry.queries("sketch_rolling_quantile")(spark, sf).cache()
     assert(out.groupBy($"day").count().filter($"count" =!= 1).count() === 0)
-    assert(out.filter($"p50_bucket" < 0 || $"p50_bucket" > 31).count() === 0)
-    assert(out.filter($"p50_hi" - $"p50_lo" =!= 16.0).count() === 0)
+    assert(out.filter($"p50_bucket" < 0).count() === 0)
+    val widths = out.select(($"p50_hi" - $"p50_lo").as("w")).distinct().collect()
+    assert(widths.length === 1, s"band width must be uniform: ${widths.toSeq}")
+    val w = widths.head.getDouble(0)
+    assert(w >= 1.0 && w == math.floor(w), s"integer step expected, got $w")
+    assert(out.filter($"p50_lo" > $"p50_hi").count() === 0)
     out.unpersist()
   }
 

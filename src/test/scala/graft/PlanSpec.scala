@@ -60,6 +60,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("agg_mode").contains("WindowGroupLimit"))
   }
 
+  test("span excision: two-level gram fold plans without a distinct Expand") {
+    val p = plan("text_span_excise")
+    // the (hash, doc) -> (hash) fold replaces count_distinct+min in one
+    // agg, so no Expand doubles the gram shuffle; the island windows
+    // must be doc-keyed (the global-window whitelist does not apply)
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "island windows must partition on doc_id")
+  }
+
+  test("merge_into: one key-partitioned full-outer join, batch derived inline") {
+    val p = plan("merge_into")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("audio fingerprint: stop-landmark gate keys shuffle, frames never do") {
+    val p = plan("mm_audio_fingerprint")
+    // the fanout self-join and the cross-doc vote join are keyed
+    // (equi-join on doc_id / landmark key) — never a cartesian — and
+    // the winner pick is a PARTITIONED window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit") ||
+      p.contains("windowspecdefinition(doc_a"), p)
+  }
+
   test("global top-k plans as TakeOrdered, never a full sort") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
     assert(plan("rank_bm25").contains("TakeOrderedAndProject"))

@@ -20,7 +20,8 @@ class QualityClassifierSpec extends SparkSpecBase {
     val good = "The  quick   brown fox AND the dog 42"
     // junk: digit-heavy, no stopwords → wd = -8 dominates
     val junk = "3476 9921 0038 8412"
-    Seq((1L, good), (2L, junk)).toDF("doc_id", "text")
+    Seq((1L, good, "src0"), (2L, junk, "src0"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("quality_classifier")(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
