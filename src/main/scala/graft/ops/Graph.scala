@@ -790,6 +790,320 @@ object Graph {
     out
   }
 
+  /** The phase-1 ACCEPTED partition as labels — [[louvainStepOf]]'s
+    * internal decision re-derived (same candidate/capacity/gate
+    * arithmetic; the step op renders closed-form singleton stats, so
+    * it never materializes this frame itself). Feeds phase 2. */
+  private[graft] def louvainPhase1Labels(s: SparkSession,
+                                         edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val mTot = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
+      .withColumnRenamed("src", "node").cache()
+    val cand = edges.filter($"src" % 2 === 0)
+      .join(deg.select($"node".as("src"), $"k"), "src")
+      .join(deg.select($"node".as("dst"), $"k".as("kb")), "dst")
+      .crossJoin(broadcast(mTot))
+      .select($"src".as("node"), $"dst".as("b"),
+        (lit(2L) * $"m" - lit(2L) * $"k" * $"kb").as("gain"))
+    val w = Window.partitionBy($"node").orderBy($"gain".desc, $"b".asc)
+    val wt = Window.partitionBy($"b").orderBy($"gain".desc, $"node".asc)
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"gain" > 0)
+      .withColumn("tr", row_number().over(wt))
+      .filter($"tr" === 1)
+      .select($"node", $"b").cache()
+    val moved = deg.select($"node").join(best, Seq("node"), "left")
+      .select($"node", coalesce($"b", $"node").as("label")).cache()
+    // the step op's gate integers (singleton base: ib = 0, sb = Σk²)
+    val qi = deg.agg(sum($"k" * $"k").as("sb"))
+      .crossJoin(best.join(best.select($"node".as("b2")),
+          $"b" === $"b2", "left_anti")
+        .agg((count(lit(1)) * 2).as("im")))
+      .crossJoin(moved.join(deg, "node").groupBy($"label")
+        .agg(sum($"k").as("ds")).agg(sum($"ds" * $"ds").as("sm")))
+      .crossJoin(mTot)
+      .select(($"im" * $"m" - $"sm" >= lit(0L) * $"m" - $"sb").as("acc"))
+    val out = moved.crossJoin(broadcast(qi))
+      .select($"node", when($"acc", $"label").otherwise($"node").as("label"))
+      .localCheckpoint()
+    Seq(deg, best, moved).foreach(_.unpersist(false))
+    out
+  }
+
+  /** One GENERAL-base Louvain move phase (the machinery phase 1's
+    * singleton specialization avoids): per-node edge counts into each
+    * neighbor community (`d_ic`), the textbook gain
+    * `2M(d_ib − d_ia) − 2k(deg_b − deg_a) − 2k²` on exact integers,
+    * movers restricted to one color (pairwise non-adjacent on the
+    * bipartite graph), a SOURCE/TARGET-disjointness filter plus
+    * capacity-1 windows per target AND per source community (so every
+    * affected community sees exactly one membership event — the batch
+    * additivity conditions), and the exact-integer Q gate with
+    * fallback to the base partition. Output schema = the step op's
+    * (component stats + q_before/q_after), stats computed generally
+    * via two label joins (the `graph_modularity` folds). */
+  private[graft] def louvainGeneralPhase(s: SparkSession, edges: DataFrame,
+      base: DataFrame, moverParity: Int): DataFrame = {
+    import s.implicits._
+    val mTot = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
+      .withColumnRenamed("src", "node").cache()
+    val lbl = base.cache()
+    val cdeg = lbl.join(deg, "node").groupBy($"label")
+      .agg(sum($"k").as("degc")).cache()
+    // only mover-side rows ever feed gains/deltas, so the edge fold
+    // and the self-community decoration restrict to the mover parity
+    // up front (community degrees still fold over ALL nodes)
+    val dic = edges.filter($"src" % 2 === moverParity)
+      .join(lbl.select($"node".as("dst"), $"label".as("c")), "dst")
+      .groupBy($"src", $"c").agg(count(lit(1)).as("dcount"))
+      .withColumnRenamed("src", "node").cache()
+    val selfx = lbl.filter($"node" % 2 === moverParity).join(deg, "node")
+      .join(cdeg.select($"label", $"degc".as("deg_a")), "label")
+      .join(dic.select($"node", $"c".as("label"), $"dcount".as("d_ia")),
+        Seq("node", "label"), "left")
+      .select($"node", $"label".as("a"), $"k", $"deg_a",
+        coalesce($"d_ia", lit(0L)).as("d_ia"))
+    val cand = selfx
+      .join(dic.select($"node", $"c".as("b"), $"dcount"), "node")
+      .filter($"b" =!= $"a")
+      .join(cdeg.select($"label".as("b"), $"degc".as("deg_b")), "b")
+      .crossJoin(broadcast(mTot))
+      .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount",
+        (lit(2L) * $"m" * ($"dcount" - $"d_ia") -
+          lit(2L) * $"k" * ($"deg_b" - $"deg_a") -
+          lit(2L) * $"k" * $"k").as("gain"))
+    val wN = Window.partitionBy($"node").orderBy($"gain".desc, $"b".asc)
+    val winners = cand.withColumn("rn", row_number().over(wN))
+      .filter($"rn" === 1 && $"gain" > 0)
+      .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount", $"gain")
+      .cache()
+    val disjoint = winners
+      .join(winners.select($"a".as("b")).distinct(), Seq("b"), "left_anti")
+      .join(winners.select($"b".as("a")).distinct(), Seq("a"), "left_anti")
+    val wT = Window.partitionBy($"b").orderBy($"gain".desc, $"node".asc)
+    val wS = Window.partitionBy($"a").orderBy($"gain".desc, $"node".asc)
+    val best = disjoint
+      .withColumn("tr", row_number().over(wT)).filter($"tr" === 1)
+      .withColumn("sr", row_number().over(wS)).filter($"sr" === 1)
+      .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount").cache()
+    // Base per-label stats: ONE edges⋈labels⋈labels fold + one keyed
+    // degree fold. The MOVED side is then maintained by EXACT DELTAS —
+    // the disjointness + capacity constraints guarantee each affected
+    // community sees exactly one membership event, so
+    // in_B += 2·d_iB, in_A −= 2·d_iA, deg_B += k, deg_A −= k are the
+    // whole update (the production incremental shape; the ORACLE
+    // recomputes the moved partition from scratch, so the hash gate
+    // PROVES the delta maintenance). An earlier draft re-joined the
+    // full edge list for the moved side too — 43 s vs ~20 s at sf0.1.
+    val binc = edges
+      .join(lbl.select($"node".as("src"), $"label".as("la")), "src")
+      .join(lbl.select($"node".as("dst"), $"label".as("lb")), "dst")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("label")).agg(count(lit(1)).as("n_in")).cache()
+    val bstat = lbl.join(deg, "node").groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum($"k").as("degree_sum")).cache()
+    val dIn = best.select($"b".as("label"), (lit(2L) * $"dcount").as("din"))
+      .unionByName(best.select($"a".as("label"),
+        (lit(-2L) * $"d_ia").as("din")))
+      .groupBy($"label").agg(sum($"din").as("din"))
+    val dDeg = best.select($"b".as("label"), $"k".as("dk"), lit(1L).as("dn"))
+      .unionByName(best.select($"a".as("label"), (-$"k").as("dk"),
+        lit(-1L).as("dn")))
+      .groupBy($"label").agg(sum($"dk").as("dk"), sum($"dn").as("dn"))
+    // n_in = 0 rows are harmless here (Σ unaffected; the output joins
+    // FROM mstat, which already dropped emptied labels)
+    val minc = binc.join(dIn, Seq("label"), "full_outer")
+      .select($"label",
+        (coalesce($"n_in", lit(0L)) + coalesce($"din", lit(0L))).as("n_in"))
+      .cache()
+    val mstat = bstat.join(dDeg, Seq("label"), "left")
+      .select($"label",
+        ($"n_nodes" + coalesce($"dn", lit(0L))).as("n_nodes"),
+        ($"degree_sum" + coalesce($"dk", lit(0L))).as("degree_sum"))
+      .filter($"n_nodes" > 0L).cache()
+    def scal(inc: DataFrame, st: DataFrame) =
+      inc.agg(coalesce(sum($"n_in"), lit(0L)).as("i")).crossJoin(
+        st.agg(sum($"degree_sum" * $"degree_sum").as("s")))
+    val qcmp = scal(binc, bstat).select($"i".as("ib"), $"s".as("sb"))
+      .crossJoin(scal(minc, mstat).select($"i".as("im"), $"s".as("sm")))
+      .crossJoin(mTot)
+      .withColumn("acc", $"im" * $"m" - $"sm" >= $"ib" * $"m" - $"sb")
+      // nullif guards the EMPTY-graph case (m = 0, coalesced ib = 0 —
+      // ANSI errors on non-null/0); with any edge at all m > 0 and the
+      // arithmetic is bit-identical to the unguarded oracle form
+      .withColumn("qbd",
+        lit(1.0) * $"ib" / nullif($"m", lit(0L)) -
+          lit(1.0) * $"sb" / nullif($"m", lit(0L)) / nullif($"m", lit(0L)))
+      .withColumn("qad", when($"acc",
+        lit(1.0) * $"im" / nullif($"m", lit(0L)) -
+          lit(1.0) * $"sm" / nullif($"m", lit(0L)) / nullif($"m", lit(0L)))
+        .otherwise($"qbd"))
+      .select($"acc", roundHalfUp($"qbd", 6).as("q_before"),
+        roundHalfUp($"qad", 6).as("q_after"))
+      .cache()
+    val accFlag = broadcast(qcmp.select($"acc"))
+    def stats(inc: DataFrame, st: DataFrame) =
+      st.join(inc, Seq("label"), "left")
+        .select($"label", $"n_nodes", $"degree_sum",
+          coalesce($"n_in", lit(0L)).as("n_in"))
+    val chosen = stats(minc, mstat).crossJoin(accFlag).filter($"acc")
+      .unionByName(stats(binc, bstat).crossJoin(accFlag).filter(!$"acc"))
+    val out = chosen
+      .crossJoin(broadcast(mTot))
+      .select($"label".as("component"), $"n_nodes",
+        $"n_in".as("internal_edges"), $"degree_sum",
+        roundHalfUp(lit(1.0) * $"n_in" / $"m" -
+          (lit(1.0) * $"degree_sum" / $"m") *
+            (lit(1.0) * $"degree_sum" / $"m"), 6).as("contribution"))
+      .crossJoin(broadcast(qcmp.select($"q_before", $"q_after")))
+      .orderBy($"component")
+      .localCheckpoint()
+    Seq(deg, lbl, cdeg, dic, winners, best,
+        binc, bstat, minc, mstat, qcmp, edges)
+      .foreach(_.unpersist(false))
+    out
+  }
+
+  /** Second Louvain phase — community refinement CONTINUES past the
+    * round-12 move round: phase 1's accepted partition (re-derived by
+    * [[louvainPhase1Labels]], the same arithmetic the step op gates)
+    * becomes the base, and the ODD color moves through the
+    * general-base machinery ([[louvainGeneralPhase]]) the singleton
+    * phase specialized away — per-(node, community) edge folds, the
+    * full textbook gain, and the exact-integer Q gate. `q_before`
+    * here equals `graph_louvain_step`'s `q_after` (spec-pinned
+    * continuity), so the two ops read as one trajectory.
+    *
+    * Scale: d_ic is one edge⋈label keyed fold; gains join that frame
+    * against ≤|communities| degree rows; every window is keyed
+    * (node / target / source community); the Q integers are two label
+    * joins + one-row folds — the `graph_modularity` shape. Nothing
+    * touches N². */
+  private def graphLouvainStep2(s: SparkSession, d: String) = {
+    val edges = coOrderEdges(s, d).cache()
+    louvainGeneralPhase(s, edges, louvainPhase1Labels(s, edges),
+      moverParity = 1)
+  }
+
+  /** Oracle: the shared phase-1 chain, then the general phase with
+    * ODD movers over `final` — d_ic/community-degree folds, textbook
+    * gain, the argmax + source/target-disjointness + two capacity
+    * windows in the engine's exact order, the integer Q gate, and the
+    * general stats tail. */
+  private def louvainStep2Oracle: String = {
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    s"""WITH $louvainPhase1Sql,
+       |cdeg2 AS MATERIALIZED (
+       |  SELECT f.label, SUM(d.k) AS degc
+       |  FROM final f JOIN deg d ON d.node = f.node GROUP BY f.label
+       |),
+       |dic2 AS MATERIALIZED (
+       |  SELECT e.src AS node, lb.label AS c, COUNT(*) AS dcount
+       |  FROM edges e JOIN final lb ON lb.node = e.dst
+       |  GROUP BY e.src, lb.label
+       |),
+       |selfx2 AS (
+       |  SELECT f.node, f.label AS a, d.k, ca.degc AS deg_a,
+       |    COALESCE(o.dcount, 0) AS d_ia
+       |  FROM final f
+       |  JOIN deg d ON d.node = f.node
+       |  JOIN cdeg2 ca ON ca.label = f.label
+       |  LEFT JOIN dic2 o ON o.node = f.node AND o.c = f.label
+       |),
+       |cand2 AS (
+       |  SELECT s.node, s.a, t.c AS b,
+       |    2 * m.m * (t.dcount - s.d_ia) - 2 * s.k * (cb.degc - s.deg_a)
+       |      - 2 * s.k * s.k AS gain
+       |  FROM selfx2 s
+       |  JOIN dic2 t ON t.node = s.node AND t.c <> s.a
+       |  JOIN cdeg2 cb ON cb.label = t.c
+       |  CROSS JOIN mt m
+       |  WHERE s.node % 2 = 1
+       |),
+       |win2 AS MATERIALIZED (
+       |  SELECT node, a, b, gain FROM (
+       |    SELECT node, a, b, gain, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY gain DESC, b ASC) AS rn
+       |    FROM cand2) t
+       |  WHERE rn = 1 AND gain > 0
+       |),
+       |dis2 AS MATERIALIZED (
+       |  SELECT w.node, w.a, w.b, w.gain FROM win2 w
+       |  WHERE w.b NOT IN (SELECT a FROM win2)
+       |    AND w.a NOT IN (SELECT b FROM win2)
+       |),
+       |best2 AS (
+       |  SELECT node, b FROM (
+       |    SELECT node, a, b, gain, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY gain DESC, node ASC) AS sr
+       |    FROM (
+       |      SELECT node, a, b, gain, ROW_NUMBER() OVER (PARTITION BY b
+       |        ORDER BY gain DESC, node ASC) AS tr
+       |      FROM dis2) t
+       |    WHERE tr = 1) u
+       |  WHERE sr = 1
+       |),
+       |moved2 AS MATERIALIZED (
+       |  SELECT f.node, COALESCE(bs.b, f.label) AS label
+       |  FROM final f LEFT JOIN best2 bs ON bs.node = f.node
+       |),
+       |m2deg AS (
+       |  SELECT mv.label, SUM(d.k) AS degc
+       |  FROM moved2 mv JOIN deg d ON d.node = mv.node GROUP BY mv.label
+       |),
+       |q2b AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM edges e JOIN final x ON x.node = e.src
+       |      JOIN final y ON y.node = e.dst AND y.label = x.label) AS ib,
+       |    (SELECT SUM(degc * degc) FROM cdeg2) AS sb
+       |),
+       |q2m AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM edges e JOIN moved2 x ON x.node = e.src
+       |      JOIN moved2 y ON y.node = e.dst AND y.label = x.label) AS im,
+       |    (SELECT SUM(degc * degc) FROM m2deg) AS sm
+       |),
+       |qc2 AS MATERIALIZED (
+       |  SELECT (q2m.im * m.m - q2m.sm) >= (q2b.ib * m.m - q2b.sb) AS acc,
+       |    1.0 * q2b.ib / m.m - 1.0 * q2b.sb / m.m / m.m AS qbd,
+       |    CASE WHEN (q2m.im * m.m - q2m.sm) >= (q2b.ib * m.m - q2b.sb)
+       |      THEN 1.0 * q2m.im / m.m - 1.0 * q2m.sm / m.m / m.m
+       |      ELSE 1.0 * q2b.ib / m.m - 1.0 * q2b.sb / m.m / m.m END AS qad
+       |  FROM q2b CROSS JOIN q2m CROSS JOIN mt m
+       |),
+       |fin2 AS MATERIALIZED (
+       |  SELECT f.node,
+       |    CASE WHEN qc2.acc THEN mv.label ELSE f.label END AS label
+       |  FROM final f JOIN moved2 mv ON mv.node = f.node CROSS JOIN qc2
+       |),
+       |f2dsum AS (
+       |  SELECT nl.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(dg.k) AS BIGINT) AS degree_sum
+       |  FROM fin2 nl JOIN deg dg ON dg.node = nl.node GROUP BY nl.label
+       |),
+       |f2inc AS (
+       |  SELECT a.label, COUNT(*) AS n_in
+       |  FROM edges e
+       |  JOIN fin2 a ON e.src = a.node
+       |  JOIN fin2 b2 ON e.dst = b2.node AND b2.label = a.label
+       |  GROUP BY a.label
+       |)
+       |SELECT d.label AS component, d.n_nodes,
+       |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
+       |  d.degree_sum,
+       |  $contrib AS contribution,
+       |  ${roundHalfUpSql("qc2.qbd", 6)} AS q_before,
+       |  ${roundHalfUpSql("qc2.qad", 6)} AS q_after
+       |FROM f2dsum d CROSS JOIN mt m LEFT JOIN f2inc i ON i.label = d.label
+       |CROSS JOIN qc2
+       |ORDER BY component""".stripMargin
+  }
+
   private def modularityOracle: String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""l$i AS (
@@ -845,11 +1159,12 @@ object Graph {
     * gains/argmax, the exact-integer accept gate, modularity rows over
     * the accepted partition. Multi-referenced CTEs MATERIALIZED (the
     * kcore inlining rule). */
-  private def louvainOracle: String = {
-    val contrib = roundHalfUpSql(
-      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
-        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
-    s"""WITH co AS (
+  /** Phase-1 CTE chain (singleton base, even movers, general gain,
+    * exact-integer gate) through the accepted partition `final` —
+    * shared verbatim by [[louvainOracle]] and the step-2 oracle so
+    * both walk the identical phase-1 decision. */
+  private def louvainPhase1Sql: String =
+    s"""co AS (
        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |),
@@ -934,7 +1249,13 @@ object Graph {
        |  SELECT b.node,
        |    CASE WHEN qc.acc THEN mv.label ELSE b.label END AS label
        |  FROM base b JOIN moved mv ON mv.node = b.node CROSS JOIN qc
-       |),
+       |)""".stripMargin
+
+  private def louvainOracle: String = {
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    s"""WITH $louvainPhase1Sql,
        |fdsum AS (
        |  SELECT nl.label, COUNT(*) AS n_nodes,
        |    CAST(SUM(dg.k) AS BIGINT) AS degree_sum
@@ -1414,6 +1735,7 @@ object Graph {
     OpDef("graph_components", graphComponents _, componentsOracle),
     OpDef("graph_modularity", graphModularity _, modularityOracle),
     OpDef("graph_louvain_step", graphLouvainStep _, louvainOracle),
+    OpDef("graph_louvain_step2", graphLouvainStep2 _, louvainStep2Oracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),

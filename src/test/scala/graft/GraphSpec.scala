@@ -320,6 +320,44 @@ class GraphSpec extends SparkSpecBase {
     assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
   }
 
+  test("general louvain phase: hand-traced gains, gate, and stats on a path") {
+    import spark.implicits._
+    // path 1-2-3-4 (odd movers 1,3), base partition {1},{2},{3,4}.
+    // M=6; gains: node 1 -> c2 = 12-2-2 = 8 (moves); node 3 -> c2 =
+    // 0+4-8 = -4 (stays). Accepted: Q*36 goes -2 -> 6; final
+    // communities {1,2} and {3,4}, each in=2, deg=3,
+    // contribution 2/6-(3/6)^2 = 1/12... = 0.083333 each.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val base = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("node", "label")
+    val out = ops.Graph.louvainGeneralPhase(spark, edges, base, 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set(2L, 3L), out.toString)
+    assert(out(2L) === ((2L, 2L, 3L, 0.083333, -0.055556, 0.166667)))
+    assert(out(3L) === ((2L, 2L, 3L, 0.083333, -0.055556, 0.166667)))
+  }
+
+  test("louvain step2 on the corpus: continues step 1's trajectory") {
+    import spark.implicits._
+    val s1 = SparkEntry.queries("graph_louvain_step")(spark, sf)
+      .select("q_before", "q_after").distinct().head
+    val s2q = SparkEntry.queries("graph_louvain_step2")(spark, sf).cache()
+    val s2 = s2q.select("q_before", "q_after").distinct().collect()
+    assert(s2.length === 1)
+    assert(s2.head.getDouble(0) === s1.getDouble(1),
+      "phase 2 must start exactly where phase 1's accepted partition ends")
+    assert(s2.head.getDouble(1) >= s2.head.getDouble(0),
+      "the gate must never commit a Q-decreasing phase")
+    // node conservation through both phases
+    val comps = SparkEntry.queries("graph_components")(spark, sf)
+    assert(s2q.agg(sum("n_nodes")).head.getLong(0) === comps.count())
+    assert(s2q.filter(col("internal_edges") > col("degree_sum")).count() === 0)
+    s2q.unpersist()
+  }
+
   test("incremental pagerank: the store round-trips through parquet") {
     import spark.implicits._
     // old: a 6-cycle; today's batch attaches a pendant 7-8 edge to
