@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -142,6 +142,105 @@ object Graph {
        |$rounds
        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        |  node // 2 AS node_key, pr
+       |FROM r$PrRounds
+       |ORDER BY node_type, node_key""".stripMargin
+  }
+
+  /** Deterministic ~5% seed set for personalized PageRank (hash-
+    * membership, so seeds always exist in the graph and both engines
+    * pick the identical set). */
+  private def pprSeed(c: Column): Column =
+    hash60(concat(lit("ppr:"), c.cast("string"))) % 20 === 0
+  private def pprSeedSql(x: String): String =
+    s"${hash60Sql(s"'ppr:' || $x")} % 20 = 0"
+
+  /** Personalized PageRank — the random-walk-with-restart primitive
+    * behind graph-based recommendation and trust propagation: teleport
+    * mass returns to a SEED set (here a deterministic ~5% hash slice
+    * of nodes) instead of the uniform vector, so rank concentrates in
+    * the seeds' neighborhood and the output ranks every node by
+    * proximity-via-walks to the seeds — what `graph_pagerank`'s
+    * global centrality cannot express. Same [[PrRounds]] synchronous
+    * supersteps, same two keyed shuffles per round, same quantized
+    * DECIMAL-exact arithmetic; the only change is the restart vector:
+    * r₀ = 1/|S| on seeds, each round adds (1−d)/|S| to seed nodes
+    * only. Rank mass stays exactly 1 (no dangling nodes), which the
+    * spec pins along with seed-neighborhood concentration.
+    *
+    * Scale: identical to `graph_pagerank` — the seed set rides as a
+    * row-local hash predicate (never a join), |S| as one broadcast
+    * scalar row. */
+  private def graphPagerankPersonalized(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges = coOrderEdges(s, d)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val sStats = deg.filter(pprSeed($"src"))
+      .agg(count(lit(1)).as("n_seeds")) // 1 row
+    var ranks = deg.crossJoin(broadcast(sStats))
+      .select($"src".as("node"),
+        roundHalfUp(when(pprSeed($"src"), lit(1.0) / $"n_seeds")
+          .otherwise(lit(0.0)), 9).as("pr"))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges.join(deg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", roundHalfUp($"pr" / $"outdeg", 12).as("c"))
+      ranks = contrib.groupBy($"dst")
+        .agg(sum($"c".cast(Dec12)).cast("double").as("s"))
+        .crossJoin(broadcast(sStats))
+        .select($"dst".as("node"),
+          roundHalfUp(when(pprSeed($"dst"),
+            lit(1.0 - Damping) / $"n_seeds").otherwise(lit(0.0)) +
+            lit(Damping) * $"s", 9).as("pr"))
+    }
+    ranks.select(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"), $"pr",
+        pprSeed($"node").as("is_seed"))
+      .orderBy($"node_type", $"node_key")
+  }
+
+  private def pprOracle: String = {
+    def round(i: Int): String = {
+      val contrib = roundHalfUpSql(s"r${i - 1}.pr / d.outdeg", 12)
+      val damped = roundHalfUpSql(
+        s"CASE WHEN ${pprSeedSql("e.dst")} THEN ${1.0 - Damping} / ns.n " +
+          s"ELSE 0.0 END + $Damping * " +
+          s"CAST(SUM(CAST($contrib AS DECIMAL(27,12))) AS DOUBLE)", 9)
+      s"""r$i AS (
+         |  SELECT e.dst AS node, $damped AS pr
+         |  FROM edges e
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  CROSS JOIN ns
+         |  GROUP BY e.dst, ns.n
+         |)""".stripMargin
+    }
+    val rounds = (1 to PrRounds).map(round).mkString(",\n")
+    s"""WITH co AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |),
+       |edges AS (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |ns AS (
+       |  SELECT COUNT(*) AS n FROM deg WHERE ${pprSeedSql("src")}
+       |),
+       |r0 AS (
+       |  SELECT src AS node,
+       |    ${roundHalfUpSql(
+            s"CASE WHEN ${pprSeedSql("src")} THEN 1.0 / ns.n " +
+              "ELSE 0.0 END", 9)} AS pr
+       |  FROM deg CROSS JOIN ns
+       |),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  node // 2 AS node_key, pr,
+       |  ${pprSeedSql("node")} AS is_seed
        |FROM r$PrRounds
        |ORDER BY node_type, node_key""".stripMargin
   }
@@ -1726,6 +1825,8 @@ object Graph {
   val defs: Seq[OpDef] = Seq(
     OpDef("graph_similarity", graphSimilarity _, similarityOracle),
     OpDef("graph_pagerank", graphPagerank _, pagerankOracle),
+    OpDef("graph_pagerank_personalized", graphPagerankPersonalized _,
+      pprOracle),
     OpDef("graph_pagerank_incremental", graphPagerankIncremental _,
       pagerankIncrementalOracle),
     OpDef("graph_pagerank_converged", graphPagerankConverged _,

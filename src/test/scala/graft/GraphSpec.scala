@@ -320,6 +320,27 @@ class GraphSpec extends SparkSpecBase {
     assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
   }
 
+  test("personalized pagerank: mass 1, seed floor, seed concentration") {
+    import spark.implicits._
+    val pr = SparkEntry.queries("graph_pagerank_personalized")(spark, sf)
+      .cache()
+    val nSeeds = pr.filter(col("is_seed")).count()
+    assert(nSeeds > 0, "hash slice produced no seeds — widen the modulus")
+    val mass = pr.agg(sum(col("pr"))).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-4, s"walk mass drifted: $mass")
+    // every seed receives the restart mass every round, so its final
+    // rank is at least the teleport floor (contributions are >= 0)
+    val floor = 0.15 / nSeeds - 1e-9
+    assert(pr.filter(col("is_seed") && col("pr") < floor).count() === 0)
+    // rank concentrates at the seeds: their mean beats the non-seeds'
+    val m = pr.groupBy("is_seed").agg(avg("pr")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"seed mean ${m(true)} must exceed non-seed mean ${m(false)}")
+    assert(pr.filter(col("pr") < 0).count() === 0)
+    pr.unpersist()
+  }
+
   test("general louvain phase: hand-traced gains, gate, and stats on a path") {
     import spark.implicits._
     // path 1-2-3-4 (odd movers 1,3), base partition {1},{2},{3,4}.
