@@ -130,6 +130,84 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private val SrcTermMin = 5L // lift is noise below this in-source count
+  private val SrcTermK = 5 // distinctive terms reported per source
+
+  /** Per-source DISTINCTIVE terms — the "what characterizes this
+    * feed" report a curator reads next to `corpus_mix_report` before
+    * weighting sources (the corpus-analysis habit behind Monroe et
+    * al.'s fighting-words method, here with the simpler add-one-
+    * smoothed rate LIFT): for each (source, term) with at least
+    * [[SrcTermMin]] in-source occurrences,
+    * `lift = ((y+1)/(n_s+V)) / ((Y−y+1)/(N−n_s+V))` — the term's
+    * smoothed rate inside the source over its rate everywhere else —
+    * and the top [[SrcTermK]] terms per source by lift. Exact integer
+    * counts into one float division per row (identical literal order
+    * both engines), so the rank is deterministic.
+    *
+    * Scale: one explode + (source, term) map-side-combined fold, one
+    * vocab-sized term fold, V/N/per-source totals as broadcast-sized
+    * frames; the per-source rank is a keyed WindowGroupLimit. */
+  private def textSourceTerms(s: SparkSession, d: String) = {
+    import s.implicits._
+    val inst = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("term"))
+    val st = inst.groupBy($"source", $"term")
+      .agg(count(lit(1)).as("y")).cache()
+    val tTot = st.groupBy($"term").agg(sum($"y").as("yt"))
+    val sTot = st.groupBy($"source").agg(sum($"y").as("ns"))
+    val gl = st.agg(sum($"y").as("n_all"),
+      count_distinct($"term").as("v")) // 1 row
+    val w = Window.partitionBy($"source")
+      .orderBy($"lift".desc, $"term".asc)
+    st.filter($"y" >= SrcTermMin)
+      .join(tTot, "term")
+      .join(broadcast(sTot), "source")
+      .crossJoin(broadcast(gl))
+      .withColumn("lift", roundHalfUp(
+        ((($"y" + 1L) * lit(1.0)) / ($"ns" + $"v")) /
+          ((($"yt" - $"y" + 1L) * lit(1.0)) / ($"n_all" - $"ns" + $"v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= SrcTermK)
+      .select($"source", $"rank".cast("int").as("rank"), $"term",
+        $"y".as("n_in_source"), $"lift")
+      .orderBy($"source", $"rank")
+  }
+
+  private def sourceTermsOracle: String =
+    s"""WITH inst AS (
+       |  SELECT source, unnest(${tokensSql("text")}) AS term
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT source, term, COUNT(*) AS y FROM inst GROUP BY source, term
+       |),
+       |tt AS (SELECT term, SUM(y) AS yt FROM st GROUP BY term),
+       |stot AS (SELECT source, SUM(y) AS ns FROM st GROUP BY source),
+       |gl AS (
+       |  SELECT SUM(y) AS n_all, COUNT(DISTINCT term) AS v FROM st
+       |),
+       |scored AS (
+       |  SELECT s.source, s.term, s.y,
+       |    ${roundHalfUpSql(
+            "(((s.y + 1) * 1.0) / (o.ns + g.v)) / " +
+              "(((t.yt - s.y + 1) * 1.0) / (g.n_all - o.ns + g.v))", 6)}
+       |      AS lift
+       |  FROM st s
+       |  JOIN tt t ON t.term = s.term
+       |  JOIN stot o ON o.source = s.source
+       |  CROSS JOIN gl g
+       |  WHERE s.y >= $SrcTermMin
+       |)
+       |SELECT source, CAST(rank AS INT) AS rank, term,
+       |  y AS n_in_source, lift
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY lift DESC, term ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $SrcTermK
+       |ORDER BY source, rank""".stripMargin
+
   private val HhFraction = 50 // heavy = frequency > N/HhFraction
 
   /** Heavy-hitter terms via the sketch→verify shape: a Misra-Gries
@@ -1420,6 +1498,7 @@ object TextAnalysis {
     OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_span_excise", textSpanExcise _, spanExciseOracle),
+    OpDef("text_source_terms", textSourceTerms _, sourceTermsOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences
          |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)

@@ -107,6 +107,35 @@ class LmCurationSpec extends SparkSpecBase {
     assert(r(3L) === (3L, 0L))
   }
 
+  test("text_source_terms: a planted source-exclusive word tops its source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcterms").toString
+    val filler = "alpha beta gamma delta epsilon"
+    val docs = (1L to 6L).map(i => (i, s"$filler zebra", "feedA")) ++
+      (7L to 12L).map(i => (i, s"$filler", "feedB"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_source_terms")(spark, dir).cache()
+    val topA = out.filter(col("source") === "feedA" && col("rank") === 1)
+      .head
+    assert(topA.getString(2) === "zebra",
+      "the source-exclusive term must rank first for its feed")
+    assert(topA.getLong(3) === 6L)
+    // zebra never qualifies for feedB (zero occurrences there); the
+    // shared filler terms score lift ~1 and rank below zebra in feedA
+    assert(out.filter(col("source") === "feedB" && col("term") === "zebra")
+      .count() === 0)
+    assert(out.filter(col("lift") <= 0 || col("n_in_source") < 5)
+      .count() === 0)
+    // ranks are dense 1..k per source
+    val ranks = out.groupBy("source")
+      .agg(min("rank").as("lo"), max("rank").as("hi"),
+        count(lit(1)).as("n")).collect()
+    assert(ranks.forall(r => r.getInt(1) === 1 &&
+      r.getInt(2) === r.getLong(3).toInt))
+    out.unpersist()
+  }
+
   test("spanExcise: keep-one-copy, overlap merge, and gap preservation") {
     val block = "one two three four five six seven eight"
     val tail8 = "two three four five six seven eight nine"
