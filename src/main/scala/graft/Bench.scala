@@ -47,6 +47,13 @@ object Bench {
     // per-query map exactly that way), so write the file FIRST.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
+    // Emit the results line BEFORE the shutdown sequence as well as
+    // after it: a head+tail stdout capture then sees the full map even
+    // when teardown noise (or tail truncation of a 273-entry line)
+    // eats the final copy. Nothing else prints to stdout during the
+    // run, so this is the first stdout line the program emits.
+    println(json)
+    System.out.flush()
     // Quiesce everything that prints at JVM teardown BEFORE the final
     // line: drain any stray streaming query, stop the StateStore
     // maintenance machinery (its threads race JVM shutdown and stack-

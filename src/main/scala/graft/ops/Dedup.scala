@@ -306,11 +306,17 @@ object Dedup {
       .select($"split_a", $"split_b", $"doc").distinct()
       .groupBy($"split_a", $"split_b")
       .agg(count(lit(1)).as("n_eval_docs"))
-    agg.join(evalDocs, Seq("split_a", "split_b"), "left")
+    val out = agg.join(evalDocs, Seq("split_a", "split_b"), "left")
       .select($"split_a", $"split_b", $"n_pairs", $"mean_jaccard",
         coalesce($"n_eval_docs", lit(0L)).as("n_eval_docs"),
         ($"split_a" =!= $"split_b").as("leaky"))
       .orderBy($"split_a", $"split_b")
+      // ≤ split-pair-combination rows: eager-checkpoint, then drop the
+      // cache so repeated calls don't accumulate blocks (the
+      // louvainStepOf convention)
+      .localCheckpoint()
+    dec.unpersist(false)
+    out
   }
 
   private def splitLeakageOracle: String = {

@@ -340,6 +340,11 @@ object Graph {
       }
       ranks = next.select($"node", $"pr")
     }
+    // every loop round is checkpoint-backed by the delta probe's
+    // action, so the wiring cache has served its purpose — drop it
+    // (repeated calls in a long-lived session must not accumulate
+    // cached blocks; the incremental op calls this twice per run)
+    wired.unpersist(false)
     (ranks, round)
   }
 

@@ -366,7 +366,10 @@ object Sources {
     * snapshots are date-partitioned, so the join prunes to partitions
     * whose digests can differ; the digest-at-scan shape is what makes
     * diffing 100 TB snapshots a metadata-sized shuffle. */
-  private val MergeInsertOffset = 200000000L
+  // Above every id any ScaleData copy can produce: copies shift doc_id
+  // by k*10^7 with factor up to 21, so real ids stay below ~2.2e8;
+  // 1e9 keeps "inserted" keys disjoint at any supported factor.
+  private val MergeInsertOffset = 1000000000L
 
   /** MERGE INTO — the lakehouse three-way write (WHEN MATCHED UPDATE /
     * WHEN MATCHED AND tombstone DELETE / WHEN NOT MATCHED INSERT) the

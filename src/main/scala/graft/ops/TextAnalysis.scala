@@ -156,11 +156,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("y")).cache()
     val tTot = st.groupBy($"term").agg(sum($"y").as("yt"))
     val sTot = st.groupBy($"source").agg(sum($"y").as("ns"))
-    val gl = st.agg(sum($"y").as("n_all"),
-      count_distinct($"term").as("v")) // 1 row
+    // two-level fold off tTot (rows = V, Σyt = N): mixing SUM with
+    // COUNT(DISTINCT) in one aggregate plans a distinct Expand that
+    // doubles the vocab-sized shuffle — this keeps both stages
+    // map-side combined (tTot re-derives off the cached st)
+    val gl = tTot.agg(sum($"yt").as("n_all"),
+      count(lit(1)).as("v")) // 1 row
     val w = Window.partitionBy($"source")
       .orderBy($"lift".desc, $"term".asc)
-    st.filter($"y" >= SrcTermMin)
+    val out = st.filter($"y" >= SrcTermMin)
       .join(tTot, "term")
       .join(broadcast(sTot), "source")
       .crossJoin(broadcast(gl))
@@ -172,6 +176,11 @@ object TextAnalysis {
       .select($"source", $"rank".cast("int").as("rank"), $"term",
         $"y".as("n_in_source"), $"lift")
       .orderBy($"source", $"rank")
+      // sources × SrcTermK rows: eager-checkpoint, then drop the cache
+      // so repeated calls don't accumulate blocks
+      .localCheckpoint()
+    st.unpersist(false)
+    out
   }
 
   private def sourceTermsOracle: String =

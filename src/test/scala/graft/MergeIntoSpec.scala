@@ -11,7 +11,7 @@ import graft.functions.TextFns.hash60
   */
 class MergeIntoSpec extends SparkSpecBase {
 
-  private val Off = 200000000L
+  private val Off = 1000000000L
 
   test("merge_into: actions, key spaces, and digests reconcile") {
     val out = SparkEntry.queries("merge_into")(spark, sf).cache()
