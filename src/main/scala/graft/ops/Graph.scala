@@ -1105,6 +1105,413 @@ object Graph {
       moverParity = 1)
   }
 
+  // Multi-level Louvain bounds — the latency knobs a production job
+  // tunes (the CcRounds convention): at most [[LouvMoveRounds]]
+  // alternating-parity move rounds per level, at most [[LouvLevels]]
+  // contraction levels. The oracle unrolls both bounds in full; the
+  // engine's early exits are provable no-ops (a level whose rounds
+  // accept nothing contracts to an isomorphic graph, so every later
+  // round recomputes the identical no-move decision).
+  private val LouvMoveRounds = 2
+  private val LouvLevels = 3
+
+  /** One WEIGHTED general Louvain move round over `(src, dst, w)`
+    * edges (self-loops carry contracted communities' internal weight)
+    * — the unit the multi-level loop repeats. Same algebra as
+    * [[louvainGeneralPhase]] with `COUNT(*)` generalized to `SUM(w)`
+    * and d_ic excluding self-loops (a mover's self-loop moves WITH it,
+    * so it cancels out of the gain and of the global Σin_c delta —
+    * the derivation in the [[graphLouvain]] scaladoc). The gate's
+    * global integers ride as DRIVER SCALARS maintained by exact
+    * deltas (ib += Σ2(d_iB − d_iA), sb += Σ(2k(deg_B − deg_A) + 2k²)
+    * — legal because capacity-1 + disjointness give each affected
+    * community exactly one membership event); the ORACLE recomputes
+    * both integers from scratch every round, so the hash gate proves
+    * the running-scalar maintenance.
+    *
+    * Returns (labels after the round, accepted move count, new ib,
+    * new sb); on a rejected or empty batch the base frame itself
+    * comes back (caller's loop sees 0 moves). */
+  private[graft] def louvainWeightedMove(s: SparkSession, wedges: DataFrame,
+      deg: DataFrame, m: Long, ib: Long, sb: Long, base: DataFrame,
+      level: Int, parity: Int): (DataFrame, Long, Long, Long) = {
+    import s.implicits._
+    // Mover coloring. Level 1 is the bipartite co-order graph, where
+    // node % 2 is an EXACT 2-coloring (and keeps level 1 ≡ the
+    // step1/step2 trajectory). Contracted levels are NOT bipartite and
+    // community ids skew even (min-id labels), so a parity coloring
+    // can trap symmetric swaps forever: two adjacent communities that
+    // each win a move into the other are both killed by the
+    // disjointness filter EVERY round (measured on the two-triangles
+    // fixture: {0,1} ⇄ {2} deadlock at every level). A LEVEL-SALTED
+    // hash coloring gives any deadlocked pair a fresh coin each level
+    // — safety never depended on the coloring (the disjointness +
+    // capacity-1 filters alone guarantee one membership event per
+    // community), only liveness does.
+    val moverPred =
+      if (level == 1) $"src" % 2 === parity
+      else hash60(concat(lit(s"louv$level:"), $"src".cast("string"))) % 2 ===
+        parity
+    // Exchange-lean candidate pipeline (the pagerank partition-reuse
+    // idea applied to move rounds): wedges stay pre-partitioned on
+    // src, so the deg attach is a co-partitioned join and the
+    // (node, c) fold reuses that partitioning with NO extra exchange;
+    // the per-node argmax orders by the node-constant-free score
+    // 2M·d_ic − 2k·deg_c (gain = score + const(node), so the argmax
+    // and the `b ASC` tie-break are IDENTICAL to the oracle's
+    // order-by-gain form), and the true gain is reconstructed for the
+    // >0 filter and the gate deltas afterwards. c = a rows ride the
+    // same fold (their argmax ordering key is NULL, which max_by
+    // skips) and produce d_ia in place of the textbook form's extra
+    // dic self-join. Collapsed the measured round floor ~6.4 -> ~3 s.
+    val ninfo = base.join(deg, "node")
+    val cdeg = ninfo.groupBy($"label").agg(sum($"k").as("degc")).cache()
+    val fold = wedges.filter(moverPred && $"src" =!= $"dst")
+      .join(ninfo.select($"node".as("src"), $"label".as("a"), $"k"), "src")
+      .join(base.select($"node".as("dst"), $"label".as("c")), "dst")
+      .groupBy($"src", $"k", $"a", $"c").agg(sum($"w").as("dcount"))
+      .withColumnRenamed("src", "node")
+      .join(cdeg.select($"label".as("c"), $"degc".as("deg_c")), "c")
+      .groupBy($"node", $"k", $"a")
+      .agg(
+        max_by(struct($"c".as("b"), $"dcount", $"deg_c"),
+          when($"c" =!= $"a",
+            struct(lit(2L) * lit(m) * $"dcount" -
+              lit(2L) * $"k" * $"deg_c", -$"c"))).as("x"),
+        coalesce(sum(when($"c" === $"a", $"dcount")), lit(0L)).as("d_ia"))
+      .filter($"x".isNotNull)
+    val winners = fold
+      .join(cdeg.select($"label".as("a"), $"degc".as("deg_a")), "a")
+      .select($"node", $"a", $"x.b".as("b"), $"k", $"d_ia",
+        $"x.dcount".as("dcount"), $"deg_a", $"x.deg_c".as("deg_b"))
+      .withColumn("gain", lit(2L) * lit(m) * ($"dcount" - $"d_ia") -
+        lit(2L) * $"k" * ($"deg_b" - $"deg_a") - lit(2L) * $"k" * $"k")
+      .filter($"gain" > 0).cache()
+    val disjoint = winners
+      .join(winners.select($"a".as("b")).distinct(), Seq("b"), "left_anti")
+      .join(winners.select($"b".as("a")).distinct(), Seq("a"), "left_anti")
+    val best = disjoint.groupBy($"b")
+      .agg(max_by(struct($"node", $"a", $"k", $"d_ia", $"dcount",
+        $"deg_a", $"deg_b", $"gain"), struct($"gain", -$"node")).as("x"))
+      .select($"b", $"x.*")
+      .groupBy($"a")
+      .agg(max_by(struct($"node", $"b", $"k", $"d_ia", $"dcount",
+        $"deg_a", $"deg_b"), struct($"gain", -$"node")).as("x"))
+      .select($"a", $"x.*").cache()
+    // one driver job: the move count and both exact gate deltas
+    val drow = best.agg(count(lit(1)),
+      sum(lit(2L) * ($"dcount" - $"d_ia")),
+      sum(lit(2L) * $"k" * ($"deg_b" - $"deg_a") + lit(2L) * $"k" * $"k"))
+      .head
+    val nMoves = drow.getLong(0)
+    val dIb = if (drow.isNullAt(1)) 0L else drow.getLong(1)
+    val dSb = if (drow.isNullAt(2)) 0L else drow.getLong(2)
+    val (im, sm) = (ib + dIb, sb + dSb)
+    val acc = nMoves > 0L && im * m - sm >= ib * m - sb
+    val out =
+      if (!acc) (base, 0L, ib, sb)
+      else {
+        val nl = base.join(best.select($"node", $"b"), Seq("node"), "left")
+          .select($"node", coalesce($"b", $"label").as("label"))
+          .localCheckpoint()
+        (nl, nMoves, im, sm)
+      }
+    Seq(cdeg, winners, best).foreach(_.unpersist(false))
+    out
+  }
+
+  /** The full multi-level loop as a spec-drivable hook: returns the
+    * composed per-ORIGINAL-node labels, the per-level Q values (the
+    * running gate integers rendered once per level), and the per-level
+    * accepted move counts. */
+  private[graft] def louvainMultiLevel(s: SparkSession, edges0: DataFrame)
+      : (DataFrame, Seq[Double], Seq[Long]) = {
+    import s.implicits._
+    var wedges = edges0.select($"src", $"dst", lit(1L).as("w"))
+      .repartition($"src").sortWithinPartitions($"src").cache()
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame](wedges)
+    val mRow = wedges.agg(sum($"w")).head
+    val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+    val qLevels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fullLab: DataFrame = null
+    for (level <- 1 to LouvLevels) {
+      val deg = wedges.groupBy($"src").agg(sum($"w").as("k"))
+        .withColumnRenamed("src", "node").cache()
+      cleanup += deg
+      val ibR = wedges.filter($"src" === $"dst").agg(sum($"w")).head
+      var ib = if (ibR.isNullAt(0)) 0L else ibR.getLong(0)
+      var sb = {
+        val r = deg.agg(sum($"k" * $"k")).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var labels = deg.select($"node", $"node".as("label"))
+        .localCheckpoint()
+      var noMoveStreak = 0
+      var levelMoves = 0L
+      var round = 0
+      // the components_converged pattern: checkpoint per round,
+      // changed-count probe, stop at two consecutive quiet rounds
+      // (both colors — the level's state is then a fixpoint; levels
+      // themselves always all run, because each uses a fresh coloring
+      // salt and may unstick pairs the previous coloring deadlocked)
+      while (round < LouvMoveRounds && noMoveStreak < 2) {
+        val (nl, nMoves, nIb, nSb) =
+          louvainWeightedMove(s, wedges, deg, m, ib, sb, labels,
+            level = level, parity = round % 2)
+        labels = nl; ib = nIb; sb = nSb
+        levelMoves += nMoves
+        noMoveStreak = if (nMoves == 0L) noMoveStreak + 1 else 0
+        round += 1
+      }
+      movesPerLevel += levelMoves
+      qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
+      fullLab =
+        if (level == 1) labels
+        else fullLab
+          .join(labels.select($"node".as("pl"), $"label".as("nl")),
+            $"label" === $"pl")
+          .select($"node", $"nl".as("label"))
+          .localCheckpoint()
+      if (level < LouvLevels) {
+        val contracted = wedges
+          .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
+          .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
+          .groupBy($"ls".as("src"), $"ld".as("dst"))
+          .agg(sum($"w").as("w"))
+          .repartition($"src").sortWithinPartitions($"src").cache()
+        cleanup += contracted
+        wedges = contracted
+      }
+    }
+    cleanup.foreach(_.unpersist(false))
+    (fullLab, qLevels.toSeq, movesPerLevel.toSeq)
+  }
+
+  /** Louvain TO CONVERGENCE with graph contraction (Blondel et al.
+    * 2008, arXiv:0803.0476, the full multi-level algorithm the two
+    * single-phase ops build toward): each level runs gated
+    * alternating-parity move rounds until a whole parity cycle
+    * accepts nothing (or [[LouvMoveRounds]]), then the partition
+    * CONTRACTS — communities become nodes, parallel edges collapse to
+    * weighted edges, internal edges to self-loops — and the next
+    * level moves whole communities at once, which no amount of
+    * single-node moving can express.
+    *
+    * Weighted-gain algebra on exact integers: with M directed edges
+    * and w-weighted degrees, moving node i (degree k, self-loop w_ii)
+    * from A to B keeps the unweighted phase's gain form
+    * `2M(d_iB − d_iA) − 2k(deg_B − deg_A) − 2k²` because the
+    * self-loop moves WITH i (its −w_ii and +w_ii cancel), with d_ic
+    * excluding self-loop rows. The per-round accept gate compares
+    * Q·M² = Σin·M − Σdeg² on BIGINTs maintained as driver scalars by
+    * the same capacity-1 delta argument as `graph_louvain_step2` —
+    * and the oracle recomputes both integers from scratch each round,
+    * so the hash gate proves the running maintenance. Per-level Q
+    * values emit as columns (q_level1 ≤ q_level2 ≤ q_final, the
+    * monotone trace GraphSpec pins); final stats render per community
+    * over the ORIGINAL edge list via the `graph_modularity` folds.
+    *
+    * Scale: per round one keyed edge⋈label fold (d_ic) + |V|-row
+    * frames + two driver-scalar jobs; per level one contraction fold;
+    * every level after the first works on the CONTRACTED graph, which
+    * shrinks with the community count — the classic reason multi-level
+    * Louvain tractably handles billion-edge graphs. Rounds and levels
+    * are bounded knobs; labels localCheckpoint per round so plan depth
+    * stays constant. */
+  private def graphLouvain(s: SparkSession, d: String) = {
+    import s.implicits._
+    val edges0 = coOrderEdges(s, d).cache()
+    val (fullLab, qs, _) = louvainMultiLevel(s, edges0)
+    val out = modularityOf(edges0, fullLab)
+      .withColumn("q_level1", roundHalfUp(lit(qs.head), 6))
+      .withColumn("q_level2", roundHalfUp(lit(qs(1)), 6))
+      .withColumn("q_final", roundHalfUp(lit(qs.last), 6))
+      .orderBy($"component")
+      .localCheckpoint()
+    edges0.unpersist(false)
+    out
+  }
+
+  /** One oracle move round at level `l`, round `r` (1-based), parity
+    * `p`: the TEXTBOOK weighted formulation (d_ic / selfx / cand
+    * CTEs, ROW_NUMBER argmax chains, from-scratch gate integers) —
+    * every specialization the engine round makes (score-ordered
+    * argmax, running-scalar gate, max_by aggregation) must reproduce
+    * these values bit-for-bit to pass the hash gate. */
+  private def louvRoundSql(l: Int, r: Int): String = {
+    val p = (r - 1) % 2
+    val prev = s"lab_${l}_${r - 1}"
+    // level 1: the exact bipartite parity coloring; contracted
+    // levels: the level-salted hash coloring (see louvainWeightedMove)
+    def mover(col: String): String =
+      if (l == 1) s"$col % 2 = $p"
+      else graft.functions.TextFns.hash60Sql(
+        s"'louv$l:' || CAST($col AS VARCHAR)") + s" % 2 = $p"
+    s"""cd_${l}_$r AS MATERIALIZED (
+       |  SELECT b.label, SUM(d.k) AS degc
+       |  FROM $prev b JOIN deg_$l d ON d.node = b.node GROUP BY b.label
+       |),
+       |dc_${l}_$r AS MATERIALIZED (
+       |  SELECT e.src AS node, lb.label AS c, SUM(e.w) AS dcount
+       |  FROM we_$l e JOIN $prev lb ON lb.node = e.dst
+       |  WHERE ${mover("e.src")} AND e.src <> e.dst
+       |  GROUP BY e.src, lb.label
+       |),
+       |sx_${l}_$r AS (
+       |  SELECT b.node, b.label AS a, d.k, ca.degc AS deg_a,
+       |    COALESCE(o.dcount, 0) AS d_ia
+       |  FROM $prev b
+       |  JOIN deg_$l d ON d.node = b.node
+       |  JOIN cd_${l}_$r ca ON ca.label = b.label
+       |  LEFT JOIN dc_${l}_$r o ON o.node = b.node AND o.c = b.label
+       |  WHERE ${mover("b.node")}
+       |),
+       |cn_${l}_$r AS (
+       |  SELECT s.node, s.a, t.c AS b,
+       |    2 * m.m * (t.dcount - s.d_ia) - 2 * s.k * (cb.degc - s.deg_a)
+       |      - 2 * s.k * s.k AS gain
+       |  FROM sx_${l}_$r s
+       |  JOIN dc_${l}_$r t ON t.node = s.node AND t.c <> s.a
+       |  JOIN cd_${l}_$r cb ON cb.label = t.c
+       |  CROSS JOIN mt m
+       |),
+       |wn_${l}_$r AS MATERIALIZED (
+       |  SELECT node, a, b, gain FROM (
+       |    SELECT node, a, b, gain, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY gain DESC, b ASC) AS rn FROM cn_${l}_$r) t
+       |  WHERE rn = 1 AND gain > 0
+       |),
+       |bs_${l}_$r AS MATERIALIZED (
+       |  SELECT node, b FROM (
+       |    SELECT node, b, gain, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY gain DESC, node ASC) AS sr FROM (
+       |      SELECT node, a, b, gain, ROW_NUMBER() OVER (PARTITION BY b
+       |        ORDER BY gain DESC, node ASC) AS tr
+       |      FROM wn_${l}_$r
+       |      WHERE b NOT IN (SELECT a FROM wn_${l}_$r)
+       |        AND a NOT IN (SELECT b FROM wn_${l}_$r)) u
+       |    WHERE tr = 1) v
+       |  WHERE sr = 1
+       |),
+       |mv_${l}_$r AS MATERIALIZED (
+       |  SELECT b.node, COALESCE(bs.b, b.label) AS label
+       |  FROM $prev b LEFT JOIN bs_${l}_$r bs ON bs.node = b.node
+       |),
+       |qx_${l}_$r AS MATERIALIZED (
+       |  SELECT
+       |    (SELECT COALESCE(SUM(e.w), 0) FROM we_$l e
+       |      JOIN $prev x ON x.node = e.src
+       |      JOIN $prev y ON y.node = e.dst AND y.label = x.label) AS ib,
+       |    (SELECT COALESCE(SUM(degc * degc), 0) FROM cd_${l}_$r) AS sb,
+       |    (SELECT COALESCE(SUM(e.w), 0) FROM we_$l e
+       |      JOIN mv_${l}_$r x ON x.node = e.src
+       |      JOIN mv_${l}_$r y ON y.node = e.dst AND y.label = x.label) AS im,
+       |    (SELECT COALESCE(SUM(degc * degc), 0) FROM (
+       |      SELECT SUM(d.k) AS degc FROM mv_${l}_$r f
+       |      JOIN deg_$l d ON d.node = f.node GROUP BY f.label) t) AS sm,
+       |    (SELECT COUNT(*) FROM bs_${l}_$r) AS nm
+       |),
+       |lab_${l}_$r AS MATERIALIZED (
+       |  SELECT b.node,
+       |    CASE WHEN q.nm > 0 AND (q.im * m.m - q.sm) >= (q.ib * m.m - q.sb)
+       |      THEN mv.label ELSE b.label END AS label
+       |  FROM $prev b JOIN mv_${l}_$r mv ON mv.node = b.node
+       |  CROSS JOIN qx_${l}_$r q CROSS JOIN mt m
+       |)""".stripMargin
+  }
+
+  /** Oracle: the full multi-level unroll — [[LouvLevels]] levels of
+    * ([[LouvMoveRounds]] textbook rounds + from-scratch per-level Q +
+    * contraction), then the composed label map and the modularity
+    * stats over the ORIGINAL edges. Rounds the engine skips after
+    * quiescence are identity CTEs here (the gate keeps the standing
+    * partition), so early exit and full unroll agree by construction. */
+  private def louvainMultiOracle: String = {
+    val R = LouvMoveRounds
+    val levels = (1 to LouvLevels).map { l =>
+      val rounds = (1 to R).map(louvRoundSql(l, _)).mkString(",\n")
+      val fin = s"lab_${l}_$R"
+      val contract =
+        if (l == LouvLevels) ""
+        else s""",
+           |we_${l + 1} AS MATERIALIZED (
+           |  SELECT x.label AS src, y.label AS dst, SUM(e.w) AS w
+           |  FROM we_$l e
+           |  JOIN $fin x ON x.node = e.src
+           |  JOIN $fin y ON y.node = e.dst
+           |  GROUP BY x.label, y.label
+           |)""".stripMargin
+      s"""deg_$l AS MATERIALIZED (
+         |  SELECT src AS node, SUM(w) AS k FROM we_$l GROUP BY src
+         |),
+         |lab_${l}_0 AS MATERIALIZED (
+         |  SELECT node, node AS label FROM deg_$l
+         |),
+         |$rounds,
+         |ql_$l AS MATERIALIZED (
+         |  SELECT
+         |    (SELECT COALESCE(SUM(e.w), 0) FROM we_$l e
+         |      JOIN $fin x ON x.node = e.src
+         |      JOIN $fin y ON y.node = e.dst AND y.label = x.label) AS qi,
+         |    (SELECT COALESCE(SUM(t.degc * t.degc), 0) FROM (
+         |      SELECT SUM(d.k) AS degc FROM $fin f
+         |      JOIN deg_$l d ON d.node = f.node GROUP BY f.label) t) AS qs
+         |)$contract""".stripMargin
+    }.mkString(",\n")
+    val flMaps = (2 to LouvLevels).map { l =>
+      s"""fl_$l AS MATERIALIZED (
+         |  SELECT f.node, n.label
+         |  FROM fl_${l - 1} f JOIN lab_${l}_$R n ON n.node = f.label
+         |)""".stripMargin
+    }.mkString(",\n")
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    def qExpr(a: String) =
+      roundHalfUpSql(s"1.0 * $a.qi / m.m - 1.0 * $a.qs / m.m / m.m", 6)
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |we_1 AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |),
+       |mt AS (SELECT COALESCE(SUM(w), 0) AS m FROM we_1),
+       |$levels,
+       |fl_1 AS (SELECT node, label FROM lab_1_$R),
+       |$flMaps,
+       |fdsum AS (
+       |  SELECT f.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(dg.k) AS BIGINT) AS degree_sum
+       |  FROM fl_$LouvLevels f JOIN deg_1 dg ON dg.node = f.node
+       |  GROUP BY f.label
+       |),
+       |finc AS (
+       |  SELECT a.label, COUNT(*) AS n_in
+       |  FROM edges e
+       |  JOIN fl_$LouvLevels a ON e.src = a.node
+       |  JOIN fl_$LouvLevels b2 ON e.dst = b2.node AND b2.label = a.label
+       |  GROUP BY a.label
+       |)
+       |SELECT d.label AS component, d.n_nodes,
+       |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
+       |  d.degree_sum,
+       |  $contrib AS contribution,
+       |  ${qExpr("q1")} AS q_level1,
+       |  ${qExpr("q2")} AS q_level2,
+       |  ${qExpr("q3")} AS q_final
+       |FROM fdsum d CROSS JOIN mt m
+       |LEFT JOIN finc i ON i.label = d.label
+       |CROSS JOIN ql_1 q1 CROSS JOIN ql_2 q2 CROSS JOIN ql_3 q3
+       |ORDER BY component""".stripMargin
+  }
+
   /** Where the persisted phase-1 label store lives, one subdir per
     * source data dir. Staged lazily once per JVM (the
     * [[RefSql.ensureStaged]] convention): the first caller in a
@@ -1922,6 +2329,7 @@ object Graph {
     OpDef("graph_modularity", graphModularity _, modularityOracle),
     OpDef("graph_louvain_step", graphLouvainStep _, louvainOracle),
     OpDef("graph_louvain_step2", graphLouvainStep2 _, louvainStep2Oracle),
+    OpDef("graph_louvain", graphLouvain _, louvainMultiOracle),
     OpDef("graph_louvain_label_store", graphLouvainLabelStore _,
       louvainLabelStoreOracle),
     OpDef("graph_louvain_step2_store", graphLouvainStep2Store _,

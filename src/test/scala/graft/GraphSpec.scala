@@ -361,6 +361,53 @@ class GraphSpec extends SparkSpecBase {
     assert(out(3L) === ((2L, 2L, 3L, 0.083333, -0.055556, 0.166667)))
   }
 
+  test("multi-level louvain: two triangles + bridge converge to the triangles") {
+    import spark.implicits._
+    // the textbook fixture: Louvain's fixpoint is the two triangles
+    // {0,1,2} and {3,4,5} (M=14; per community in=6, deg=7,
+    // contribution 6/14 - (7/14)^2 = 0.178571, Q = 0.357143). The
+    // singleton rounds cannot reach it in one pass (capacity-1 admits
+    // one mover per target), so CONTRACTION must do real work here —
+    // the trace the multi-level loop exists for.
+    val und = Seq((0L,1L),(0L,2L),(1L,2L),(3L,4L),(3L,5L),(4L,5L),(2L,3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val (lab, qs, moves) = ops.Graph.louvainMultiLevel(spark, edges)
+    val part = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(part.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Set(part(0L), part(1L), part(2L)).size === 1,
+      s"left triangle must share one label: $part")
+    assert(Set(part(3L), part(4L), part(5L)).size === 1,
+      s"right triangle must share one label: $part")
+    assert(part(0L) !== part(3L), s"triangles must stay apart: $part")
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"Q must be monotone across levels: $qs")
+    assert(math.abs(qs.last - 0.357142857) < 1e-6,
+      s"final Q must be the two-triangle optimum: ${qs.last}")
+    assert(moves.head > 0, "level 1 must accept moves on this fixture")
+  }
+
+  test("multi-level louvain on the corpus: monotone Q, continuity, conservation") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_louvain")(spark, sf).cache()
+    val q = out.select("q_level1", "q_level2", "q_final").distinct().collect()
+    assert(q.length === 1, "level Q scalars must be constant across rows")
+    val (q1, q2, qf) =
+      (q.head.getDouble(0), q.head.getDouble(1), q.head.getDouble(2))
+    assert(q1 <= q2 + 1e-12 && q2 <= qf + 1e-12,
+      s"Q must be monotone across levels: $q1, $q2, $qf")
+    // level 1 IS the step1+step2 trajectory (parity 0 then 1 from
+    // singletons), so its Q must land exactly on step2's q_after —
+    // the cross-op continuity pin
+    val s2 = SparkEntry.queries("graph_louvain_step2")(spark, sf)
+      .select("q_after").distinct().head.getDouble(0)
+    assert(q1 === s2,
+      s"q_level1 ($q1) must equal graph_louvain_step2's q_after ($s2)")
+    val comps = SparkEntry.queries("graph_components")(spark, sf)
+    assert(out.agg(sum("n_nodes")).head.getLong(0) === comps.count())
+    assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
+    out.unpersist()
+  }
+
   test("louvain step2 on the corpus: continues step 1's trajectory") {
     import spark.implicits._
     val s1 = SparkEntry.queries("graph_louvain_step")(spark, sf)
