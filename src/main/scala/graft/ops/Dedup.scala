@@ -1636,6 +1636,38 @@ object Dedup {
     labels.orderBy($"doc_id")
   }
 
+  /** Shared persisted cluster-label store (the `ensureLouvainStore`
+    * convention): the decorations — `dedup_soft`,
+    * `dedup_canonical(_quality)` — each used to re-derive the full
+    * pair graph + propagation per call; now the labels are staged
+    * once per session and every decoration is ONE keyed join against
+    * the store. Each decoration's ORACLE still recomputes the whole
+    * derivation from the text, so the hash gate proves store-fed
+    * output ≡ live derivation on every driver run; the store content
+    * itself is spec-pinned identical to `dedup_clusters`. Rebuilt on
+    * each JVM's first call — never trusts a store left by older code. */
+  private val ClusterStoreDir = "/tmp/graft_cluster_store"
+  private val clusterStaged = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def ensureClusterStore(s: SparkSession, d: String)
+      : String = synchronized {
+    val p = s"$ClusterStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!clusterStaged.contains(d)) {
+      import s.implicits._
+      val (closed, nodes) = closedNeighborhood(s, d)
+      var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+      for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+      labels.write.mode("overwrite").parquet(p)
+      closed.unpersist(false)
+      clusterStaged += d
+    }
+    p
+  }
+
+  /** The stored labels (pair-graph docs only, like the live frame). */
+  private def storedClusterLabels(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureClusterStore(s, d))
+
   /** Bounded min-label propagation over a forward edge list
     * `(src, dst)` — the [[dedupClusters]] pipeline from the pair
     * graph down, reusable against any pair source (the incremental
@@ -1921,9 +1953,7 @@ object Dedup {
     * coin is row-local — two keyed shuffles total, no text moves. */
   private def dedupSoft(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (closed, nodes) = closedNeighborhood(s, d)
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
-    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val labels = storedClusterLabels(s, d)
     val lab = Tables.documents(s, d).select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
@@ -1969,9 +1999,7 @@ object Dedup {
     * and lengths. */
   private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (closed, nodes) = closedNeighborhood(s, d)
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
-    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val labels = storedClusterLabels(s, d)
     val lab = Tables.documents(s, d).select($"doc_id", $"n_chars")
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -2020,9 +2048,7 @@ object Dedup {
     * compute, no text moves), one window per cluster. */
   private def dedupCanonicalQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (closed, nodes) = closedNeighborhood(s, d)
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
-    for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
+    val labels = storedClusterLabels(s, d)
     val lab = Curation.qualityScoreOf(Tables.documents(s, d))
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id",
