@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -493,9 +493,10 @@ object Multimodal {
       .select($"doc_id", hex($"payload").as("hexp")))
   }
 
-  /** [[mmAudioFingerprint]] over an arbitrary (doc_id, hexp) frame —
-    * the spec hook for planted clip-inside-recording fixtures. */
-  private[graft] def audioFingerprintOf(a: DataFrame): DataFrame = {
+  /** The landmark rows `(doc_id, t, key)` of a (doc_id, hexp) frame —
+    * frame-peak hashing + Wang's anchor→target fanout pairing; the
+    * shared front half of the batch matcher and the persisted index. */
+  private[graft] def audioLandmarks(a: DataFrame): DataFrame = {
     val s = a.sparkSession
     import s.implicits._
     val f = AfFrameHex
@@ -510,13 +511,21 @@ object Multimodal {
       .select($"doc_id", posexplode($"frames"))
       .select($"doc_id", $"pos".cast("long").as("t"),
         (hash60(concat(lit("af:"), $"col")) % AfPeakMod).as("fa"))
-    val lm = peaks.as("p").join(
+    peaks.as("p").join(
         peaks.select($"doc_id", $"t".as("tb"), $"fa".as("fb")).as("q"),
         $"p.doc_id" === $"q.doc_id" &&
           $"tb" > $"t" && $"tb" <= $"t" + AfFanout)
       .select($"p.doc_id".as("doc_id"), $"t",
         hash60(concat_ws(":", lit("afk"), $"fa", $"fb", $"tb" - $"t"))
           .as("key"))
+  }
+
+  /** [[mmAudioFingerprint]] over an arbitrary (doc_id, hexp) frame —
+    * the spec hook for planted clip-inside-recording fixtures. */
+  private[graft] def audioFingerprintOf(a: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    val lm = audioLandmarks(a)
     val keyDocs = lm.select($"key", $"doc_id").distinct()
       .groupBy($"key").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2 && $"n_docs" <= AfMaxKeyDocs)
@@ -534,6 +543,134 @@ object Multimodal {
       .filter($"rn" === 1 && $"n_votes" >= AfMinVotes)
       .select($"doc_a", $"doc_b", $"offset_frames", $"n_votes")
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Persisted landmark index of the EXISTING corpus's wav payloads
+    * (the non-ingest-batch side): postings `(key, doc_id, t)` with the
+    * stop-landmark cut applied AT BUILD time (keys spanning more than
+    * [[AfMaxKeyDocs]] stored docs are hub noise — silence/hum — and
+    * never enter the index, the way production fingerprint stores
+    * ship). Staged once per session, rebuilt on each JVM's first call. */
+  // The clip-batch slice uses residue 3 of the shared inc hash (not
+  // the dedup family's residue 0): the demo corpus's planted
+  // clip/recording pairs must SPAN the batch/store split for the op
+  // to exercise a match, and residue 0 leaves the sf0.01 fixture
+  // empty while 9 splits pairs at all three test scales. A real pipeline
+  // has an ingest-batch column; the residue is fixture wiring.
+  private def isClipBatch(docId: Column): Column =
+    hash60(concat(lit("inc:"), docId)) % 10 === 9
+
+  private val AudioStoreDir = "/tmp/graft_audio_index"
+  private val audioStaged = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def ensureAudioIndex(s: SparkSession, d: String)
+      : String = synchronized {
+    import s.implicits._
+    val p = s"$AudioStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!audioStaged.contains(d)) {
+      val lm = audioLandmarks(media(s, d)
+        .filter($"format" === "wav" && !isClipBatch($"doc_id"))
+        .select($"doc_id", hex($"payload").as("hexp")))
+      val eligible = lm.select($"key", $"doc_id").distinct()
+        .groupBy($"key").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" <= AfMaxKeyDocs)
+        .select($"key")
+      lm.join(eligible, "key").select($"key", $"doc_id", $"t")
+        .write.mode("overwrite").parquet(p)
+      audioStaged += d
+    }
+    p
+  }
+
+  /** Clip identification against the PERSISTED landmark index — the
+    * actual Shazam deployment shape the batch op ([[mmAudioFingerprint]],
+    * which fingerprints everything every call) only rehearses: the
+    * ingest batch's clips (the `isNewBatch` hash slice) fingerprint
+    * row-locally, then ONE key join against the stored postings;
+    * every cross-side key agreement votes for the pair's time offset,
+    * the winning offset per (clip, recording) survives at
+    * ≥ [[AfMinVotes]]. The corpus payloads are NEVER re-read — the
+    * oracle recomputes the whole derivation (old-side fingerprinting
+    * included) from the raw payloads, so the hash gate proves the
+    * store path equals the live one on every driver run.
+    *
+    * Differences from the batch op, both deliberate: singleton keys
+    * stay in the index (a key unique to ONE recording is the most
+    * identifying landmark there is — the batch op's ≥ 2 floor exists
+    * only because within-corpus matching needs cross-doc keys), and
+    * the stop-landmark cap counts STORED docs only (the index can't
+    * know future queries).
+    *
+    * Scale: the index stores int triples, never audio bytes; query
+    * cost tracks the CLIP batch (row-local fingerprint + one keyed
+    * join whose bucket width the build-time cap bounds); the corpus
+    * fingerprint cost amortizes across every later batch. */
+  private def mmAudioIncremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    val store = s.read.parquet(ensureAudioIndex(s, d))
+      .select($"key", $"doc_id".as("doc_b"), $"t".as("tb"))
+    val newLm = audioLandmarks(media(s, d)
+      .filter($"format" === "wav" && isClipBatch($"doc_id"))
+      .select($"doc_id", hex($"payload").as("hexp")))
+    val votes = newLm.join(store, "key")
+      .groupBy($"doc_id".as("doc_a"), $"doc_b",
+        ($"t" - $"tb").as("offset_frames"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"doc_a", $"doc_b")
+      .orderBy($"n_votes".desc, $"offset_frames".asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"n_votes" >= AfMinVotes)
+      .select($"doc_a", $"doc_b", $"offset_frames", $"n_votes")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def audioIncrementalOracle: String = {
+    val f = AfFrameHex
+    val isNew = s"${hash60Sql("'inc:' || doc_id")} % 10 = 9"
+    def lmCte(name: String, pred: String) =
+      s"""${name}0 AS (
+         |  SELECT doc_id, hexp,
+         |    CAST((len(hexp) + ${f - 1}) // $f AS INT) AS nf
+         |  FROM media WHERE format = 'wav' AND $pred
+         |),
+         |${name}fr AS (
+         |  SELECT doc_id, unnest(range(0, nf)) AS t, hexp
+         |  FROM ${name}0 WHERE nf >= 2
+         |),
+         |${name}pk AS (
+         |  SELECT doc_id, CAST(t AS BIGINT) AS t,
+         |    ${hash60Sql(
+                s"'af:' || substring(hexp, CAST(t * $f + 1 AS INT), $f)")}
+         |      % $AfPeakMod AS fa
+         |  FROM ${name}fr
+         |),
+         |${name}lm AS MATERIALIZED (
+         |  SELECT p.doc_id, p.t,
+         |    ${hash60Sql(
+                "'afk:' || p.fa || ':' || q.fa || ':' || (q.t - p.t)")} AS key
+         |  FROM ${name}pk p JOIN ${name}pk q ON q.doc_id = p.doc_id
+         |    AND q.t > p.t AND q.t <= p.t + $AfFanout
+         |)""".stripMargin
+    s"""WITH $mediaSql,
+       |${lmCte("old", s"NOT ($isNew)")},
+       |${lmCte("new", isNew)},
+       |kd AS (
+       |  SELECT key FROM (SELECT DISTINCT key, doc_id FROM oldlm)
+       |  GROUP BY key HAVING COUNT(*) <= $AfMaxKeyDocs
+       |),
+       |store AS (SELECT l.* FROM oldlm l JOIN kd ON kd.key = l.key),
+       |votes AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.t - y.t AS offset_frames, COUNT(*) AS n_votes
+       |  FROM newlm x JOIN store y ON x.key = y.key
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_a, doc_b, offset_frames, n_votes
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+       |        ORDER BY n_votes DESC, offset_frames ASC) AS rn
+       |      FROM votes)
+       |WHERE rn = 1 AND n_votes >= $AfMinVotes
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private def audioFingerprintOracle: String = {
@@ -700,6 +837,8 @@ object Multimodal {
     OpDef("mm_text_pair_filter", mmTextPairFilter _, pairFilterOracle),
     OpDef("mm_audio_fingerprint", mmAudioFingerprint _,
       audioFingerprintOracle),
+    OpDef("mm_audio_incremental", mmAudioIncremental _,
+      audioIncrementalOracle),
     OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),
