@@ -1159,8 +1159,10 @@ object TextAnalysis {
       .orderBy($"doc_id", $"span_start")
   }
 
-  private def spanExciseOracle: String =
-    s"""WITH toks AS (
+  /** The excise chain (toks…grp) as a reusable CTE body — shared by
+    * the manifest oracle and the rewrite oracle that applies it. */
+  private def spanExciseCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, ${tokensSql("text")} AS words FROM documents
        |),
        |pos AS (
@@ -1194,12 +1196,97 @@ object TextAnalysis {
        |      OVER (PARTITION BY doc_id ORDER BY p
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
        |  FROM isl
-       |)
+       |)""".stripMargin
+
+  private def spanExciseOracle: String =
+    s"""WITH $spanExciseCtes
        |SELECT doc_id, MIN(p) AS span_start,
        |  MAX(p) + ${SpanK - 1} AS span_end,
        |  MAX(p) + ${SpanK - 1} - MIN(p) + 1 AS span_tokens
        |FROM grp GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Rewrite executor for the excision manifest — the acting half's
+    * acting half: [[spanExcise]] names the token intervals a dedup
+    * rewrite removes, this op APPLIES them. Each doc's removed
+    * positions expand from the manifest (span intervals → one row per
+    * removed token — bounded by removal volume, never doc volume),
+    * surviving tokens anti-join away the removals and reassemble in
+    * position order (the `text_boilerplate` reassembly shape), and
+    * the op emits the per-doc accounting (tokens before/removed/
+    * after) plus the md5 digest of the cleaned text — the columns a
+    * rewrite job checkpoints so a re-run can prove it produced the
+    * identical corpus. Docs the manifest never touches keep all
+    * tokens (digest = their token-joined text); a fully-excised doc
+    * survives as an accounting row with the empty digest.
+    *
+    * Scale: the manifest derivation is `text_span_excise`'s own cost;
+    * applying it adds one doc-keyed anti-join sized by the removal
+    * volume and one doc-keyed ordered reassembly — no global sort, no
+    * text shuffle beyond each doc's own tokens. */
+  private def textSpanRewrite(s: SparkSession, d: String) = {
+    GraftFunctions.ensure(s)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val spans = spanExcise(s, docs)
+    val toks = docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 1)
+      .select($"doc_id", size($"w").cast("long").as("n_before"),
+        posexplode($"w"))
+      .select($"doc_id", $"n_before", ($"pos" + 1).cast("long").as("p"),
+        $"col".as("tok"))
+    val removed = spans.select($"doc_id",
+      explode(sequence($"span_start", $"span_end")).as("p"))
+    val agg = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct($"p", $"tok"))),
+          x => x.getField("tok")), " ")).as("clean_digest"))
+    docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 1)
+      .select($"doc_id", size($"w").cast("long").as("n_before"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_before",
+        ($"n_before" - coalesce($"n_after", lit(0L))).as("n_removed"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"clean_digest", md5(lit(""))).as("clean_digest"))
+      .orderBy($"doc_id")
+  }
+
+  private def spanRewriteOracle: String =
+    s"""WITH $spanExciseCtes,
+       |spans AS (
+       |  SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${SpanK - 1} AS span_end
+       |  FROM grp GROUP BY doc_id, island
+       |),
+       |rem AS (
+       |  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p
+       |  FROM spans
+       |),
+       |tk AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_before,
+       |    CAST(unnest(range(1, len(words) + 1)) AS BIGINT) AS p, words
+       |  FROM toks WHERE len(words) >= 1
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.words[t.p] AS tok
+       |  FROM tk t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
+       |  WHERE r.p IS NULL
+       |),
+       |ag AS (
+       |  SELECT doc_id, COUNT(*) AS n_after,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_digest
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_before,
+       |  b.n_before - COALESCE(a.n_after, 0) AS n_removed,
+       |  COALESCE(a.n_after, 0) AS n_after,
+       |  COALESCE(a.clean_digest, md5('')) AS clean_digest
+       |FROM (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_before
+       |      FROM toks WHERE len(words) >= 1) b
+       |LEFT JOIN ag a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   /** BM25 query terms — drawn from the corpus vocabulary. */
   private val BmQuery = Seq("hash", "join", "scan")
@@ -1507,6 +1594,7 @@ object TextAnalysis {
     OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_span_excise", textSpanExcise _, spanExciseOracle),
+    OpDef("text_span_rewrite", textSpanRewrite _, spanRewriteOracle),
     OpDef("text_source_terms", textSourceTerms _, sourceTermsOracle),
     OpDef("text_topk_terms", topkTerms _,
       s"""SELECT term, COUNT(*) AS occurrences

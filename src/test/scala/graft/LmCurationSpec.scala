@@ -12,6 +12,69 @@ import org.apache.spark.sql.functions._
 class LmCurationSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("text_span_rewrite reconciles with the excision manifest per doc") {
+    val manifest = SparkEntry.queries("text_span_excise")(spark, sf)
+      .groupBy("doc_id").agg(sum("span_tokens").as("m_removed"))
+    val rw = SparkEntry.queries("text_span_rewrite")(spark, sf).cache()
+    // accounting: before = after + removed, and removed matches the
+    // manifest's span totals exactly (0 for untouched docs)
+    assert(rw.filter(col("n_before") =!=
+      col("n_after") + col("n_removed")).count() === 0)
+    val j = rw.join(manifest, Seq("doc_id"), "left")
+    assert(j.filter(coalesce(col("m_removed"), lit(0L)) =!=
+      col("n_removed")).count() === 0,
+      "per-doc removed tokens must equal the manifest's span totals")
+    // untouched docs keep their full token stream bit-for-bit
+    val fullDigest = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(array_join(
+        graft.functions.TextFns.tokens(col("text")), " ")).as("fd"))
+    assert(rw.filter(col("n_removed") === 0).join(fullDigest, "doc_id")
+      .filter(col("clean_digest") =!= col("fd")).count() === 0)
+    rw.unpersist()
+  }
+
+  test("rewrite reconciles with ExactSubstr keep-one (per-gram rule + caveat)") {
+    // the rule's two testable halves, per spanExcise's scaladoc:
+    // SOUNDNESS — every removed position lies inside some cross-doc-
+    // duplicated gram's window (the rewrite never deletes unique
+    // content); and the documented CAVEAT — keep-one holds per GRAM,
+    // so an overlapping DIFFERENT gram's span may clip a kept
+    // occurrence: on this fixture exactly one duplicated gram loses
+    // all fully-surviving windows that way (pinned, so a semantics
+    // change that widens or narrows the caveat trips the spec).
+    graft.expressions.GraftFunctions.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val occ = docs
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.wordShingles("w", 8)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        md5(col("col")).as("h"))
+      .cache()
+    val dup = occ.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").count().filter(col("count") >= 2).select(col("h"))
+    val removedPos = SparkEntry.queries("text_span_excise")(spark, sf)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("rp"))
+      .cache()
+    val dupWindows = occ.join(dup, "h")
+    val unsound = removedPos.join(dupWindows,
+        removedPos("doc_id") === dupWindows("doc_id") &&
+          col("rp").between(col("p"), col("p") + 7), "left_anti")
+      .count()
+    assert(unsound === 0,
+      s"$unsound removed positions lie outside every duplicated gram window")
+    val clipped = occ.join(removedPos,
+        occ("doc_id") === removedPos("doc_id") &&
+          col("rp").between(col("p"), col("p") + 7), "left_semi")
+    val surviving = occ.exceptAll(clipped).select(col("h")).distinct()
+    val lost = dup.join(surviving, Seq("h"), "left_anti").count()
+    assert(lost === 1,
+      s"overlap-caveat clips drifted: $lost dup grams lost all full windows")
+    occ.unpersist(); removedPos.unpersist()
+  }
+
   test("text_lm_score: testdata has no OOV (31 terms << vocab) and CE is bounded") {
     val r = SparkEntry.queries("text_lm_score")(spark, sf).cache()
     assert(r.count() === 500)
