@@ -1381,6 +1381,79 @@ object Events {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** PIT join generalized to a MULTI-ATTRIBUTE SCD2 dimension — the
+    * feature-store shape at width: each version carries its full
+    * payload (type, the opening event's value and event_id, and
+    * valid_from), and the whole payload rides the SAME single
+    * user-keyed carry-forward window as ONE struct column
+    * (`last(struct(...), ignoreNulls)`) — attaching k more version
+    * attributes costs zero additional shuffles or windows, which is
+    * exactly why the carry-forward beats a per-attribute lookup at
+    * warehouse width. The oracle states the textbook interval LEFT
+    * JOIN over the widened dim, so the hash gate proves the struct
+    * carry preserves interval semantics attribute-for-attribute;
+    * EventsSpec drives the boundary / zero-width / pre-history edges
+    * through the widened path. */
+  private def joinPitMulti(s: SparkSession, d: String) =
+    pitJoinMultiOf(Tables.events(s, d))
+
+  /** [[joinPitMulti]] over an arbitrary events-shaped frame. */
+  private[graft] def pitJoinMultiOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val wv = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val changes = ev.filter($"event_type" =!= "purchase")
+      .withColumn("prev_type", lag($"event_type", 1).over(wv))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .select($"user_id", $"event_type".as("dtype"), $"value".as("dval"),
+        $"event_id".as("deid"), $"ts".as("valid_from"))
+    val dim = changes.withColumn("valid_to",
+      lead($"valid_from", 1).over(Window.partitionBy($"user_id")
+        .orderBy($"valid_from".asc, $"deid".asc)))
+    val payT = "struct<dtype:string,dval:double,deid:bigint,vf:timestamp>"
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val u = dim.select($"user_id", $"valid_from".as("ts"), lit(0).as("tag"),
+        coalesce(unix_micros($"valid_to"), lit(Long.MaxValue)).as("vto"),
+        struct($"dtype", $"dval", $"deid", $"valid_from".as("vf")).as("pay"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+      .unionByName(facts.select($"user_id", $"ts", lit(1).as("tag"),
+        lit(0L).as("vto"), lit(null).cast(payT).as("pay"),
+        $"event_id", $"value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"vto".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("gov", last($"pay", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        $"gov.dtype".as("dim_type"), $"gov.dval".as("dim_value"),
+        $"gov.deid".as("dim_event_id"), $"gov.vf".as("valid_from"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private def pitMultiOracle: String =
+    """WITH dim AS (
+      |  SELECT user_id, event_type AS dim_type, value AS dim_value,
+      |    event_id AS dim_event_id, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS valid_to
+      |  FROM (
+      |    SELECT user_id, event_type, value, ts, event_id,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC) AS prev_type
+      |    FROM events WHERE event_type <> 'purchase')
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT f.user_id, f.event_id, f.ts, f.value,
+      |  d.dim_type, d.dim_value, d.dim_event_id, d.valid_from
+      |FROM events f LEFT JOIN dim d
+      |  ON d.user_id = f.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.user_id, f.event_id""".stripMargin
+
   private def pitOracle: String =
     """WITH dim AS (
       |  SELECT user_id, event_type AS dim_type, ts AS valid_from,
@@ -2383,6 +2456,7 @@ object Events {
     OpDef("join_range_bucketed", joinRangeBucketed _, rangeOracle),
     OpDef("join_interval", joinInterval _, intervalOracle),
     OpDef("join_pit", joinPit _, pitOracle),
+    OpDef("join_pit_multi", joinPitMulti _, pitMultiOracle),
     OpDef("join_range", joinRange _, rangeOracle),
     OpDef("join_asof_nearest", joinAsofNearest _, asofNearestOracle),
     OpDef("join_asof", joinAsof _,

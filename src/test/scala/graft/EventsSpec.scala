@@ -144,6 +144,47 @@ class EventsSpec extends SparkSpecBase {
       got.toString)
   }
 
+  test("pitJoinMultiOf: the widened payload rides the same edges intact") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the pitJoinOf fixture, with distinct values/event_ids so every
+    // attached attribute traces back to ONE specific version-opening
+    // event — boundary, zero-width, and pre-history must all carry the
+    // whole payload consistently (never a column from a different
+    // version)
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00"), 10.0),
+      (1L, 2L, "click", ts("2024-01-01 11:00:00"), 20.0),
+      (1L, 10L, "purchase", ts("2024-01-01 10:30:00"), 5.0),
+      (1L, 11L, "purchase", ts("2024-01-01 11:00:00"), 6.0),
+      (2L, 3L, "view", ts("2024-01-01 09:00:00"), 30.0),
+      (2L, 4L, "error", ts("2024-01-01 09:00:00"), 40.0),
+      (2L, 12L, "purchase", ts("2024-01-01 09:30:00"), 7.0),
+      (3L, 13L, "purchase", ts("2024-01-01 08:00:00"), 8.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = ops.Events.pitJoinMultiOf(ev).collect().map { r =>
+      r.getLong(1) -> (Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))
+    }.toMap
+    assert(got === Map(
+      10L -> ((Some("view"), Some(10.0), Some(1L))),
+      11L -> ((Some("click"), Some(20.0), Some(2L))),
+      12L -> ((Some("error"), Some(40.0), Some(4L))),
+      13L -> ((None, None, None))),
+      got.toString)
+  }
+
+  test("join_pit_multi agrees with join_pit on the shared columns") {
+    import org.apache.spark.sql.functions._
+    val narrow = SparkEntry.queries("join_pit")(spark, sf)
+    val wide = SparkEntry.queries("join_pit_multi")(spark, sf)
+      .select("user_id", "event_id", "ts", "value", "dim_type", "valid_from")
+    assert(wide.count() === narrow.count())
+    assert(wide.exceptAll(narrow).isEmpty && narrow.exceptAll(wide).isEmpty,
+      "widening the payload must not move any governing version")
+  }
+
   test("join_pit covers every purchase exactly once, versions never future") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("join_pit")(spark, sf).cache()
