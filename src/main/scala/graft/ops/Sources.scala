@@ -438,6 +438,76 @@ object Sources {
        |FROM documents t FULL OUTER JOIN batch b ON b.doc_id = t.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** MERGE INTO with SCHEMA EVOLUTION — the lakehouse maintenance
+    * combination `merge_into` and `scan_schema_evolution` bracket
+    * from either side: the recrawl batch now carries a column the
+    * store has never seen (`lang`), and the merge applies its actions
+    * copy-on-write — gen-1 keeps the surviving untouched rows AT THE
+    * OLD PHYSICAL SCHEMA (a column landing must never rewrite old
+    * data), gen-2 holds the batch's upserts at the evolved schema,
+    * deleted keys land nowhere — then the evolved store reads back
+    * through `mergeSchema`, which widens retroactively: gen-1 rows
+    * surface NULL `lang` (the backfill semantics MergeIntoSpec pins).
+    *
+    * Scale: the anti-join is the only shuffle (batch-key-sized build
+    * side); each generation's files keep their own footer schema, so
+    * at 100 TB evolution costs one footer reconcile, not a rewrite. */
+  private[graft] def mergeEvolveStage(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = s"$tmpRoot/docs_merge_evolve"
+    val target = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val batch = target
+      .filter(hash60(concat(lit("inc:"), $"doc_id")) % 10 === 0)
+      .select(
+        when($"doc_id" % 3 === 2, $"doc_id" + MergeInsertOffset)
+          .otherwise($"doc_id").as("doc_id"),
+        when($"doc_id" % 3 === 1, concat($"text", lit(" [recrawl]")))
+          .otherwise($"text").as("btext"),
+        $"source".as("bsource"),
+        when($"doc_id" % 3 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"),
+        when($"doc_id" % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+      .cache()
+    target.join(batch.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=1")
+    batch.filter($"op" === "upsert")
+      .select($"doc_id", $"btext".as("text"), $"bsource".as("source"),
+        $"lang")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
+    batch.unpersist(false)
+    path
+  }
+
+  private def mergeIntoEvolve(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.read.option("mergeSchema", "true").parquet(mergeEvolveStage(s, d))
+      .select($"doc_id", md5($"text").as("content_md5"), $"source",
+        $"lang", $"gen".cast("int").as("gen"))
+      .orderBy($"doc_id")
+  }
+
+  private def mergeEvolveOracle: String =
+    s"""WITH batch AS (
+       |  SELECT
+       |    CASE WHEN doc_id % 3 = 2 THEN doc_id + $MergeInsertOffset
+       |         ELSE doc_id END AS doc_id,
+       |    CASE WHEN doc_id % 3 = 1 THEN text || ' [recrawl]'
+       |         ELSE text END AS btext,
+       |    source AS bsource,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+       |  FROM documents
+       |  WHERE ${hash60Sql("'inc:' || doc_id")} % 10 = 0
+       |)
+       |SELECT t.doc_id, md5(t.text) AS content_md5, t.source,
+       |  CAST(NULL AS VARCHAR) AS lang, CAST(1 AS INT) AS gen
+       |FROM documents t
+       |WHERE t.doc_id NOT IN (SELECT doc_id FROM batch)
+       |UNION ALL
+       |SELECT doc_id, md5(btext), bsource, lang, CAST(2 AS INT)
+       |FROM batch WHERE op = 'upsert'
+       |ORDER BY doc_id""".stripMargin
+
   private def snapshotDiff(s: SparkSession, d: String) = {
     import s.implicits._
     val path = s"$tmpRoot/orders_snap"
@@ -546,6 +616,7 @@ object Sources {
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
     OpDef("merge_into", mergeInto _, mergeIntoOracle),
+    OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),
     OpDef("layout_zonemap", layoutZonemap _, zonemapOracle),
     OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),
     OpDef("sink_partitioned", sinkPartitioned _,

@@ -46,4 +46,35 @@ class MergeIntoSpec extends SparkSpecBase {
     assert(old.filter(col("content_md5") =!= col("m")).count() === 0)
     out.unpersist(); docs.unpersist()
   }
+
+  test("merge_into_evolve: NULL backfill, old files untouched, actions hold") {
+    val path = ops.Sources.mergeEvolveStage(spark, sf)
+    // the evolution's core claim: gen-1 files keep the OLD physical
+    // schema (no rewrite when the column landed) ...
+    val gen1 = spark.read.parquet(s"$path/gen=1")
+    assert(!gen1.columns.contains("lang"),
+      "gen-1 files must stay at the pre-evolution physical schema")
+    // ... while the merged read surfaces the widened schema with NULL
+    // backfill exactly on the old generation
+    val out = SparkEntry.queries("merge_into_evolve")(spark, sf).cache()
+    assert(out.columns.contains("lang"))
+    assert(out.filter(col("gen") === 1 && col("lang").isNotNull)
+      .count() === 0, "old-generation rows must backfill lang as NULL")
+    assert(out.filter(col("gen") === 2 && col("lang").isNull)
+      .count() === 0, "every upserted row carries its batch lang")
+    // action reconciliation against merge_into: deleted keys vanish,
+    // updated/inserted keys sit in gen-2, kept keys in gen-1
+    val audit = SparkEntry.queries("merge_into")(spark, sf).cache()
+    def keys(a: String) =
+      audit.filter(col("action") === a).select(col("doc_id"))
+    assert(out.join(keys("deleted"), Seq("doc_id"), "left_semi")
+      .count() === 0, "deleted keys must not survive the merge")
+    assert(out.filter(col("gen") === 2)
+      .join(keys("updated").union(keys("inserted")), Seq("doc_id"),
+        "left_anti").count() === 0)
+    assert(out.filter(col("gen") === 1)
+      .join(keys("kept"), Seq("doc_id"), "left_anti").count() === 0)
+    assert(out.count() === audit.filter(col("action") =!= "deleted").count())
+    out.unpersist(); audit.unpersist()
+  }
 }
