@@ -41,15 +41,29 @@ import org.apache.spark.sql.functions._
   *    linearly at constant group width while its two-stage salted
   *    shuffle carries factor× rows.
   *
-  * Usage: runMain graft.ScaleData <sfDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleData <sfDir> <outDir> <factor> [graph]
+  *
+  * Factors above 21 cap the documents/embeddings tables at 21 copies
+  * (the vowel-window bound) while the relational/event tables scale
+  * fully — the big-factor mode exists for the graph/streaming
+  * rehearsals, which never read the text tables. The optional `graph`
+  * mode ALSO shifts o_custkey and l_suppkey per copy, so the co-order
+  * graph itself grows by the factor (99 disjoint copies of the base
+  * graph — volume grows, diameter stays, which is exactly the shape
+  * that tests whether bounded-rounds claims survive another decade);
+  * without it copies shift only order keys and the DISTINCT pair
+  * projection collapses the graph back to the base (the default mode
+  * preserves the other families' per-copy join structure).
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, factorStr) = args
+    val (sfDir, outDir, factorStr) = (args(0), args(1), args(2))
+    val graphMode = args.length > 3 && args(3) == "graph"
     val factor = factorStr.toInt
-    require(factor >= 1 && factor <= 21,
-      s"factor must be in [1, 21] (copy k reads a 5-char window at offset k " +
-        s"of the 26-char vowel-target table); got $factor")
+    require(factor >= 1 && factor <= 99,
+      s"factor must be in [1, 99] (copy ids shift by k*10^7 and must stay " +
+        s"below the 10^9 fresh-key offset); got $factor")
+    val docFactor = math.min(factor, 21)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,7 +73,7 @@ object ScaleData {
 
     val vowelTargets = "aeioubcdfghjklmnpqrstvwxyz"
     val docs = Tables.documents(spark, sfDir)
-    val docCopies = (0 until factor).map { k =>
+    val docCopies = (0 until docFactor).map { k =>
       val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
       if (k == 0) shifted
       else shifted.withColumn("text",
@@ -68,7 +82,7 @@ object ScaleData {
     docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = Tables.embeddings(spark, sfDir)
-    val embCopies = (0 until factor).map { k =>
+    val embCopies = (0 until docFactor).map { k =>
       emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
         expr(s"transform(embedding, x -> CAST(x + ${k * 0.001} AS FLOAT))")
           .as("embedding"),
@@ -88,7 +102,11 @@ object ScaleData {
 
     val li = Tables.lineitem(spark, sfDir)
     val liCopies = (0 until factor).map { k =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+      val base = li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(k * 10000000L))
+      if (graphMode)
+        base.withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+      else base
     }.reduce(_ union _)
     liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
@@ -98,7 +116,11 @@ object ScaleData {
     // fact sides grow by the factor
     val ord = Tables.orders(spark, sfDir)
     val ordCopies = (0 until factor).map { k =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+      val base = ord.withColumn("o_orderkey",
+        col("o_orderkey") + lit(k * 10000000L))
+      if (graphMode)
+        base.withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+      else base
     }.reduce(_ union _)
     ordCopies.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
@@ -116,7 +138,8 @@ object ScaleData {
     val counts = Seq("documents", "embeddings", "events", "lineitem",
         "orders", "customer")
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
-    println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor from $sfDir)")
+    println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor" +
+      s"${if (graphMode) ", graph mode" else ""} from $sfDir)")
     spark.stop()
   }
 }
