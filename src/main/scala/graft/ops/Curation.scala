@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -891,6 +891,115 @@ object Curation {
       .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
   }
 
+  /** Full-domain generalization to k-anonymity (Samarati 2001 —
+    * the remediation `privacy_kanonymity` only audits): walk a fixed
+    * generalization LADDER over the quasi-identifier — widen the
+    * balance band 1000 → 4000, then suppress the segment, then
+    * coarsen nation to a 5-nation region, then total suppression —
+    * and release at the MINIMAL level where EVERY group reaches
+    * k ≥ [[KAnonMin]] (one level for the whole release, the
+    * full-domain model; per-cell generalization would leak which
+    * cells were small). Output: the released groups at the chosen
+    * level, QI columns rendered as strings with '*' for
+    * generalized-away parts, plus the level itself.
+    *
+    * Engine: each level's min-group-size is one map-side-combined
+    * fold to a DRIVER SCALAR (the honest-control-flow pattern); the
+    * ladder stops at the first satisfying level, and the oracle
+    * evaluates every level's min-k and picks the same minimum in SQL
+    * — the hash gate proves the early exit picks the identical level.
+    *
+    * Scale: one grouped fold per probed level over the release table
+    * (ladder depth is a small constant); the released artifact is
+    * QI-domain-bounded. */
+  private val GenLevels = 5
+
+  private def privacyGeneralize(s: SparkSession, d: String): DataFrame =
+    generalizeOf(Tables.customer(s, d))
+
+  /** One ladder rung's QI groups + sizes (spec hook for the
+    * minimality check). */
+  private[graft] def generalizeLevelGroups(cust: DataFrame,
+                                           level: Int): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val nat = level match {
+      case 0 | 1 | 2 => $"c_nationkey".cast("string")
+      case 3 => concat(lit("R"), expr("c_nationkey div 5").cast("string"))
+      case _ => lit("*")
+    }
+    val seg = if (level <= 1) $"c_mktsegment" else lit("*")
+    val band = level match {
+      case 0 => concat(lit("B"),
+        floor($"c_acctbal" / 1000).cast("long").cast("string"))
+      case 1 | 2 | 3 => concat(lit("B"),
+        floor($"c_acctbal" / 4000).cast("long").cast("string"))
+      case _ => lit("*")
+    }
+    cust.select(nat.as("qi_nation"), seg.as("qi_segment"),
+        band.as("qi_band"))
+      .groupBy($"qi_nation", $"qi_segment", $"qi_band")
+      .agg(count(lit(1)).as("k"))
+  }
+
+  /** [[privacyGeneralize]] over an arbitrary customer-shaped frame. */
+  private[graft] def generalizeOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    def groups(level: Int): DataFrame = generalizeLevelGroups(cust, level)
+    var level = 0
+    var done = false
+    while (!done && level < GenLevels - 1) {
+      val r = groups(level).agg(min($"k")).head
+      // empty release: vacuously k-anonymous at the finest level
+      if (r.isNullAt(0) || r.getLong(0) >= KAnonMin) done = true
+      else level += 1
+    }
+    groups(level)
+      .select($"qi_nation", $"qi_segment", $"qi_band", $"k",
+        lit(level).as("gen_level"))
+      .orderBy($"qi_nation", $"qi_segment", $"qi_band")
+  }
+
+  private def generalizeOracle: String = {
+    def natSql(l: Int) = l match {
+      case 0 | 1 | 2 => "CAST(c_nationkey AS VARCHAR)"
+      case 3 => "'R' || CAST(c_nationkey // 5 AS VARCHAR)"
+      case _ => "'*'"
+    }
+    def segSql(l: Int) = if (l <= 1) "c_mktsegment" else "'*'"
+    def bandSql(l: Int) = l match {
+      case 0 => "'B' || CAST(CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS VARCHAR)"
+      case 1 | 2 | 3 =>
+        "'B' || CAST(CAST(FLOOR(c_acctbal / 4000) AS BIGINT) AS VARCHAR)"
+      case _ => "'*'"
+    }
+    val lvls = (0 until GenLevels).map { l =>
+      s"""g$l AS (
+         |  SELECT ${natSql(l)} AS qi_nation, ${segSql(l)} AS qi_segment,
+         |    ${bandSql(l)} AS qi_band, COUNT(*) AS k
+         |  FROM customer GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(",\n")
+    val mins = (0 until GenLevels - 1)
+      .map(l =>
+        s"(SELECT COALESCE(MIN(k), 9223372036854775807) FROM g$l) AS m$l")
+      .mkString(", ")
+    val pick = (0 until GenLevels - 1)
+      .map(l => s"WHEN m$l >= $KAnonMin THEN $l")
+      .mkString("CASE ", " ", s" ELSE ${GenLevels - 1} END")
+    val arms = (0 until GenLevels).map { l =>
+      s"""SELECT qi_nation, qi_segment, qi_band, k,
+         |  CAST($l AS INT) AS gen_level
+         |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $lvls,
+       |mins AS (SELECT $mins),
+       |sel AS (SELECT $pick AS lv FROM mins)
+       |$arms
+       |ORDER BY qi_nation, qi_segment, qi_band""".stripMargin
+  }
+
   private def kanonymityOracle: String =
     s"""WITH per_sens AS (
        |  SELECT c_nationkey, c_mktsegment,
@@ -909,6 +1018,7 @@ object Curation {
 
   val defs: Seq[OpDef] = Seq(
     OpDef("privacy_kanonymity", privacyKanonymity _, kanonymityOracle),
+    OpDef("privacy_generalize", privacyGeneralize _, generalizeOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_report", corpusMixReport _,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins `privacy_generalize`'s full-domain contract: the release is
+  * k-anonymous, the chosen ladder level is MINIMAL (one level down a
+  * violating group exists), and a hand fixture walks the band-widening
+  * rung exactly.
+  */
+class GeneralizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("release is k-anonymous and the chosen level is minimal") {
+    val out = SparkEntry.queries("privacy_generalize")(spark, sf).cache()
+    assert(out.filter(col("k") < 5).count() === 0,
+      "every released group must reach k >= 5")
+    val lvl = out.select("gen_level").distinct().collect()
+    assert(lvl.length === 1, "full-domain: ONE level for the whole release")
+    val l = lvl.head.getInt(0)
+    if (l > 0) {
+      // minimality: the next-finer rung must violate somewhere
+      val finer = ops.Curation.generalizeLevelGroups(
+        Tables.customer(spark, sf), l - 1)
+      assert(finer.agg(min(col("k"))).head.getLong(0) < 5,
+        s"level ${l - 1} already satisfies k-anonymity — level $l not minimal")
+    }
+    out.unpersist()
+  }
+
+  test("hand fixture: band widening is the first satisfying rung") {
+    // five same-(nation, segment) customers straddling four 1000-bands
+    // but one 4000-band: level 0 violates (min group 1), level 1 is
+    // the minimal satisfying rung
+    val cust = Seq(
+      (1L, 7L, "BUILDING", 0.0), (2L, 7L, "BUILDING", 999.0),
+      (3L, 7L, "BUILDING", 1999.0), (4L, 7L, "BUILDING", 2999.0),
+      (5L, 7L, "BUILDING", 3999.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = ops.Curation.generalizeOf(cust).collect()
+    assert(out.length === 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3), r.getInt(4)) === (("7", "BUILDING", "B0", 5L, 1)))
+  }
+
+  test("empty release is vacuously anonymous at the finest level") {
+    val cust = Seq.empty[(Long, Long, String, Double)]
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = ops.Curation.generalizeOf(cust)
+    assert(out.count() === 0)
+  }
+}
