@@ -47,11 +47,13 @@ object Bench {
     // per-query map exactly that way), so write the file FIRST.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
-    // Emit the results line BEFORE the shutdown sequence as well as
-    // after it: a head+tail stdout capture then sees the full map even
-    // when teardown noise (or tail truncation of a 273-entry line)
-    // eats the final copy. Nothing else prints to stdout during the
-    // run, so this is the first stdout line the program emits.
+    // OUTPUT CONTRACT: bench_out.json (written above) is the single
+    // source of truth. The SAME line is printed to stdout TWICE — once
+    // here (before teardown) and once after — so a head+tail capture
+    // sees the full map even when teardown noise (or tail truncation
+    // of a 280-entry line) eats one copy. Stdout consumers must parse
+    // the FIRST JSON line they find (or read the file), never count
+    // lines: duplicates are intentional and always byte-identical.
     println(json)
     System.out.flush()
     // Quiesce everything that prints at JVM teardown BEFORE the final

@@ -1647,22 +1647,17 @@ object Dedup {
     * itself is spec-pinned identical to `dedup_clusters`. Rebuilt on
     * each JVM's first call — never trusts a store left by older code. */
   private val ClusterStoreDir = "/tmp/graft_cluster_store"
-  private val clusterStaged = scala.collection.mutable.Set.empty[String]
 
   private[graft] def ensureClusterStore(s: SparkSession, d: String)
-      : String = synchronized {
-    val p = s"$ClusterStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!clusterStaged.contains(d)) {
+      : String =
+    StoreStage.ensure(ClusterStoreDir, d) { tmp =>
       import s.implicits._
       val (closed, nodes) = closedNeighborhood(s, d)
       var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
       for (_ <- 1 to ClusterHops) labels = propagate(closed, labels)
-      labels.write.mode("overwrite").parquet(p)
+      labels.write.parquet(tmp)
       closed.unpersist(false)
-      clusterStaged += d
     }
-    p
-  }
 
   /** The stored labels (pair-graph docs only, like the live frame). */
   private def storedClusterLabels(s: SparkSession, d: String): DataFrame =

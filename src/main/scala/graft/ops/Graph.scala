@@ -1519,27 +1519,18 @@ object Graph {
     * caller reads the store — which is exactly the nightly-job shape
     * (phase 1 materialized once, downstream refinement jobs attach). */
   private val LouvainStoreDir = "/tmp/graft_louvain_store"
-  private val louvainStaged =
-    scala.collection.mutable.Set.empty[String]
-
-  private def louvainStorePath(d: String): String =
-    s"$LouvainStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Build-if-missing the phase-1 label store for data dir `d` and
     * return its path. Always rebuilt on the first call of each JVM
-    * (never trusts a store left by older code or other data). */
+    * (never trusts a store left by older code or other data);
+    * published atomically via [[StoreStage]]. */
   private[graft] def ensureLouvainStore(s: SparkSession, d: String)
-      : String = synchronized {
-    val p = louvainStorePath(d)
-    if (!louvainStaged.contains(d)) {
+      : String =
+    StoreStage.ensure(LouvainStoreDir, d) { tmp =>
       val edges = coOrderEdges(s, d).cache()
-      louvainPhase1Labels(s, edges)
-        .write.mode("overwrite").parquet(p)
+      louvainPhase1Labels(s, edges).write.parquet(tmp)
       edges.unpersist(false)
-      louvainStaged += d
     }
-    p
-  }
 
   /** The phase-1 label store itself, as a catalog op: build (first
     * call per session) or reuse the persisted parquet labels and emit

@@ -561,13 +561,11 @@ object Multimodal {
     hash60(concat(lit("inc:"), docId)) % 10 === 9
 
   private val AudioStoreDir = "/tmp/graft_audio_index"
-  private val audioStaged = scala.collection.mutable.Set.empty[String]
 
   private[graft] def ensureAudioIndex(s: SparkSession, d: String)
-      : String = synchronized {
-    import s.implicits._
-    val p = s"$AudioStoreDir/${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!audioStaged.contains(d)) {
+      : String =
+    StoreStage.ensure(AudioStoreDir, d) { tmp =>
+      import s.implicits._
       val lm = audioLandmarks(media(s, d)
         .filter($"format" === "wav" && !isClipBatch($"doc_id"))
         .select($"doc_id", hex($"payload").as("hexp")))
@@ -576,11 +574,8 @@ object Multimodal {
         .filter($"n_docs" <= AfMaxKeyDocs)
         .select($"key")
       lm.join(eligible, "key").select($"key", $"doc_id", $"t")
-        .write.mode("overwrite").parquet(p)
-      audioStaged += d
+        .write.parquet(tmp)
     }
-    p
-  }
 
   /** Clip identification against the PERSISTED landmark index — the
     * actual Shazam deployment shape the batch op ([[mmAudioFingerprint]],
