@@ -1115,26 +1115,39 @@ object Graph {
   private val LouvMoveRounds = 2
   private val LouvLevels = 3
 
-  /** One WEIGHTED general Louvain move round over `(src, dst, w)`
-    * edges (self-loops carry contracted communities' internal weight)
-    * — the unit the multi-level loop repeats. Same algebra as
-    * [[louvainGeneralPhase]] with `COUNT(*)` generalized to `SUM(w)`
-    * and d_ic excluding self-loops (a mover's self-loop moves WITH it,
-    * so it cancels out of the gain and of the global Σin_c delta —
-    * the derivation in the [[graphLouvain]] scaladoc). The gate's
-    * global integers ride as DRIVER SCALARS maintained by exact
-    * deltas (ib += Σ2(d_iB − d_iA), sb += Σ(2k(deg_B − deg_A) + 2k²)
-    * — legal because capacity-1 + disjointness give each affected
-    * community exactly one membership event); the ORACLE recomputes
-    * both integers from scratch every round, so the hash gate proves
-    * the running-scalar maintenance.
+  /** The accepted MOVE SET of one weighted general Louvain round over
+    * `(src, dst, w)` edges (self-loops carry contracted communities'
+    * internal weight) against `base` labels — the unit the multi-level
+    * loop chains. Same algebra as [[louvainGeneralPhase]] with
+    * `COUNT(*)` generalized to `SUM(w)` and d_ic excluding self-loops
+    * (a mover's self-loop moves WITH it, so it cancels out of the gain
+    * and of the global Σin_c delta — the derivation in the
+    * [[graphLouvain]] scaladoc). Entirely LAZY: no action runs here.
     *
-    * Returns (labels after the round, accepted move count, new ib,
-    * new sb); on a rejected or empty batch the base frame itself
-    * comes back (caller's loop sees 0 moves). */
-  private[graft] def louvainWeightedMove(s: SparkSession, wedges: DataFrame,
-      deg: DataFrame, m: Long, ib: Long, sb: Long, base: DataFrame,
-      level: Int, parity: Int): (DataFrame, Long, Long, Long) = {
+    * The per-round Q gate the oracle renders is PROVABLY always-accept
+    * for this pipeline: capacity-1 + source/target disjointness make
+    * per-move gain deltas exact (each affected community sees exactly
+    * one membership event), so the gate margin
+    * `(im·M − sm) − (ib·M − sb) = Σ accepted gains` is strictly
+    * positive whenever any move exists — and with zero moves the
+    * "moved" partition IS the base, so `base ⟕ best` is the correct
+    * next label frame UNCONDITIONALLY. The engine therefore never
+    * materializes a per-round gate probe (the round-14 profile showed
+    * the serial probe jobs, not data movement, dominate this op); the
+    * ORACLE still evaluates the gate CASE from scratch every round, so
+    * the hash gate re-proves the always-accept argument on every
+    * driver run.
+    *
+    * Returns one row per accepted mover:
+    * (node, a, b, k, d_ia, dcount, deg_a, deg_b) — the label update
+    * needs (node, b); the stats pass re-derives the gate integers'
+    * exact deltas (ib += Σ2(d_iB − d_iA),
+    * sb += Σ(2k(deg_B − deg_A) + 2k²)) from the rest. Intermediate
+    * frames this round caches are appended to `cleanup`. */
+  private[graft] def louvainMoveBest(s: SparkSession, wedges: DataFrame,
+      deg: DataFrame, m: Long, base: DataFrame, level: Int, parity: Int,
+      cleanup: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame = {
     import s.implicits._
     // Mover coloring. Level 1 is the bipartite co-order graph, where
     // node % 2 is an EXACT 2-coloring (and keeps level 1 ≡ the
@@ -1149,29 +1162,38 @@ object Graph {
     // capacity-1 filters alone guarantee one membership event per
     // community), only liveness does.
     val moverPred =
-      if (level == 1) $"src" % 2 === parity
-      else hash60(concat(lit(s"louv$level:"), $"src".cast("string"))) % 2 ===
+      if (level == 1) $"dst" % 2 === parity
+      else hash60(concat(lit(s"louv$level:"), $"dst".cast("string"))) % 2 ===
         parity
-    // Exchange-lean candidate pipeline (the pagerank partition-reuse
-    // idea applied to move rounds): wedges stay pre-partitioned on
-    // src, so the deg attach is a co-partitioned join and the
-    // (node, c) fold reuses that partitioning with NO extra exchange;
-    // the per-node argmax orders by the node-constant-free score
-    // 2M·d_ic − 2k·deg_c (gain = score + const(node), so the argmax
-    // and the `b ASC` tie-break are IDENTICAL to the oracle's
-    // order-by-gain form), and the true gain is reconstructed for the
-    // >0 filter and the gate deltas afterwards. c = a rows ride the
-    // same fold (their argmax ordering key is NULL, which max_by
-    // skips) and produce d_ia in place of the textbook form's extra
-    // dic self-join. Collapsed the measured round floor ~6.4 -> ~3 s.
-    val ninfo = base.join(deg, "node")
+    // SYMMETRIC exchange-lean fold: the edge list stores BOTH
+    // directions of every undirected edge, so d_ic(i) = Σ w over rows
+    // (n → i) with label(n) = c — the LABEL ATTACH rides the src side,
+    // co-partitioned with the wedge cache (zero shuffle), and the
+    // mover restriction moves to dst. The (dst, c) partials map-side
+    // combine before the ONE pair-sized shuffle; the old form instead
+    // re-shuffled the whole edge list to dst every round (the probe
+    // showed per-stage driver overhead × stage count, not data, is
+    // this op's cost at test scale — and at real scale the saved |E|
+    // exchange is the dominant data movement). The per-node argmax
+    // orders by the node-constant-free score 2M·d_ic − 2k·deg_c
+    // (gain = score + const(node), so the argmax and the `b ASC`
+    // tie-break are IDENTICAL to the oracle's order-by-gain form);
+    // the true gain is reconstructed for the >0 filter and the gate
+    // deltas afterwards. c = a rows ride the same fold (their argmax
+    // ordering key is NULL, which max_by skips) and produce d_ia in
+    // place of the textbook form's extra dic self-join. The final
+    // groupBy keys (node, k, a) start with the join key, so the
+    // ninfo attach's partitioning satisfies it with no exchange.
+    val ninfo = base.join(deg, "node").cache()
+    cleanup += ninfo
     val cdeg = ninfo.groupBy($"label").agg(sum($"k").as("degc")).cache()
+    cleanup += cdeg
     val fold = wedges.filter(moverPred && $"src" =!= $"dst")
-      .join(ninfo.select($"node".as("src"), $"label".as("a"), $"k"), "src")
-      .join(base.select($"node".as("dst"), $"label".as("c")), "dst")
-      .groupBy($"src", $"k", $"a", $"c").agg(sum($"w").as("dcount"))
-      .withColumnRenamed("src", "node")
+      .join(base.select($"node".as("src"), $"label".as("c")), "src")
+      .groupBy($"dst", $"c").agg(sum($"w").as("dcount"))
       .join(cdeg.select($"label".as("c"), $"degc".as("deg_c")), "c")
+      .withColumnRenamed("dst", "node")
+      .join(ninfo.select($"node", $"label".as("a"), $"k"), "node")
       .groupBy($"node", $"k", $"a")
       .agg(
         max_by(struct($"c".as("b"), $"dcount", $"deg_c"),
@@ -1187,105 +1209,258 @@ object Graph {
       .withColumn("gain", lit(2L) * lit(m) * ($"dcount" - $"d_ia") -
         lit(2L) * $"k" * ($"deg_b" - $"deg_a") - lit(2L) * $"k" * $"k")
       .filter($"gain" > 0).cache()
+    cleanup += winners
+    // left_anti needs no deduplicated right side — the old .distinct()
+    // calls were two pure-overhead aggregation stages per round
     val disjoint = winners
-      .join(winners.select($"a".as("b")).distinct(), Seq("b"), "left_anti")
-      .join(winners.select($"b".as("a")).distinct(), Seq("a"), "left_anti")
-    val best = disjoint.groupBy($"b")
+      .join(winners.select($"a".as("b")), Seq("b"), "left_anti")
+      .join(winners.select($"b".as("a")), Seq("a"), "left_anti")
+    disjoint.groupBy($"b")
       .agg(max_by(struct($"node", $"a", $"k", $"d_ia", $"dcount",
         $"deg_a", $"deg_b", $"gain"), struct($"gain", -$"node")).as("x"))
       .select($"b", $"x.*")
       .groupBy($"a")
       .agg(max_by(struct($"node", $"b", $"k", $"d_ia", $"dcount",
         $"deg_a", $"deg_b"), struct($"gain", -$"node")).as("x"))
-      .select($"a", $"x.*").cache()
-    // one driver job: the move count and both exact gate deltas
-    val drow = best.agg(count(lit(1)),
-      sum(lit(2L) * ($"dcount" - $"d_ia")),
-      sum(lit(2L) * $"k" * ($"deg_b" - $"deg_a") + lit(2L) * $"k" * $"k"))
-      .head
-    val nMoves = drow.getLong(0)
-    val dIb = if (drow.isNullAt(1)) 0L else drow.getLong(1)
-    val dSb = if (drow.isNullAt(2)) 0L else drow.getLong(2)
-    val (im, sm) = (ib + dIb, sb + dSb)
-    val acc = nMoves > 0L && im * m - sm >= ib * m - sb
-    val out =
-      if (!acc) (base, 0L, ib, sb)
-      else {
-        val nl = base.join(best.select($"node", $"b"), Seq("node"), "left")
-          .select($"node", coalesce($"b", $"label").as("label"))
-          .localCheckpoint()
-        (nl, nMoves, im, sm)
-      }
-    Seq(cdeg, winners, best).foreach(_.unpersist(false))
-    out
+      .select($"a", $"x.*")
   }
 
   /** The full multi-level loop as a spec-drivable hook: returns the
-    * composed per-ORIGINAL-node labels, the per-level Q values (the
-    * running gate integers rendered once per level), and the per-level
-    * accepted move counts. */
-  private[graft] def louvainMultiLevel(s: SparkSession, edges0: DataFrame)
-      : (DataFrame, Seq[Double], Seq[Long]) = {
+    * composed per-ORIGINAL-node labels (LAZY — the caller's output
+    * action materializes it from the filled caches), the per-level Q
+    * values (the running gate integers rendered once per level), the
+    * per-level accepted move counts, and a cleanup thunk the caller
+    * MUST invoke after materializing the labels (unpersists every
+    * intermediate cache AND every lazily-checkpointed frame's blocks,
+    * so no orphaned checkpoint blocks survive the call).
+    *
+    * THREE driver jobs end-to-end (was ~21 when every round gated +
+    * checkpointed): (1) the m probe, which fills the wedge cache;
+    * (2) ONE union-of-aggregates stats job — per level two init rows
+    * (ib₀ self-loop fold, sb₀ = Σk²) and one row per move round
+    * (move count + the two exact gate deltas), 12 one-row branches
+    * whose shared lineage Spark's stage dedup runs once, filling
+    * every best/contraction cache along the way; (3) the caller's
+    * output action. Legal because the per-round gate is provably
+    * always-accept (see [[louvainMoveBest]]), so label chaining and
+    * contraction never depend on a driver-side decision — the stats
+    * are pure output decoration, and the oracle's from-scratch gate
+    * evaluation re-proves that on every driver run.
+    *
+    * `level1Base` (the [[graphLouvainStore]] path) starts level 1
+    * from an existing partition — e.g. the persisted phase-1 label
+    * store — instead of singletons; its init rows then fold ib₀/sb₀
+    * over the base labels (two extra keyed folds, same stats job). */
+  /** Run `f` under temporary SQL conf overrides, restoring after.
+    * Callers must materialize their output INSIDE the wrapper. */
+  private def withConf[T](s: SparkSession, kvs: (String, String)*)(f: => T)
+      : T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Cut the logical lineage WITHOUT running a job:
+    * `localCheckpoint(eager = false)` rewrites the frame to a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] leaf at creation
+    * time (materialization happens at the first consuming action, so
+    * the 3-job design keeps its job count). Without this, the chained
+    * multi-level plan re-expands its shared subtrees exponentially
+    * during Catalyst transforms — the driver OOM'd ANALYZING the
+    * 6-round chain before a single task ran. Unlike a plain
+    * `.cache()`, the leaf also survives the harness's
+    * `clearCache()`-between-queries convention. */
+  private def stage(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
+  /** Free a [[stage]]d frame's checkpoint blocks (the ADVICE-item
+    * leak: abandoned per-round label checkpoints used to linger until
+    * GC-driven cleanup). Callers must have materialized everything
+    * they return first — a truncated frame cannot recompute. */
+  private def unstage(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Everything a louvain op needs from one multi-level run: the
+    * composed per-original-node labels (lazy), per-level Q and move
+    * counts, the CACHED level-1 wedge/degree frames (so the output
+    * stats tail never re-folds the raw edge list), the edge total,
+    * and the cleanup thunk. */
+  private[graft] final case class LouvainRun(
+      labels: DataFrame, qLevels: Seq[Double], moves: Seq[Long],
+      wedges1: DataFrame, deg1: DataFrame, m: Long,
+      confs: Seq[(String, String)], cleanup: () => Unit)
+
+  private[graft] def louvainMultiLevel(s: SparkSession, edges0: DataFrame,
+      level1Base: Option[DataFrame] = None)
+      : (DataFrame, Seq[Double], Seq[Long], () => Unit) = {
+    val r = louvainMultiLevelRun(s, edges0, level1Base)
+    (r.labels, r.qLevels, r.moves, r.cleanup)
+  }
+
+  private[graft] def louvainMultiLevelRun(s: SparkSession,
+      edges0: DataFrame, level1Base: Option[DataFrame] = None)
+      : LouvainRun = {
     import s.implicits._
+    // m first (fills the caller's edge cache), then partition count AS
+    // A FUNCTION OF THE GRAPH SIZE (memory pattern: scale geometry
+    // with N, don't pin it): ~200k edge rows per partition, floored at
+    // 8, capped at the cluster's parallelism. At test scale this keeps
+    // the dozens of |V|-sized stages at a handful of tasks each (the
+    // per-stage scheduling floor, not data, dominates this op's bench
+    // cost); at cluster scale the cap rises with the executor count.
+    // Contracted levels shrink the graph, so their partition counts
+    // shrink too (¼ per level, floored at 1).
+    val m = edges0.count()
+    val nPart = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, m / 200000L)).toInt
+    def nPartAt(level: Int): Int = math.max(4, nPart >> (level - 1))
+    // Below ~20M edges the per-stage whole-stage-codegen COMPILE cost
+    // dominates this op's dozens of tiny stages (each round's salted
+    // literals defeat the codegen cache) — run interpreted there and
+    // compiled above, where per-row throughput is what matters. Same
+    // adaptivity contract as AQE: pick the physical strategy from the
+    // observed size, never change results.
+    val confs: Seq[(String, String)] =
+      Seq("spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+        "true") ++
+      (if (m < 20000000L) Seq("spark.sql.codegen.wholeStage" -> "false")
+       else Seq.empty)
+    withConf(s, confs: _*) {
     var wedges = edges0.select($"src", $"dst", lit(1L).as("w"))
-      .repartition($"src").sortWithinPartitions($"src").cache()
+      .repartition(nPart, $"src").sortWithinPartitions($"src").cache()
     val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame](wedges)
-    val mRow = wedges.agg(sum($"w")).head
-    val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
-    val qLevels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var fullLab: DataFrame = null
+    val stagedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = {
+      val out = stage(df); stagedFrames += out; out
+    }
+    val deg1deg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val wedges1 = wedges
+    val statRows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def statRow(level: Int, kind: String, agg: DataFrame): DataFrame =
+      agg.select(lit(level).as("lvl"), lit(kind).as("kind"),
+        col(agg.columns(0)).cast("long").as("v1"),
+        (if (agg.columns.length > 1) col(agg.columns(1)) else lit(null))
+          .cast("long").as("v2"),
+        (if (agg.columns.length > 2) col(agg.columns(2)) else lit(null))
+          .cast("long").as("v3"))
+    val perLevelLabels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (level <- 1 to LouvLevels) {
       val deg = wedges.groupBy($"src").agg(sum($"w").as("k"))
         .withColumnRenamed("src", "node").cache()
       cleanup += deg
-      val ibR = wedges.filter($"src" === $"dst").agg(sum($"w")).head
-      var ib = if (ibR.isNullAt(0)) 0L else ibR.getLong(0)
-      var sb = {
-        val r = deg.agg(sum($"k" * $"k")).head
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (level == 1) deg1deg += deg
+      var labels = level1Base match {
+        case Some(b) if level == 1 => b.select($"node", $"label")
+        case _ => deg.select($"node", $"node".as("label"))
       }
-      var labels = deg.select($"node", $"node".as("label"))
-        .localCheckpoint()
-      var noMoveStreak = 0
-      var levelMoves = 0L
-      var round = 0
-      // the components_converged pattern: checkpoint per round,
-      // changed-count probe, stop at two consecutive quiet rounds
-      // (both colors — the level's state is then a fixpoint; levels
-      // themselves always all run, because each uses a fresh coloring
-      // salt and may unstick pairs the previous coloring deadlocked)
-      while (round < LouvMoveRounds && noMoveStreak < 2) {
-        val (nl, nMoves, nIb, nSb) =
-          louvainWeightedMove(s, wedges, deg, m, ib, sb, labels,
-            level = level, parity = round % 2)
-        labels = nl; ib = nIb; sb = nSb
-        levelMoves += nMoves
-        noMoveStreak = if (nMoves == 0L) noMoveStreak + 1 else 0
-        round += 1
+      // Level-1 init rows: ib₀ (internal edge weight of the base
+      // partition — the self-loop fold when the base is singletons)
+      // and sb₀ = Σ per-community degree². Levels ≥ 2 need NO init
+      // branches: contraction preserves both gate integers (each
+      // community becomes a node whose self-loop carries the
+      // partition's internal weight and whose degree is the
+      // community degree), so ib₀/sb₀ of level l+1 ARE level l's
+      // final running scalars — maintained on the driver below.
+      if (level == 1) {
+        if (level1Base.isDefined) {
+          val b = staged(labels); labels = b
+          statRows += statRow(level, "ib", wedges
+            .join(b.select($"node".as("src"), $"label".as("ls")), "src")
+            .join(b.select($"node".as("dst"), $"label".as("ld")), "dst")
+            .filter($"ls" === $"ld")
+            .agg(coalesce(sum($"w"), lit(0L))))
+          statRows += statRow(level, "sb", b.join(deg, "node")
+            .groupBy($"label").agg(sum($"k").as("ds"))
+            .agg(coalesce(sum($"ds" * $"ds"), lit(0L))))
+        } else {
+          statRows += statRow(level, "ib", wedges.filter($"src" === $"dst")
+            .agg(coalesce(sum($"w"), lit(0L))))
+          statRows += statRow(level, "sb",
+            deg.agg(coalesce(sum($"k" * $"k"), lit(0L))))
+        }
       }
-      movesPerLevel += levelMoves
-      qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
-      fullLab =
-        if (level == 1) labels
-        else fullLab
-          .join(labels.select($"node".as("pl"), $"label".as("nl")),
-            $"label" === $"pl")
-          .select($"node", $"nl".as("label"))
-          .localCheckpoint()
+      for (round <- 0 until LouvMoveRounds) {
+        // stage BEST, not labels: best is the round's one computed
+        // reusable frame (and the smaller one — movers only); the
+        // label chain is then a lazy ladder of joins against staged
+        // leaves, whose plan grows LINEARLY per round and whose
+        // re-references cost only a cheap join re-execution. (An
+        // unstaged chain re-referencing a chained non-leaf multiplies
+        // the plan tree ~7× per round — the driver OOM'd ANALYZING
+        // the 6-round chain before a single task ran.)
+        val best = staged(louvainMoveBest(s, wedges, deg, m, labels,
+          level = level, parity = round % 2, cleanup))
+        statRows += statRow(level, s"r$round", best.agg(
+          count(lit(1)),
+          coalesce(sum(lit(2L) * ($"dcount" - $"d_ia")), lit(0L)),
+          coalesce(sum(lit(2L) * $"k" * ($"deg_b" - $"deg_a") +
+            lit(2L) * $"k" * $"k"), lit(0L))))
+        labels = labels
+          .join(best.select($"node", $"b"), Seq("node"), "left")
+          .select($"node", coalesce($"b", $"label").as("label"))
+      }
+      perLevelLabels += labels
       if (level < LouvLevels) {
-        val contracted = wedges
+        // Contraction with the same symmetric-fold discipline: the
+        // src-side label attach is co-partitioned (free); a partial
+        // (dst, ls) combine collapses parallel edges BEFORE any
+        // shuffle, so only pair-sized partials ever move — the naive
+        // two-attach form re-shuffled the raw edge list to dst.
+        wedges = staged(wedges
           .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
+          .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
           .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
           .groupBy($"ls".as("src"), $"ld".as("dst"))
           .agg(sum($"w").as("w"))
-          .repartition($"src").sortWithinPartitions($"src").cache()
-        cleanup += contracted
-        wedges = contracted
+          .repartition(nPartAt(level + 1), $"src")
+          .sortWithinPartitions($"src"))
       }
     }
-    cleanup.foreach(_.unpersist(false))
-    (fullLab, qLevels.toSeq, movesPerLevel.toSeq)
+    // THE stats job: every init/round row in one union — one action
+    // materializes the whole multi-level pipeline's caches.
+    val stats = statRows.reduce(_.unionByName(_)).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.isNullAt(4)) 0L else r.getLong(4)))
+      .toMap
+    val qLevels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var ib = stats((1, "ib"))._1
+    var sb = stats((1, "sb"))._1
+    for (level <- 1 to LouvLevels) {
+      // levels ≥ 2 inherit ib/sb from the previous level's finals
+      // (contraction preserves the gate integers)
+      var levelMoves = 0L
+      for (round <- 0 until LouvMoveRounds) {
+        val (nM, dIb, dSb) = stats((level, s"r$round"))
+        levelMoves += nM; ib += dIb; sb += dSb
+      }
+      movesPerLevel += levelMoves
+      qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
+    }
+    // Lazy composition down to original nodes: |V|-row joins over the
+    // cached per-level labels, materialized by the caller's action.
+    var fullLab = perLevelLabels.head
+    for (level <- 1 until LouvLevels)
+      fullLab = fullLab
+        .join(perLevelLabels(level)
+          .select($"node".as("pl"), $"label".as("nl")), $"label" === $"pl")
+        .select($"node", $"nl".as("label"))
+    LouvainRun(fullLab, qLevels.toSeq, movesPerLevel.toSeq,
+      wedges1, deg1deg.head, m, confs,
+      () => {
+        cleanup.foreach(_.unpersist(false))
+        stagedFrames.foreach(unstage)
+      })
+    }
   }
 
   /** Louvain TO CONVERGENCE with graph contraction (Blondel et al.
@@ -1319,16 +1494,72 @@ object Graph {
     * Louvain tractably handles billion-edge graphs. Rounds and levels
     * are bounded knobs; labels localCheckpoint per round so plan depth
     * stays constant. */
-  private def graphLouvain(s: SparkSession, d: String) = {
+  /** Shared output tail for the multi-level ops: the final modularity
+    * stats rendered from the run's OWN cached level-1 wedge/degree
+    * frames (the generic [[modularityOf]] would re-fold the raw edge
+    * list — measured ~10 s of the op's tail at sf0.1), with the n_in
+    * fold using the same symmetric label-attach discipline as the
+    * move rounds. Materializes the output, then releases every
+    * intermediate via the run's cleanup thunk. */
+  private def louvainOutput(s: SparkSession, run: LouvainRun): DataFrame =
+      withConf(s, run.confs: _*) {
     import s.implicits._
-    val edges0 = coOrderEdges(s, d).cache()
-    val (fullLab, qs, _) = louvainMultiLevel(s, edges0)
-    val out = modularityOf(edges0, fullLab)
-      .withColumn("q_level1", roundHalfUp(lit(qs.head), 6))
-      .withColumn("q_level2", roundHalfUp(lit(qs(1)), 6))
-      .withColumn("q_final", roundHalfUp(lit(qs.last), 6))
+    val lbl = stage(run.labels) // referenced three times below
+    val dsum = lbl.join(run.deg1, "node").groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"k").as("degree_sum"))
+    val inC = run.wedges1
+      .join(lbl.select($"node".as("src"), $"label".as("ls")), "src")
+      .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
+      .join(lbl.select($"node".as("dst"), $"label".as("ld")), "dst")
+      .filter($"ld" === $"ls")
+      .groupBy($"ls".as("label")).agg(sum($"w").as("n_in"))
+    val base = dsum.join(inC, Seq("label"), "left")
+      .select($"label".as("component"), $"n_nodes",
+        coalesce($"n_in", lit(0L)).as("internal_edges"), $"degree_sum",
+        roundHalfUp(lit(1.0) * coalesce($"n_in", lit(0L)) / lit(run.m) -
+          (lit(1.0) * $"degree_sum" / lit(run.m)) *
+            (lit(1.0) * $"degree_sum" / lit(run.m)), 6).as("contribution"))
+    val out = run.qLevels.init.zipWithIndex
+      .foldLeft(base) { case (df, (q, i)) =>
+        df.withColumn(s"q_level${i + 1}", roundHalfUp(lit(q), 6))
+      }
+      .withColumn("q_final", roundHalfUp(lit(run.qLevels.last), 6))
       .orderBy($"component")
       .localCheckpoint()
+    run.cleanup()
+    unstage(lbl)
+    out
+  }
+
+  private def graphLouvain(s: SparkSession, d: String) = {
+    val edges0 = coOrderEdges(s, d).cache()
+    val out = louvainOutput(s, louvainMultiLevelRun(s, edges0))
+    edges0.unpersist(false)
+    out
+  }
+
+  /** Multi-level Louvain FED FROM THE PERSISTED PHASE-1 STORE — the
+    * production nightly shape of [[graphLouvain]]: level 1 starts at
+    * the materialized phase-1 partition ([[ensureLouvainStore]])
+    * instead of singletons, runs its gated move rounds FROM there
+    * (the refinement pass over yesterday's communities), then
+    * contracts and climbs the remaining levels exactly like the live
+    * op. The ORACLE recomputes phase 1 from scratch and unrolls the
+    * same rounds from its `final` partition, so the hash gate proves
+    * store-fed multi-level ≡ live derivation on every driver run —
+    * the `graph_louvain_step2_store` precedent applied to the whole
+    * trajectory.
+    *
+    * Scale: the store read is |V| label rows (metadata-sized next to
+    * the edge list); what it buys is skipping the phase-1 singleton
+    * round's full-graph candidate fold, the most expensive round of
+    * the live op — and at 100 TB the nightly refinement job re-reads
+    * the store while only the weekly full rebuild pays phase 1. */
+  private def graphLouvainStore(s: SparkSession, d: String) = {
+    val edges0 = coOrderEdges(s, d).cache()
+    val base = s.read.parquet(ensureLouvainStore(s, d))
+    val out = louvainOutput(s,
+      louvainMultiLevelRun(s, edges0, Some(base)))
     edges0.unpersist(false)
     out
   }
@@ -1426,8 +1657,16 @@ object Graph {
     * contraction), then the composed label map and the modularity
     * stats over the ORIGINAL edges. Rounds the engine skips after
     * quiescence are identity CTEs here (the gate keeps the standing
-    * partition), so early exit and full unroll agree by construction. */
-  private def louvainMultiOracle: String = {
+    * partition), so early exit and full unroll agree by construction.
+    *
+    * `fromStore` prepends the phase-1 chain ([[louvainPhase1Sql]])
+    * and starts level 1 at its `final` partition instead of
+    * singletons — the from-scratch twin of [[graphLouvainStore]]'s
+    * persisted-store read. */
+  private def louvainMultiOracle: String = louvainMultiOracleBody(false)
+  private def louvainStoreOracle: String = louvainMultiOracleBody(true)
+
+  private def louvainMultiOracleBody(fromStore: Boolean): String = {
     val R = LouvMoveRounds
     val levels = (1 to LouvLevels).map { l =>
       val rounds = (1 to R).map(louvRoundSql(l, _)).mkString(",\n")
@@ -1442,11 +1681,14 @@ object Graph {
            |  JOIN $fin y ON y.node = e.dst
            |  GROUP BY x.label, y.label
            |)""".stripMargin
+      val init =
+        if (l == 1 && fromStore) "SELECT node, label FROM final"
+        else s"SELECT node, node AS label FROM deg_$l"
       s"""deg_$l AS MATERIALIZED (
          |  SELECT src AS node, SUM(w) AS k FROM we_$l GROUP BY src
          |),
          |lab_${l}_0 AS MATERIALIZED (
-         |  SELECT node, node AS label FROM deg_$l
+         |  $init
          |),
          |$rounds,
          |ql_$l AS MATERIALIZED (
@@ -1470,19 +1712,37 @@ object Graph {
         "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
     def qExpr(a: String) =
       roundHalfUpSql(s"1.0 * $a.qi / m.m - 1.0 * $a.qs / m.m / m.m", 6)
-    s"""WITH co AS (
-       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |),
-       |edges AS MATERIALIZED (
-       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
-       |  UNION ALL
-       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
-       |),
-       |we_1 AS MATERIALIZED (
-       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
-       |),
-       |mt AS (SELECT COALESCE(SUM(w), 0) AS m FROM we_1),
+    // q_level1..q_level{L-1} + q_final, derived from LouvLevels (the
+    // engine derives its columns from the same constant, so changing
+    // the level count shifts both schemas together)
+    val qCols = ((1 until LouvLevels).map(i =>
+      s"${qExpr(s"q$i")} AS q_level$i") :+
+      s"${qExpr(s"q$LouvLevels")} AS q_final").mkString(",\n  ")
+    val qJoins = (1 to LouvLevels)
+      .map(i => s"CROSS JOIN ql_$i q$i").mkString(" ")
+    // store mode reuses the phase-1 chain's co/edges/mt CTEs (same
+    // definitions; mt's COUNT(*) equals SUM(w) on unit weights)
+    val prefix =
+      if (fromStore)
+        s"""$louvainPhase1Sql,
+           |we_1 AS MATERIALIZED (
+           |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+           |)""".stripMargin
+      else
+        s"""co AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |),
+           |edges AS MATERIALIZED (
+           |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+           |  UNION ALL
+           |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+           |),
+           |we_1 AS MATERIALIZED (
+           |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+           |),
+           |mt AS (SELECT COALESCE(SUM(w), 0) AS m FROM we_1)""".stripMargin
+    s"""WITH $prefix,
        |$levels,
        |fl_1 AS (SELECT node, label FROM lab_1_$R),
        |$flMaps,
@@ -1503,12 +1763,10 @@ object Graph {
        |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
        |  d.degree_sum,
        |  $contrib AS contribution,
-       |  ${qExpr("q1")} AS q_level1,
-       |  ${qExpr("q2")} AS q_level2,
-       |  ${qExpr("q3")} AS q_final
+       |  $qCols
        |FROM fdsum d CROSS JOIN mt m
        |LEFT JOIN finc i ON i.label = d.label
-       |CROSS JOIN ql_1 q1 CROSS JOIN ql_2 q2 CROSS JOIN ql_3 q3
+       |$qJoins
        |ORDER BY component""".stripMargin
   }
 
@@ -2321,6 +2579,7 @@ object Graph {
     OpDef("graph_louvain_step", graphLouvainStep _, louvainOracle),
     OpDef("graph_louvain_step2", graphLouvainStep2 _, louvainStep2Oracle),
     OpDef("graph_louvain", graphLouvain _, louvainMultiOracle),
+    OpDef("graph_louvain_store", graphLouvainStore _, louvainStoreOracle),
     OpDef("graph_louvain_label_store", graphLouvainLabelStore _,
       louvainLabelStoreOracle),
     OpDef("graph_louvain_step2_store", graphLouvainStep2Store _,

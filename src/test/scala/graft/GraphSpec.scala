@@ -371,8 +371,9 @@ class GraphSpec extends SparkSpecBase {
     // the trace the multi-level loop exists for.
     val und = Seq((0L,1L),(0L,2L),(1L,2L),(3L,4L),(3L,5L),(4L,5L),(2L,3L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
-    val (lab, qs, moves) = ops.Graph.louvainMultiLevel(spark, edges)
+    val (lab, qs, moves, cleanup) = ops.Graph.louvainMultiLevel(spark, edges)
     val part = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cleanup()
     assert(part.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
     assert(Set(part(0L), part(1L), part(2L)).size === 1,
       s"left triangle must share one label: $part")
@@ -404,6 +405,29 @@ class GraphSpec extends SparkSpecBase {
       s"q_level1 ($q1) must equal graph_louvain_step2's q_after ($s2)")
     val comps = SparkEntry.queries("graph_components")(spark, sf)
     assert(out.agg(sum("n_nodes")).head.getLong(0) === comps.count())
+    assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
+    out.unpersist()
+  }
+
+  test("store-fed multi-level louvain: refines past the stored phase-1 partition") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_louvain_store")(spark, sf).cache()
+    val q = out.select("q_level1", "q_level2", "q_final").distinct().collect()
+    assert(q.length === 1, "level Q scalars must be constant across rows")
+    val (q1, q2, qf) =
+      (q.head.getDouble(0), q.head.getDouble(1), q.head.getDouble(2))
+    assert(q1 <= q2 + 1e-12 && q2 <= qf + 1e-12,
+      s"Q must be monotone across levels: $q1, $q2, $qf")
+    // level 1 here = phase-1 store + BOTH parity rounds, a superset of
+    // step2's single odd round from the same base — gated rounds never
+    // lose Q, so q_level1 must be at least step2's q_after
+    val s2 = SparkEntry.queries("graph_louvain_step2")(spark, sf)
+      .select("q_after").distinct().head.getDouble(0)
+    assert(q1 >= s2 - 1e-12,
+      s"store-fed q_level1 ($q1) must not fall below step2 q_after ($s2)")
+    val comps = SparkEntry.queries("graph_components")(spark, sf)
+    assert(out.agg(sum("n_nodes")).head.getLong(0) === comps.count(),
+      "every original node must land in exactly one community")
     assert(out.filter(col("internal_edges") > col("degree_sum")).count() === 0)
     out.unpersist()
   }
