@@ -58,7 +58,17 @@ import org.apache.spark.sql.functions._
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, factorStr) = (args(0), args(1), args(2))
-    val graphMode = args.length > 3 && args(3) == "graph"
+    // `graph` grows the co-order graph as DISJOINT copies; `graphhub`
+    // additionally wires a handful of GLOBAL hub suppliers into every
+    // copy with a geometric degree distribution (hub 0 takes ~50% of
+    // the overlay edges, hub 1 ~25%, …) — the cross-copy skew the
+    // disjoint-copy rehearsal admits it never exercises: one node
+    // whose degree is ~factor × 10⁴ while the typical supplier stays
+    // at ~10³, so every keyed shuffle in the graph family sees a
+    // genuinely hot key.
+    val mode = if (args.length > 3) args(3) else ""
+    val hubMode = mode == "graphhub"
+    val graphMode = mode == "graph" || hubMode
     val factor = factorStr.toInt
     require(factor >= 1 && factor <= 99,
       s"factor must be in [1, 99] (copy ids shift by k*10^7 and must stay " +
@@ -108,7 +118,24 @@ object ScaleData {
         base.withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
       else base
     }.reduce(_ union _)
-    liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // Hub overlay: a ~2% deterministic slice of every copy's lines is
+    // DUPLICATED onto eight global (unshifted) hub suppliers keyed
+    // 9·10⁸ + idx, idx geometric via floor(log₂): each copy's
+    // customers co-order with the same hubs, so the hubs' degrees
+    // grow with the factor while everything else stays per-copy.
+    val liAll =
+      if (!hubMode) liCopies
+      else {
+        val h = pmod(hash(col("l_orderkey"), col("l_linenumber"),
+          lit("hubslice")), lit(5000))
+        val hubRows = liCopies.filter(h < lit(100))
+          .withColumn("l_suppkey", lit(900000000L) +
+            (lit(7) - floor(log2(pmod(hash(col("l_orderkey"),
+              col("l_linenumber"), lit("hubpick")), lit(255)) + lit(1))))
+            .cast("long"))
+        liCopies.unionByName(hubRows)
+      }
+    liAll.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // orders mirrors lineitem's key shift so the o_orderkey =
     // l_orderkey join structure replicates exactly per copy —
