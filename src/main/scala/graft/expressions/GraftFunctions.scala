@@ -72,6 +72,8 @@ object GraftFunctions {
     ("mg_topk_candidates", classOf[MgTopKCandidates],
       es => MgTopKCandidates(es(0))),
     ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))),
+    ("unigram_seg", classOf[UnigramSeg],
+      es => UnigramSeg(es(0), es(1), es(2))),
     ("high_nibble_counts", classOf[HighNibbleCounts],
       es => HighNibbleCounts(es(0))),
     ("letter_counts", classOf[LetterCounts], es => LetterCounts(es(0))))

@@ -1557,6 +1557,320 @@ object TextAnalysis {
       .orderBy($"query_id", $"rk")
   }
 
+  // ---------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — Kudo 2018,
+  // arXiv:1804.10959, restricted to the word level with bounded piece
+  // and word lengths so the DuckDB oracle can unroll the exact same
+  // Viterbi DP position by position.
+  private val UniMaxWord = graft.expressions.UnigramOps.MaxWord // 16
+  private val UniMaxPiece = graft.expressions.UnigramOps.MaxPiece // 4
+  private val UniSeedV = 120 // multi-char seed pieces kept
+  private val UniVocab = 80 // multi-char pieces kept per M-step
+  private val UniEmRounds = 2
+
+  /** Distinct eligible training words with corpus frequency. */
+  private def uniWords(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(tokens($"text")).as("w"))
+      .filter(length($"w").between(1, UniMaxWord))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+  }
+
+  /** Quantized scaled log-prob column: ln(cnt/total) × 10⁹ rounded
+    * half-up to a BIGINT — integer Viterbi sums, exact comparisons;
+    * the quantization itself is the one float step (the `text_lm_*`
+    * ulp-straddle convention, documented in BASELINE). */
+  private def lpsCol(cnt: Column, total: Long): Column =
+    roundHalfUp((log(cnt.cast("double")) - log(lit(total.toDouble))) *
+      lit(1000000000.0), 0).cast("long")
+
+  /** EM-train the unigram vocabulary: seed = all full-length
+    * substrings (1..[[UniMaxPiece]]) of eligible words weighted by
+    * word frequency (top [[UniSeedV]] multi-char + ALL single chars —
+    * the coverage floor), then [[UniEmRounds]] rounds of
+    * E-step (Viterbi-segment every distinct word, row-local via the
+    * codegen'd `unigram_seg` over a one-row broadcast of the sorted
+    * vocab) and M-step (usage counts; single chars keep add-one
+    * smoothing so ln stays defined; multi-char pruned to top
+    * [[UniVocab]] by count desc, piece asc). Deterministic end to
+    * end: integer counts, quantized scores, total-order tie-breaks.
+    *
+    * Scale: the E-step is a map stage over DISTINCT words (corpus
+    * token multiplicity collapses into the frequency column), the
+    * M-step one map-side-combined keyed aggregate of piece usages;
+    * the vocabulary is a ~200-row broadcast. Production trains on a
+    * word-frequency sample exactly like this and ships the piece
+    * table — which is what the store twin persists. */
+  private[graft] def unigramVocab(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val words = uniWords(docs).cache()
+    val seeds = words
+      .select($"f", explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($UniMaxPiece,
+           |         length(w) - i + 1)),
+           |  l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"f").as("cnt"))
+      .cache()
+    val chars = seeds.filter(length($"piece") === 1)
+    var voc = chars.unionByName(
+      seeds.filter(length($"piece") >= 2)
+        .orderBy($"cnt".desc, $"piece".asc).limit(UniSeedV))
+    for (_ <- 1 to UniEmRounds) {
+      val usage = uniUsage(s, words, voc)
+      voc = chars.select($"piece")
+        .join(usage, Seq("piece"), "left")
+        .select($"piece", (coalesce($"cnt", lit(0L)) + lit(1L)).as("cnt"))
+        .unionByName(usage.filter(length($"piece") >= 2)
+          .orderBy($"cnt".desc, $"piece".asc).limit(UniVocab))
+    }
+    voc
+  }
+
+  /** One E-step's piece-usage counts over the distinct-word frame. */
+  private def uniUsage(s: SparkSession, words: DataFrame,
+      voc: DataFrame): DataFrame = {
+    import s.implicits._
+    uniSegmented(s, words, voc)
+      .filter($"seg".isNotNull)
+      .select($"f", explode($"seg").as("piece"))
+      .groupBy($"piece").agg(sum($"f").as("cnt"))
+  }
+
+  /** Viterbi-segment the word frame with the given vocab counts:
+    * scores quantize off the vocab total, the sorted piece/score
+    * arrays ride one broadcast row, and `unigram_seg` runs the DP
+    * inside codegen. */
+  private def uniSegmented(s: SparkSession, words: DataFrame,
+      voc: DataFrame): DataFrame = {
+    import s.implicits._
+    val totRow = voc.agg(sum($"cnt")).head
+    val tot = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    val packed = voc.select($"piece", lpsCol($"cnt", tot).as("lps"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(piece, lps)))," +
+          " x -> x.piece)").as("pieces"),
+        expr("transform(array_sort(collect_list(struct(piece, lps)))," +
+          " x -> x.lps)").as("scores"))
+    words.crossJoin(broadcast(packed))
+      .select($"w", $"f",
+        expr("unigram_seg(w, pieces, scores)").as("seg"))
+  }
+
+  /** Final trained vocabulary: (piece, cnt, logprob). */
+  private def textUnigramTrain(s: SparkSession, d: String) = {
+    import s.implicits._
+    val voc = unigramVocab(s, Tables.documents(s, d))
+    val totRow = voc.agg(sum($"cnt")).head
+    val tot = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    voc.select($"piece", $"cnt".cast("long").as("cnt"),
+        roundHalfUp(log($"cnt".cast("double")) - log(lit(tot.toDouble)), 9)
+          .as("logprob"))
+      .orderBy($"piece")
+  }
+
+  /** Tokenize the corpus with the trained unigram model: per doc the
+    * word count, unigram token count (words longer than
+    * [[UniMaxWord]] — or outside the trained coverage — fall back to
+    * one token per character; engine and oracle share the rule via
+    * the NULL→length coalesce), total chars, and chars-per-token. */
+  private def textTokensUnigram(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    uniTokensFrom(s, docs, unigramVocab(s, docs))
+  }
+
+  /** The encode pass alone, from any (piece, cnt) vocab frame — the
+    * half a production pipeline runs daily against the PERSISTED
+    * piece table (spec-proven parquet round-trip). */
+  private[graft] def uniTokensFrom(s: SparkSession, docs: DataFrame,
+      voc: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val docw = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+    val nps = uniSegmented(s,
+        docw.select($"w").distinct().withColumn("f", lit(1L)), voc)
+      .select($"w",
+        coalesce(size($"seg"), length($"w")).cast("long").as("np"))
+    docw.join(nps, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(when($"w" =!= "", lit(1))).as("n_words"),
+        sum($"np").as("n_tokens_unigram"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens_unigram", $"n_chars",
+        roundHalfUp(lit(1.0) * $"n_chars" /
+          nullif($"n_tokens_unigram".cast("double"), lit(0.0)), 6)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokenize from the persisted-piece-store shape: the trained vocab
+    * (the store content, derived in-query — the
+    * `bpe_encode_from_store` stand-in convention; the spec proves the
+    * parquet round-trip identical) feeds [[uniTokensFrom]], so the
+    * oracle is exactly `text_tokens_unigram`'s. */
+  private def textTokensUnigramStore(s: SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val store = unigramVocab(s, docs)
+      .select($"piece", $"cnt".cast("long").as("cnt"))
+    uniTokensFrom(s, docs, store)
+  }
+
+  // ---- unigram oracle builders -----------------------------------
+
+  private def uniLpsSql(cntExpr: String, totSql: String): String =
+    s"CAST(${roundHalfUpSql(
+      s"(ln(CAST($cntExpr AS DOUBLE)) - ln(CAST(($totSql) AS DOUBLE)))" +
+        " * 1000000000", 0)} AS BIGINT)"
+
+  /** The shared WITH-chain: words → seed → EM rounds → final vocab
+    * `uvoc_${UniEmRounds + 1}`. Each EM round unrolls the Viterbi DP
+    * one CTE per position (the engine expression's loop, verbatim:
+    * same quantized integer scores, same score-desc/j-asc tie-break)
+    * plus a backpointer walk that re-extracts the chosen pieces. */
+  private def uniChainSql: String = {
+    val seed =
+      s"""uwords AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS f FROM (
+         |    SELECT unnest(${tokensSql("text")}) AS w FROM documents) t
+         |  WHERE len(w) BETWEEN 1 AND $UniMaxWord
+         |  GROUP BY w
+         |),
+         |useed AS MATERIALIZED (
+         |  SELECT substr(t.w, CAST(t.i AS INT), l.l) AS piece,
+         |    CAST(SUM(t.f) AS BIGINT) AS cnt
+         |  FROM (SELECT w, f, unnest(range(1, len(w) + 1)) AS i
+         |        FROM uwords) t
+         |  CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+         |  WHERE t.i + l.l - 1 <= len(t.w)
+         |  GROUP BY piece
+         |),
+         |uchars AS MATERIALIZED (
+         |  SELECT piece, cnt FROM useed WHERE len(piece) = 1
+         |),
+         |uvoc_1 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM uchars
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM useed WHERE len(piece) >= 2
+         |    ORDER BY cnt DESC, piece ASC LIMIT $UniSeedV)
+         |)""".stripMargin
+    val rounds = (1 to UniEmRounds).map { r =>
+      s"""${uniSegSql(s"uvoc_$r", s"u$r")},
+         |uusage_$r AS MATERIALIZED (
+         |  SELECT u.piece, CAST(SUM(wo.f) AS BIGINT) AS cnt
+         |  FROM u${r}_path u JOIN uwords wo ON wo.w = u.w
+         |  GROUP BY u.piece
+         |),
+         |uvoc_${r + 1} AS MATERIALIZED (
+         |  SELECT c.piece, COALESCE(u.cnt, 0) + 1 AS cnt
+         |  FROM uchars c LEFT JOIN uusage_$r u ON u.piece = c.piece
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM uusage_$r WHERE len(piece) >= 2
+         |    ORDER BY cnt DESC, piece ASC LIMIT $UniVocab)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$seed,\n$rounds"
+  }
+
+  /** One full Viterbi pass with vocab `voc`, CTE prefix `px`: scores
+    * `${px}_scv`, DP per position, backpointer union `${px}_dp`, walk
+    * `${px}_w_*`, and the chosen-piece rows `${px}_path (w, piece)`
+    * (one row per used piece occurrence). */
+  private def uniSegSql(voc: String, px: String): String = {
+    val scv =
+      s"""${px}_scv AS MATERIALIZED (
+         |  SELECT piece,
+         |    ${uniLpsSql("cnt", s"SELECT SUM(cnt) FROM $voc")} AS lps
+         |  FROM $voc
+         |)""".stripMargin
+    val dp0 =
+      s"""${px}_dp_0 AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS score, 0 AS j, 0 AS pos
+         |  FROM uwords
+         |)""".stripMargin
+    val dps = (1 to UniMaxWord).map { i =>
+      val preds = (math.max(0, i - UniMaxPiece) until i)
+        .map(j => s"SELECT w, score, pos FROM ${px}_dp_$j")
+        .mkString(" UNION ALL ")
+      s"""${px}_dp_$i AS MATERIALIZED (
+         |  SELECT w, score, j, pos FROM (
+         |    SELECT d.w, d.score + v.lps AS score, d.pos AS j,
+         |      $i AS pos,
+         |      ROW_NUMBER() OVER (PARTITION BY d.w
+         |        ORDER BY d.score + v.lps DESC, d.pos ASC) AS rn
+         |    FROM ($preds) d
+         |    JOIN ${px}_scv v
+         |      ON v.piece = substr(d.w, d.pos + 1, $i - d.pos)
+         |    WHERE len(d.w) >= $i
+         |  ) x WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val dpall = s"""${px}_dp AS MATERIALIZED (
+         |  ${(1 to UniMaxWord)
+            .map(i => s"SELECT w, j, pos FROM ${px}_dp_$i")
+            .mkString(" UNION ALL ")}
+         |)""".stripMargin
+    val wk0 =
+      s"""${px}_w_0 AS (SELECT w, len(w) AS pos FROM uwords)""".stripMargin
+    val wks = (1 to UniMaxWord).map { t =>
+      s"""${px}_w_$t AS MATERIALIZED (
+         |  SELECT p.w, d.j AS pos,
+         |    substr(p.w, d.j + 1, p.pos - d.j) AS piece
+         |  FROM ${px}_w_${t - 1} p
+         |  JOIN ${px}_dp d ON d.w = p.w AND d.pos = p.pos
+         |  WHERE p.pos > 0
+         |)""".stripMargin
+    }.mkString(",\n")
+    val path = s"""${px}_path AS MATERIALIZED (
+         |  ${(1 to UniMaxWord)
+            .map(t => s"SELECT w, piece FROM ${px}_w_$t")
+            .mkString(" UNION ALL ")}
+         |)""".stripMargin
+    Seq(scv, dp0, dps, dpall, wk0, wks, path).mkString(",\n")
+  }
+
+  private def uniFinal: String = s"uvoc_${UniEmRounds + 1}"
+
+  private def unigramTrainOracle: String =
+    s"""WITH $uniChainSql
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |  ${roundHalfUpSql(
+           "ln(CAST(cnt AS DOUBLE)) - " +
+             s"ln(CAST((SELECT SUM(cnt) FROM $uniFinal) AS DOUBLE))",
+           9)} AS logprob
+       |FROM $uniFinal
+       |ORDER BY piece""".stripMargin
+
+  /** Tokens oracle: the train chain + one more Viterbi pass with the
+    * final vocab, then the per-doc fold with the NULL→length(w)
+    * fallback (covers both over-length and uncovered words — the
+    * engine's coalesce(size(seg), length(w)) rule). */
+  private def unigramTokensOracle: String =
+    s"""WITH $uniChainSql,
+       |${uniSegSql(uniFinal, "uf")},
+       |unps AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS np FROM uf_path GROUP BY w
+       |),
+       |udocw AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents
+       |)
+       |SELECT doc_id,
+       |  COUNT(*) FILTER (WHERE d.w <> '') AS n_words,
+       |  CAST(SUM(COALESCE(n.np, len(d.w))) AS BIGINT)
+       |    AS n_tokens_unigram,
+       |  CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+       |  ${roundHalfUpSql(
+           "1.0 * SUM(len(d.w)) / " +
+             "NULLIF(CAST(SUM(COALESCE(n.np, len(d.w))) AS DOUBLE), 0.0)",
+           6)} AS chars_per_token
+       |FROM udocw d LEFT JOIN unps n ON n.w = d.w
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("rank_bm25", rankBm25 _, bm25Oracle),
     OpDef("rank_bm25_from_store", rankBm25FromStore _, bm25FromStoreOracle),
@@ -1590,6 +1904,10 @@ object TextAnalysis {
     OpDef("text_lm_score", textLmScore _, lmScoreOracle),
     OpDef("text_lm_bigram", textLmBigram _, lmBigramOracle),
     OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
+    OpDef("text_unigram_train", textUnigramTrain _, unigramTrainOracle),
+    OpDef("text_tokens_unigram", textTokensUnigram _, unigramTokensOracle),
+    OpDef("text_tokens_unigram_store", textTokensUnigramStore _,
+      unigramTokensOracle),
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
     OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
