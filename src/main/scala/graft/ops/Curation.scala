@@ -961,7 +961,11 @@ object Curation {
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
-  private def generalizeOracle: String = {
+  /** The generalization-ladder CTE prefix (per-level group tables
+    * `g0..`, the min-k probe, and the chosen level `sel (lv)`) plus a
+    * per-level released-arm builder — shared by the generalize and DP
+    * release oracles. */
+  private def genLadderSql(armBody: Int => String): String = {
     def natSql(l: Int) = l match {
       case 0 | 1 | 2 => "CAST(c_nationkey AS VARCHAR)"
       case 3 => "'R' || CAST(c_nationkey // 5 AS VARCHAR)"
@@ -988,16 +992,75 @@ object Curation {
     val pick = (0 until GenLevels - 1)
       .map(l => s"WHEN m$l >= $KAnonMin THEN $l")
       .mkString("CASE ", " ", s" ELSE ${GenLevels - 1} END")
-    val arms = (0 until GenLevels).map { l =>
-      s"""SELECT qi_nation, qi_segment, qi_band, k,
-         |  CAST($l AS INT) AS gen_level
-         |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val arms = (0 until GenLevels).map(armBody).mkString("\nUNION ALL\n")
     s"""WITH $lvls,
        |mins AS (SELECT $mins),
        |sel AS (SELECT $pick AS lv FROM mins)
        |$arms
        |ORDER BY qi_nation, qi_segment, qi_band""".stripMargin
+  }
+
+  private def generalizeOracle: String = genLadderSql { l =>
+    s"""SELECT qi_nation, qi_segment, qi_band, k,
+       |  CAST($l AS INT) AS gen_level
+       |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
+  }
+
+  private val DpEpsilon = 1.0
+
+  /** ε-differentially-private released counts — the privacy ladder's
+    * third rung (audit → generalize → PERTURB): the k-anonymized
+    * release at [[generalizeOf]]'s minimal level gets Laplace(Δ/ε)
+    * noise on every group count before it leaves the engine, with the
+    * (ε, Δ) accounting emitted as columns. Count queries under
+    * add/remove-one-person adjacency have sensitivity Δ = 1 (one
+    * individual sits in exactly one QI group), so b = 1/ε.
+    *
+    * The noise is a DETERMINISTIC surrogate: the uniform draw is a
+    * seeded hash of the group's QI key mapped into (−1, 1), pushed
+    * through the standard Laplace inverse CDF −b·sign(u)·ln(1−|u|) —
+    * so the DuckDB oracle derives bit-for-bit the same perturbation
+    * and the hash gate proves the mechanism end-to-end. A production
+    * release swaps the hash for a secret-seeded RNG; everything else
+    * (the k-anon composition, the sensitivity accounting, the plan
+    * shape) is exactly this op. True counts do NOT appear in the
+    * output.
+    *
+    * Scale: [[generalizeOf]]'s ladder probes + one row-local noise
+    * projection over the QI-domain-bounded release. */
+  private def privacyDpCounts(s: SparkSession, d: String): DataFrame =
+    dpCountsOf(Tables.customer(s, d))
+
+  /** [[privacyDpCounts]] over an arbitrary customer-shaped frame. */
+  private[graft] def dpCountsOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val u = (hash60(concat(lit("dp:"), $"qi_nation", lit("|"),
+      $"qi_segment", lit("|"), $"qi_band")) % 2000001L - 1000000L) /
+      lit(1000001.0)
+    generalizeOf(cust)
+      .withColumn("u", u)
+      .select($"qi_nation", $"qi_segment", $"qi_band",
+        roundHalfUp($"k" - lit(1.0 / DpEpsilon) * signum($"u") *
+          log(lit(1.0) - abs($"u")), 6).as("noisy_count"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(1L).as("sensitivity"),
+        $"gen_level")
+      .orderBy($"qi_nation", $"qi_segment", $"qi_band")
+  }
+
+  private def dpCountsOracle: String = genLadderSql { l =>
+    val uExpr = s"((${graft.functions.TextFns.hash60Sql(
+      "'dp:' || qi_nation || '|' || qi_segment || '|' || qi_band")}" +
+      s" % 2000001 - 1000000) / 1000001.0)"
+    s"""SELECT qi_nation, qi_segment, qi_band,
+       |  ${roundHalfUpSql(
+          s"k - (1.0 / $DpEpsilon) * SIGN($uExpr) * ln(1.0 - ABS($uExpr))",
+          6)} AS noisy_count,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  CAST(1 AS BIGINT) AS sensitivity,
+       |  CAST($l AS INT) AS gen_level
+       |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
   }
 
   private def kanonymityOracle: String =
@@ -1019,6 +1082,7 @@ object Curation {
   val defs: Seq[OpDef] = Seq(
     OpDef("privacy_kanonymity", privacyKanonymity _, kanonymityOracle),
     OpDef("privacy_generalize", privacyGeneralize _, generalizeOracle),
+    OpDef("privacy_dp_counts", privacyDpCounts _, dpCountsOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_report", corpusMixReport _,

@@ -49,4 +49,30 @@ class GeneralizeSpec extends SparkSpecBase {
     val out = ops.Curation.generalizeOf(cust)
     assert(out.count() === 0)
   }
+
+  test("dp release: composed over the k-anon level, deterministic, accounted") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, sf)
+    val dp = ops.Curation.dpCountsOf(cust).cache()
+    val rel = ops.Curation.generalizeOf(cust)
+    // same groups, same level as the k-anonymized release — DP
+    // perturbs the already-generalized artifact, never raw groups
+    assert(dp.select("qi_nation", "qi_segment", "qi_band", "gen_level")
+      .exceptAll(rel.select("qi_nation", "qi_segment", "qi_band",
+        "gen_level")).isEmpty)
+    // accounting columns are the mechanism's constants
+    assert(dp.filter(col("epsilon") =!= 1.0 || col("sensitivity") =!= 1L)
+      .count() === 0)
+    // deterministic: a second derivation is bit-identical
+    val again = ops.Curation.dpCountsOf(cust)
+    assert(dp.exceptAll(again).isEmpty && again.exceptAll(dp).isEmpty)
+    // the noise is real (some group moved) and Laplace(1)-bounded at
+    // the hash grid's tail: |noise| <= ln(1000001) ~ 13.8
+    val joined = dp.join(rel, Seq("qi_nation", "qi_segment", "qi_band"))
+      .select((col("noisy_count") - col("k")).as("noise"))
+    assert(joined.filter(abs(col("noise")) > 13.9).count() === 0)
+    assert(joined.filter(abs(col("noise")) > 1e-9).count() > 0,
+      "at least one group must actually be perturbed")
+    dp.unpersist()
+  }
 }
