@@ -415,6 +415,62 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** MERGE with a GUARDED delete arm + the per-action audit counts —
+    * the operational metric a real lakehouse merge logs. The batch's
+    * delete candidates only fire `WHEN MATCHED AND <cond> THEN
+    * DELETE`; rows whose guard fails stay (`delete_skipped`, the arm
+    * real retention merges need: the tombstone batch asks, the
+    * target's own state decides). The guard here is a deterministic
+    * retention-predicate stand-in (even normalized length). Output is
+    * the action histogram (kept / updated / inserted / deleted /
+    * delete_skipped) — rows, not the table — because that's what the
+    * merge job EMITS to its run log; MergeIntoSpec reconciles the
+    * counts against an independently-derived expectation.
+    *
+    * Scale: one full-outer key join (the merge shuffle) followed by a
+    * map-side-combined 5-group histogram — the audit adds no extra
+    * pass over the data. */
+  private def mergeIntoDelete(s: SparkSession, d: String) = {
+    import s.implicits._
+    val target = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val batch = target
+      .filter(hash60(concat(lit("inc:"), $"doc_id")) % 10 === 0)
+      .select(
+        when($"doc_id" % 3 === 2, $"doc_id" + MergeInsertOffset)
+          .otherwise($"doc_id").as("doc_id"),
+        when($"doc_id" % 3 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"))
+    target.join(batch, Seq("doc_id"), "full_outer")
+      .select(
+        when($"op".isNull, "kept")
+          .when($"text".isNull, "inserted")
+          .when($"op" === "delete" && length($"text") % 2 === 0, "deleted")
+          .when($"op" === "delete", "delete_skipped")
+          .otherwise("updated").as("action"))
+      .groupBy($"action").agg(count(lit(1)).as("n_rows"))
+      .orderBy($"action")
+  }
+
+  private def mergeIntoDeleteOracle: String =
+    s"""WITH batch AS (
+       |  SELECT
+       |    CASE WHEN doc_id % 3 = 2 THEN doc_id + $MergeInsertOffset
+       |         ELSE doc_id END AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM documents
+       |  WHERE ${hash60Sql("'inc:' || doc_id")} % 10 = 0
+       |)
+       |SELECT action, COUNT(*) AS n_rows FROM (
+       |  SELECT CASE WHEN b.op IS NULL THEN 'kept'
+       |       WHEN t.text IS NULL THEN 'inserted'
+       |       WHEN b.op = 'delete' AND len(t.text) % 2 = 0 THEN 'deleted'
+       |       WHEN b.op = 'delete' THEN 'delete_skipped'
+       |       ELSE 'updated' END AS action
+       |  FROM documents t FULL OUTER JOIN batch b ON b.doc_id = t.doc_id
+       |) a
+       |GROUP BY action
+       |ORDER BY action""".stripMargin
+
   private def mergeIntoOracle: String =
     s"""WITH batch AS (
        |  SELECT
@@ -616,6 +672,7 @@ object Sources {
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
     OpDef("merge_into", mergeInto _, mergeIntoOracle),
+    OpDef("merge_into_delete", mergeIntoDelete _, mergeIntoDeleteOracle),
     OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),
     OpDef("layout_zonemap", layoutZonemap _, zonemapOracle),
     OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),

@@ -77,4 +77,29 @@ class MergeIntoSpec extends SparkSpecBase {
     assert(out.count() === audit.filter(col("action") =!= "deleted").count())
     out.unpersist(); audit.unpersist()
   }
+
+  test("merge_into_delete: action histogram reconciles with the row-level merge") {
+    import spark.implicits._
+    val hist = SparkEntry.queries("merge_into_delete")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent expectation from the row-level merge op: the guarded
+    // delete splits that op's 'deleted' class by the retention
+    // predicate (even normalized length); every other class carries
+    // over unchanged
+    val rows = SparkEntry.queries("merge_into")(spark, sf).cache()
+    val byAction = rows.groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist.getOrElse("kept", 0L) === byAction.getOrElse("kept", 0L))
+    assert(hist.getOrElse("updated", 0L) === byAction.getOrElse("updated", 0L))
+    assert(hist.getOrElse("inserted", 0L) === byAction.getOrElse("inserted", 0L))
+    assert(hist.getOrElse("deleted", 0L) + hist.getOrElse("delete_skipped", 0L)
+      === byAction.getOrElse("deleted", 0L),
+      "the guard only splits the unguarded op's delete class")
+    assert(hist.values.sum === rows.count(),
+      "histogram covers every merged row exactly once")
+    assert(hist.getOrElse("deleted", 0L) > 0 &&
+      hist.getOrElse("delete_skipped", 0L) > 0,
+      "both guard branches must be exercised by the fixture")
+    rows.unpersist()
+  }
 }
