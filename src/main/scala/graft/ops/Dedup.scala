@@ -52,7 +52,7 @@ object Dedup {
     * only recall INSIDE pathological clusters — which exact dedup
     * already collapses (identical docs share a content hash). sf0.1's
     * widest bucket is 512, so testdata results are unaffected. */
-  private val MaxBucket = 1024
+  private[graft] val MaxBucket = 1024
 
   /** Gate for broadcasting the candidate doc-id set in [[lshPairs]]:
     * up to this many ids (8 B each ⇒ ≤ ~32 MB) the semi-join against
@@ -82,18 +82,23 @@ object Dedup {
   /** Width-capped band rows from a (doc_id, sig) frame: band the
     * signature ([[Bands]] × [[RowsPerBand]]) and drop over-wide
     * buckets (the enforced skew guard, see [[MaxBucket]]). */
-  private def keptBands(signed: DataFrame, maxBucket: Int,
-                        bands: Int = Bands,
-                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+  private[ops] def bandRows(signed: DataFrame, bands: Int = Bands,
+                          rowsPerBand: Int = RowsPerBand): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col("sig").getItem(b * rowsPerBand + r).cast("string"))
       struct(lit(b).as("band"),
         md5(concat_ws(",", parts: _*)).as("sig")).as(s"band$b")
     }
-    val banded = signed
+    signed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  private[ops] def keptBands(signed: DataFrame, maxBucket: Int,
+                        bands: Int = Bands,
+                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val banded = bandRows(signed, bands, rowsPerBand)
     banded.join(
       banded.groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("bw"))

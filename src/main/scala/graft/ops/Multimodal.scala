@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.GraftFunctions
 import graft.functions.Exact._
 import graft.functions.TextFns.{hash60, hash60Sql}
 
@@ -444,20 +445,117 @@ object Multimodal {
     * contributes ~⌈frames⌉ 64-char strings, not its gigabytes. */
   private def mmVideoNeardup(s: SparkSession, d: String) = {
     import s.implicits._
+    Dedup.lshPairs(s, videoGrams(media(s, d)
+        .select($"doc_id", hex($"payload").as("hexp"))), identity,
+        VideoJaccard,
+        candidatesOf = Dedup.bandCandidatesGeom(VideoBands, VideoRows))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The frame-hash 2-gram shingle frame of a (doc_id, hexp) input —
+    * the row-local front half shared by the batch video near-dup and
+    * the persisted index. */
+  private[graft] def videoGrams(a: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
     val f = VideoFrameHex
-    val grams = media(s, d)
-      .select($"doc_id", hex($"payload").as("hexp"))
-      .withColumn("nf", expr(s"(length(hexp) + ${f - 1}) div $f"))
+    a.withColumn("nf", expr(s"(length(hexp) + ${f - 1}) div $f"))
       .filter($"nf" >= 2)
       .select($"doc_id", expr(
         s"""transform(sequence(0, nf - 2), i ->
            |  concat(md5(substring(hexp, i * $f + 1, $f)),
            |         md5(substring(hexp, (i + 1) * $f + 1, $f))))""".stripMargin)
         .as("grams"))
-    Dedup.lshPairs(s, grams, identity, VideoJaccard,
-        candidatesOf = Dedup.bandCandidatesGeom(VideoBands, VideoRows))
+  }
+
+  private val VideoStoreDir = "/tmp/graft_video_index"
+
+  /** Persisted video near-dup index — the [[ensureAudioIndex]]
+    * precedent applied to the shingle family: the NON-batch corpus is
+    * fingerprinted ONCE into (a) its width-capped minhash band rows
+    * (the candidate side; the cap counts STORED docs only — the index
+    * cannot know future queries) and (b) one sorted gram-hash array
+    * per doc (the verify side) — frame-hash ints and 16-long
+    * signatures, never payload bytes. Atomic publish via
+    * [[StoreStage]]. */
+  private[graft] def ensureVideoIndex(s: SparkSession, d: String): String =
+    StoreStage.ensure(VideoStoreDir, d) { tmp =>
+      GraftFunctions.ensure(s)
+      import s.implicits._
+      val corpus = videoGrams(media(s, d)
+        .filter(!isClipBatch($"doc_id"))
+        .select($"doc_id", hex($"payload").as("hexp"))).cache()
+      val signed = corpus
+        .select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+      Dedup.keptBands(signed, Dedup.MaxBucket, VideoBands, VideoRows)
+        .write.parquet(s"$tmp/bands")
+      corpus.select($"doc_id", expr("hash60_set(grams)").as("gs"))
+        .write.parquet(s"$tmp/gsets")
+      corpus.unpersist(false)
+    }
+
+  /** Trim-tolerant video identification against the PERSISTED index —
+    * [[mmVideoNeardup]]'s production shape (the batch op
+    * re-fingerprints the whole corpus every call): the ingest batch's
+    * clips fingerprint row-locally, their band rows join the STORED
+    * width-capped band rows (batch×store only — candidate work tracks
+    * the increment), and exact Jaccard verifies each candidate by a
+    * merge-walk of the clip's fresh gram-hash array against the
+    * STORED one. Corpus payloads are never re-read; the ORACLE
+    * recomputes both sides from raw payloads, so the driver's hash
+    * gate proves store-fed ≡ live on every run.
+    *
+    * Scale: query cost tracks the clip batch (row-local shingles +
+    * one capped-bucket band join + candidate-bounded verify); the
+    * corpus fingerprint amortizes across every later batch. */
+  private def mmVideoIncremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val p = ensureVideoIndex(s, d)
+    val storeBands = s.read.parquet(s"$p/bands")
+      .select($"doc_id".as("doc_b"), $"band", $"sig")
+    val storeSets = s.read.parquet(s"$p/gsets")
+      .select($"doc_id".as("doc_b"), $"gs".as("gb"))
+    val clips = videoGrams(media(s, d)
+      .filter(isClipBatch($"doc_id"))
+      .select($"doc_id", hex($"payload").as("hexp"))).cache()
+    val csig = clips.select($"doc_id", expr("minhash_sig(grams)").as("sig"))
+    val cand = Dedup.bandRows(csig, VideoBands, VideoRows)
+      .select($"doc_id".as("doc_a"), $"band", $"sig")
+      .join(storeBands, Seq("band", "sig"))
+      .select($"doc_a", $"doc_b").distinct()
+    val csets = clips.select($"doc_id".as("doc_a"),
+      expr("hash60_set(grams)").as("ga"))
+    cand.join(csets, "doc_a").join(storeSets, "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("sorted_intersect_count(ga, gb)").as("inter"),
+        size($"ga").as("na"), size($"gb").as("nb"))
+      .select($"doc_a", $"doc_b",
+        roundHalfUp(lit(1.0) * $"inter" / ($"na" + $"nb" - $"inter"), 6)
+          .as("jaccard"))
+      .filter($"jaccard" >= VideoJaccard)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Oracle: the full-corpus gram chain spliced into the shared LSH
+    * oracle with a batch×store candidate CTE — store-side width cap
+    * only, clip side uncapped (the engine's index semantics). */
+  private def videoIncCandSql: String =
+    s"""vkept AS (
+       |  SELECT b.doc_id, b.band, b.sig FROM banded b
+       |  JOIN (SELECT band, sig FROM banded
+       |        WHERE ${hash60Sql("'inc:' || doc_id")} % 10 <> 9
+       |        GROUP BY band, sig
+       |        HAVING COUNT(*) <= ${Dedup.MaxBucket}) w
+       |    ON b.band = w.band AND b.sig = w.sig
+       |  WHERE ${hash60Sql("'inc:' || b.doc_id")} % 10 <> 9
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN vkept r
+       |    ON l.band = r.band AND l.sig = r.sig
+       |  WHERE ${hash60Sql("'inc:' || l.doc_id")} % 10 = 9
+       |)""".stripMargin
 
   private val AfFrameHex = 128 // 64-byte frames, the video framing
   private val AfPeakMod = 1024L // "peak frequency" bins per frame
@@ -839,6 +937,10 @@ object Multimodal {
     OpDef("mm_phash", mmPhash _, phashOracle),
     OpDef("mm_video_neardup", mmVideoNeardup _,
       Dedup.lshOracle(videoGramCte, VideoJaccard,
+        bands = VideoBands, rowsPerBand = VideoRows)),
+    OpDef("mm_video_incremental", mmVideoIncremental _,
+      Dedup.lshOracle(videoGramCte, VideoJaccard,
+        candSql = videoIncCandSql,
         bands = VideoBands, rowsPerBand = VideoRows)),
     OpDef("mm_dedup", mmDedup _,
       s"""WITH $mediaSql
