@@ -1316,6 +1316,31 @@ object Events {
     s.readStream.schema(schema).parquet(s"$d/{documents.parquet}")
   }
 
+  /** Streaming EMBEDDINGS source — the vector-ingest analogue. */
+  private def streamingEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(schema).parquet(s"$d/{embeddings.parquet}")
+  }
+
+  /** Oracle-gated run of the stream-static SEMANTIC decontamination
+    * gate ([[graft.streaming.EventStream.semanticMatches]]): arriving
+    * vectors assign row-locally to the frozen cells and match the
+    * PERSISTED SemDeDup survivor store (both static frames, derived
+    * in-query here — the store stand-in convention). Stateless, so
+    * the drained append sink equals the batch derivation with no
+    * sealed-window cutoff; StreamingSpec drives the same transform
+    * through a MemoryStream and pins batch equality under arbitrary
+    * micro-batch slicing. */
+  private def streamSemantic(s: SparkSession, d: String) = {
+    graft.expressions.GraftFunctions.ensure(s)
+    import s.implicits._
+    val (cents, surv) = Similarity.semanticSurvivorStore(s, d)
+    runStream(s, graft.streaming.EventStream.semanticMatches(
+        streamingEmbeddings(s, d), cents, surv),
+        "graft_stream_semantic", "append")
+      .orderBy($"vec_id", $"store_id")
+  }
+
   /** Oracle-gated run of the stream-static decontamination gate
     * ([[graft.streaming.EventStream.contaminationMatches]]): the crawl
     * arrives as a document STREAM, the benchmark fingerprints are a
@@ -2247,6 +2272,8 @@ object Events {
          |GROUP BY 1, 2
          |HAVING epoch_us(win_start + INTERVAL 1 HOUR) <= (SELECT w_us FROM wm)
          |ORDER BY win_start, event_type""".stripMargin),
+    OpDef("stream_semantic", streamSemantic _,
+      Similarity.streamSemanticOracle),
     OpDef("stream_contamination", streamContamination _,
       Corpus.contaminationOracle),
     OpDef("stream_quality_gate", streamQualityGate _,

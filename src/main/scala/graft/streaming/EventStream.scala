@@ -117,6 +117,9 @@ object EventStream {
     * gate (doc_id + raw text — fingerprints derive in-flight). */
   case class CrawlDoc(doc_id: Long, text: String)
 
+  /** MemoryStream row shape for the vector-ingest specs. */
+  case class VecRow(vec_id: Long, embedding: Array[Float])
+
   /** A crawl document with its feed tag — the [[qualityGateRates]]
     * stream element. */
   case class SourcedDoc(doc_id: Long, text: String, source: String)
@@ -158,6 +161,41 @@ object EventStream {
       .select($"doc_id", $"probe_id", $"overlap",
         graft.functions.Exact.roundHalfUp(
           lit(1.0) * $"overlap" / $"n_probe", 6).as("containment"))
+  }
+
+  /** Streaming SEMANTIC decontamination against the persisted
+    * SemDeDup survivor store — the embedding twin of
+    * [[contaminationMatches]] (which gates on lexical n-grams): every
+    * arriving NEW-batch vector normalizes row-locally, assigns to its
+    * frozen k-means cell via the codegen'd `pq_argmin` over ONE
+    * broadcast packed-codebook row (a stream-static cross join of a
+    * 1-row frame — no state), then stream-static-joins the survivor
+    * store on the cell and keeps matches at cosine ≥
+    * [[graft.ops.Similarity.SemTau]]. Entirely STATELESS: no
+    * watermark, no aggregation state — every match emits in the
+    * micro-batch its vector arrives in, so the drained sink equals
+    * the batch derivation exactly (the oracle), with no sealed-window
+    * cutoff.
+    *
+    * Scale: per arriving vector one codegen'd argmin over the
+    * broadcast codebook + one cell-keyed join against the
+    * cell-bounded survivor slice — the Σ|cell|² SemDeDup bound
+    * applies per micro-batch; store payloads are (id, vector, cell)
+    * rows, refreshed by the nightly batch job, never rebuilt by the
+    * stream. */
+  def semanticMatches(emb: DataFrame, cents: DataFrame,
+                      surv: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val newSide = graft.ops.Similarity.normalize(emb.sparkSession,
+        emb.filter(graft.ops.Dedup.isNewBatch($"vec_id")))
+      .select($"vec_id", $"ne")
+    graft.ops.Similarity.assignCells(newSide, cents)
+      .join(surv.select($"vec_id".as("store_id"), $"ne".as("no"),
+        $"cell"), "cell")
+      .filter(expr("vec_dot(ne, no)") >= graft.ops.Similarity.SemTau)
+      .select($"vec_id", $"store_id",
+        graft.functions.Exact.roundHalfUp(
+          expr("vec_dot(ne, no)"), 6).as("cosine"))
   }
 
   /** Streaming ingest quality gate — the crawl-time filter dashboard:

@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming semantic decontamination equals the batch derivation across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    expressions.GraftFunctions.ensure(spark)
+    val vecRows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, e) => EventStream.VecRow(i, e) }.toSeq
+    val src = MemoryStream[EventStream.VecRow]
+    // three chunks: the gate is stateless, so any slicing must emit
+    // exactly the batch match set
+    val third = vecRows.size / 3
+    src.addData(vecRows.take(third): _*)
+    src.addData(vecRows.slice(third, 2 * third): _*)
+    src.addData(vecRows.drop(2 * third): _*)
+    val (cents, surv) = ops.Similarity.semanticSurvivorStore(spark, sf)
+    runToTable(EventStream.semanticMatches(src.toDF(), cents, surv),
+      "semantic_stream", "append")
+    val got = spark.table("semantic_stream")
+    val want = EventStream.semanticMatches(
+      Tables.embeddings(spark, sf).select($"vec_id", $"embedding"),
+      cents, surv)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every match clears the SemTau gate and pairs a NEW vector with a
+    // STORE survivor
+    assert(got.filter($"cosine" < ops.Similarity.SemTau - 1e-6).count() === 0)
+    val survIds = surv.select($"vec_id".as("store_id"))
+    assert(got.join(survIds, Seq("store_id"), "left_anti").count() === 0)
+  }
+
   test("streaming quality gate equals the batch fold across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
