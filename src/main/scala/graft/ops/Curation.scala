@@ -732,6 +732,48 @@ object Curation {
        |SELECT doc_id, n_tokens, qb FROM partial_in
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled multilingual sampling weights (Conneau &
+    * Lample 2019, arXiv:1901.07291 §3.1; Arivazhagan et al. 2019,
+    * arXiv:1907.05019 §4): q_i ∝ p_i^α with α = 1/T rebalances a
+    * skewed language mix toward low-resource languages without the
+    * hard targets [[corpusMixReport]] uses. α = 0.5 here, so the
+    * weight is √p — computed with IEEE `sqrt` (correctly rounded in
+    * any engine, unlike `pow`) and QUANTIZED to a 6-dp decimal before
+    * normalization, so the denominator is an exact decimal sum
+    * (order-independent — the [[graft.functions.Exact]] discipline)
+    * and the released shares are bit-reproducible at any parallelism.
+    * `epochs` = q_i/p_i is the implied per-language oversampling
+    * factor a loader would apply.
+    *
+    * Scale: one keyed fold over the corpus to per-language token
+    * counts; everything after is language-cardinality-bounded. */
+  private def corpusMixTemperature(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val perLang = Tables.documents(s, d)
+      .select($"lang", size(tokens($"text")).as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"))
+    val total = perLang.agg(sum($"n_tokens").cast("long").as("tot_tokens"))
+    val p = $"n_tokens".cast("double") / $"tot_tokens".cast("double")
+    // the whole frame is one row per language — a single-partition
+    // window over it is a handful of rows, not a scale hazard
+    val win = Window.partitionBy(lit(1))
+    val qRaw = $"w".cast("double") / $"denom".cast("double")
+    perLang.crossJoin(broadcast(total))
+      .withColumn("p", p)
+      .withColumn("w",
+        sqrt($"p").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+      .withColumn("denom", sum($"w").over(win))
+      .select($"lang", $"n_docs", $"n_tokens",
+        roundHalfUp($"p", 6).as("token_share"),
+        $"w".cast("double").as("temp_weight"),
+        roundHalfUp(qRaw, 6).as("sample_share"),
+        roundHalfUp(qRaw / $"p", 6).as("epochs"))
+      .orderBy($"lang")
+  }
+
   private def corpusMixReport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perLang = Tables.documents(s, d)
@@ -917,10 +959,11 @@ object Curation {
   private def privacyGeneralize(s: SparkSession, d: String): DataFrame =
     generalizeOf(Tables.customer(s, d))
 
-  /** One ladder rung's QI groups + sizes (spec hook for the
-    * minimality check). */
-  private[graft] def generalizeLevelGroups(cust: DataFrame,
-                                           level: Int): DataFrame = {
+  /** One ladder rung's QI rendering: (nation, segment, band) columns
+    * at generalization `level` — shared by the group folds and the DP
+    * sum's clipped-value projection. */
+  private def genQi(cust: DataFrame, level: Int)
+      : (Column, Column, Column) = {
     val s = cust.sparkSession
     import s.implicits._
     val nat = level match {
@@ -936,26 +979,45 @@ object Curation {
         floor($"c_acctbal" / 4000).cast("long").cast("string"))
       case _ => lit("*")
     }
+    (nat, seg, band)
+  }
+
+  /** One ladder rung's QI groups + sizes (spec hook for the
+    * minimality check). */
+  private[graft] def generalizeLevelGroups(cust: DataFrame,
+                                           level: Int): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val (nat, seg, band) = genQi(cust, level)
     cust.select(nat.as("qi_nation"), seg.as("qi_segment"),
         band.as("qi_band"))
       .groupBy($"qi_nation", $"qi_segment", $"qi_band")
       .agg(count(lit(1)).as("k"))
   }
 
-  /** [[privacyGeneralize]] over an arbitrary customer-shaped frame. */
-  private[graft] def generalizeOf(cust: DataFrame): DataFrame = {
+  /** The ladder's chosen level: the first (finest) rung whose min
+    * group size satisfies [[KAnonMin]] — one map-side-combined fold
+    * to a driver scalar per probed rung. */
+  private[graft] def minGenLevel(cust: DataFrame): Int = {
     val s = cust.sparkSession
     import s.implicits._
-    def groups(level: Int): DataFrame = generalizeLevelGroups(cust, level)
     var level = 0
     var done = false
     while (!done && level < GenLevels - 1) {
-      val r = groups(level).agg(min($"k")).head
+      val r = generalizeLevelGroups(cust, level).agg(min($"k")).head
       // empty release: vacuously k-anonymous at the finest level
       if (r.isNullAt(0) || r.getLong(0) >= KAnonMin) done = true
       else level += 1
     }
-    groups(level)
+    level
+  }
+
+  /** [[privacyGeneralize]] over an arbitrary customer-shaped frame. */
+  private[graft] def generalizeOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val level = minGenLevel(cust)
+    generalizeLevelGroups(cust, level)
       .select($"qi_nation", $"qi_segment", $"qi_band", $"k",
         lit(level).as("gen_level"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
@@ -965,7 +1027,8 @@ object Curation {
     * `g0..`, the min-k probe, and the chosen level `sel (lv)`) plus a
     * per-level released-arm builder — shared by the generalize and DP
     * release oracles. */
-  private def genLadderSql(armBody: Int => String): String = {
+  private def genLadderSql(armBody: Int => String,
+      gExtra: String = ""): String = {
     def natSql(l: Int) = l match {
       case 0 | 1 | 2 => "CAST(c_nationkey AS VARCHAR)"
       case 3 => "'R' || CAST(c_nationkey // 5 AS VARCHAR)"
@@ -981,7 +1044,7 @@ object Curation {
     val lvls = (0 until GenLevels).map { l =>
       s"""g$l AS (
          |  SELECT ${natSql(l)} AS qi_nation, ${segSql(l)} AS qi_segment,
-         |    ${bandSql(l)} AS qi_band, COUNT(*) AS k
+         |    ${bandSql(l)} AS qi_band, COUNT(*) AS k$gExtra
          |  FROM customer GROUP BY 1, 2, 3
          |)""".stripMargin
     }.mkString(",\n")
@@ -1063,6 +1126,75 @@ object Curation {
        |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
   }
 
+  /** Per-record contribution bound for the DP sum release: account
+    * balances are clipped into [0, [[DpClip]]] BEFORE aggregation, so
+    * one individual's presence changes any group sum by at most
+    * [[DpClip]] — the sensitivity the Laplace scale b = Δ/ε uses.
+    * The textbook bounded-contribution mechanism (Dwork & Roth 2014,
+    * §3.3): without the clip, a single outlier balance makes the true
+    * sensitivity unbounded and no finite noise is private. */
+  private val DpClip = 5000.0
+
+  /** ε-DP released SUMS — the DP rung's aggregate counterpart to
+    * [[privacyDpCounts]]: per released QI group, the sum of CLIPPED
+    * account balances plus Laplace([[DpClip]]/ε) noise, composed with
+    * the same generalization ladder (the group keys are the
+    * k-anonymized release's, so the two mechanisms answer over the
+    * identical domain). The clipped values accumulate in DECIMAL
+    * (order-independent exact sums — the [[graft.functions.Exact]]
+    * discipline; a raw double sum could not hash-match the
+    * single-threaded oracle at 1000 executors), and the deterministic
+    * seeded-hash noise surrogate is [[privacyDpCounts]]'s, under an
+    * independent seed. True sums never appear in the output.
+    *
+    * Scale: the ladder probes (driver scalars) + one keyed grouped
+    * fold over the release with a row-local clip — QI-domain-bounded
+    * output, flat in corpus size. */
+  private def privacyDpSum(s: SparkSession, d: String): DataFrame =
+    dpSumOf(Tables.customer(s, d))
+
+  /** [[privacyDpSum]] over an arbitrary customer-shaped frame. */
+  private[graft] def dpSumOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val level = minGenLevel(cust)
+    val (nat, seg, band) = genQi(cust, level)
+    val clip = least(greatest($"c_acctbal", lit(0.0)), lit(DpClip))
+    val u = (hash60(concat(lit("dpsum:"), $"qi_nation", lit("|"),
+      $"qi_segment", lit("|"), $"qi_band")) % 2000001L - 1000000L) /
+      lit(1000001.0)
+    cust.select(nat.as("qi_nation"), seg.as("qi_segment"),
+        band.as("qi_band"),
+        clip.cast(org.apache.spark.sql.types.DecimalType(27, 6)).as("v"))
+      .groupBy($"qi_nation", $"qi_segment", $"qi_band")
+      .agg(sum($"v").cast("double").as("s_clip"))
+      .withColumn("u", u)
+      .select($"qi_nation", $"qi_segment", $"qi_band",
+        roundHalfUp($"s_clip" - lit(DpClip / DpEpsilon) * signum($"u") *
+          log(lit(1.0) - abs($"u")), 6).as("noisy_sum"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(DpClip).as("sensitivity"),
+        lit(level).as("gen_level"))
+      .orderBy($"qi_nation", $"qi_segment", $"qi_band")
+  }
+
+  private def dpSumOracle: String = {
+    val uExpr = s"((${graft.functions.TextFns.hash60Sql(
+      "'dpsum:' || qi_nation || '|' || qi_segment || '|' || qi_band")}" +
+      s" % 2000001 - 1000000) / 1000001.0)"
+    genLadderSql(l =>
+      s"""SELECT qi_nation, qi_segment, qi_band,
+         |  ${roundHalfUpSql(
+            s"s_clip - ($DpClip / $DpEpsilon) * SIGN($uExpr) * " +
+              s"ln(1.0 - ABS($uExpr))", 6)} AS noisy_sum,
+         |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+         |  CAST($DpClip AS DOUBLE) AS sensitivity,
+         |  CAST($l AS INT) AS gen_level
+         |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin,
+      gExtra = ",\n    CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, 0.0), " +
+        s"$DpClip) AS DECIMAL(27,6))) AS DOUBLE) AS s_clip")
+  }
+
   private def kanonymityOracle: String =
     s"""WITH per_sens AS (
        |  SELECT c_nationkey, c_mktsegment,
@@ -1083,8 +1215,36 @@ object Curation {
     OpDef("privacy_kanonymity", privacyKanonymity _, kanonymityOracle),
     OpDef("privacy_generalize", privacyGeneralize _, generalizeOracle),
     OpDef("privacy_dp_counts", privacyDpCounts _, dpCountsOracle),
+    OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
+    OpDef("corpus_mix_temperature", corpusMixTemperature _,
+      s"""WITH per_lang AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |total AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang
+         |),
+         |w AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p,
+         |    CAST(SQRT(CAST(n_tokens AS DOUBLE) /
+         |              CAST(tot_tokens AS DOUBLE)) AS DECIMAL(27,6)) AS w
+         |  FROM per_lang, total
+         |),
+         |dnm AS (SELECT SUM(w) AS denom FROM w)
+         |SELECT lang, n_docs, n_tokens,
+         |  ${roundHalfUpSql("p", 6)} AS token_share,
+         |  CAST(w AS DOUBLE) AS temp_weight,
+         |  ${roundHalfUpSql(
+            "CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)", 6)} AS sample_share,
+         |  ${roundHalfUpSql(
+            "(CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)) / p",
+            6)} AS epochs
+         |FROM w, dnm
+         |ORDER BY lang""".stripMargin),
     OpDef("corpus_mix_report", corpusMixReport _,
       s"""WITH per_lang AS (
          |  SELECT lang, COUNT(*) AS n_docs,

@@ -277,26 +277,34 @@ object Multimodal {
     * shuffles (band, nibble) keys with a [[PhMaxBucket]] width cap —
     * the same enforced skew guard as the text LSH family — and verify
     * is one integer `bit_count(xor)` per candidate pair. */
-  private def mmPhash(s: SparkSession, d: String) = {
-    graft.expressions.GraftFunctions.ensure(s)
-    import s.implicits._
-    // one codegen'd pass builds the whole positional profile (counts
-    // per segment + total); the aggregate() fold turns it into bits —
-    // both row-local, so the payload is walked exactly once
+  /** (doc_id, phash) signatures over a (doc_id, hexp) frame — the
+    * row-local pass [[mmPhash]] and the persisted index share: one
+    * codegen'd `high_nibble_counts` walk builds the positional
+    * profile, the aggregate() fold turns it into bits. */
+  private[graft] def phashSigs(df: DataFrame): DataFrame = {
     val bitFold = s"""aggregate(
       sequence(0, ${PhSegs - 1}),
       CAST(0 AS BIGINT),
       (acc, j) -> acc + shiftleft(
         CAST(CASE WHEN prof[j] * $PhSegs > prof[$PhSegs] THEN 1 ELSE 0 END
           AS BIGINT), j))"""
-    val signed = media(s, d)
-      .select($"doc_id", hex($"payload").as("hexp"))
-      .select($"doc_id", expr("high_nibble_counts(hexp)").as("prof"))
-      .select($"doc_id", expr(bitFold).as("phash"))
-    val banded = signed.select($"doc_id", $"phash",
+    df.select(col("doc_id"), expr("high_nibble_counts(hexp)").as("prof"))
+      .select(col("doc_id"), expr(bitFold).as("phash"))
+  }
+
+  /** The (doc_id, phash, band, nib) band expansion over signatures. */
+  private[graft] def phashBands(signed: DataFrame): DataFrame =
+    signed.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(PhBands - 1))).as("band"))
       .withColumn("nib",
         expr(s"shiftright(phash, band * $PhBandBits) & ${(1 << PhBandBits) - 1}"))
+
+  private def mmPhash(s: SparkSession, d: String) = {
+    graft.expressions.GraftFunctions.ensure(s)
+    import s.implicits._
+    val signed = phashSigs(media(s, d)
+      .select($"doc_id", hex($"payload").as("hexp")))
+    val banded = phashBands(signed)
     val kept = banded.join(
       banded.groupBy($"band", $"nib").agg(count(lit(1)).as("bw"))
         .filter($"bw" <= PhMaxBucket).select($"band", $"nib"),
@@ -311,14 +319,16 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def phashOracle: String = {
+  /** Oracle CTE chain media → phash `banded` rows, shared by the
+    * batch and incremental phash oracles. */
+  private def phashChainSql: String = {
     val segs = (0 until PhSegs).map(j =>
       s"len(regexp_replace(substring(hexp, $j*seg+1, seg), '[0-7]', '', 'g')) AS h$j")
       .mkString(",\n    ")
     val bits = (0 until PhSegs).map(j =>
       s"(CAST(CASE WHEN h$j * $PhSegs > htot THEN 1 ELSE 0 END AS BIGINT) << $j)")
       .mkString(" + ")
-    s"""WITH $mediaSql,
+    s"""$mediaSql,
        |segged AS (
        |  SELECT doc_id, len(hexp) // $PhSegs AS seg,
        |    len(regexp_replace(hexp, '[0-7]', '', 'g')) AS htot, hexp
@@ -336,7 +346,11 @@ object Multimodal {
        |  SELECT doc_id, phash, t.k AS band,
        |    (phash >> (CAST(t.k AS INT) * $PhBandBits)) & ${(1 << PhBandBits) - 1} AS nib
        |  FROM ph CROSS JOIN range($PhBands) t(k)
-       |),
+       |)""".stripMargin
+  }
+
+  private def phashOracle: String =
+    s"""WITH $phashChainSql,
        |kept AS (
        |  SELECT b.doc_id, b.phash, b.band, b.nib FROM banded b
        |  JOIN (SELECT band, nib FROM banded GROUP BY band, nib
@@ -349,7 +363,27 @@ object Multimodal {
        |  ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.phash, r.phash)) <= $PhMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Oracle: the full phash chain with a batch×store candidate join
+    * — store-side width cap only (the engine's index semantics). */
+  private def phashIncOracle: String =
+    s"""WITH $phashChainSql,
+       |pkept AS (
+       |  SELECT b.doc_id, b.phash, b.band, b.nib FROM banded b
+       |  JOIN (SELECT band, nib FROM banded
+       |        WHERE ${hash60Sql("'inc:' || doc_id")} % 10 <> 9
+       |        GROUP BY band, nib
+       |        HAVING COUNT(*) <= $PhMaxBucket) w
+       |    ON b.band = w.band AND b.nib = w.nib
+       |  WHERE ${hash60Sql("'inc:' || b.doc_id")} % 10 <> 9
+       |)
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+       |FROM banded l JOIN pkept r
+       |  ON l.band = r.band AND l.nib = r.nib
+       |WHERE ${hash60Sql("'inc:' || l.doc_id")} % 10 = 9
+       |  AND bit_count(xor(l.phash, r.phash)) <= $PhMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // Scene-cut threshold on the frame-to-frame energy delta (energies
   // are high-nibble fractions in [0, 1], quantized to 6 dp first).
@@ -556,6 +590,61 @@ object Multimodal {
        |    ON l.band = r.band AND l.sig = r.sig
        |  WHERE ${hash60Sql("'inc:' || l.doc_id")} % 10 = 9
        |)""".stripMargin
+
+  private val PhashStoreDir = "/tmp/graft_phash_index"
+
+  /** Persisted perceptual-hash index — the incremental-store
+    * precedent ([[ensureAudioIndex]], [[ensureVideoIndex]]) applied
+    * to the IMAGE family: the non-batch corpus is phashed once and
+    * published as its width-capped band rows (phash rides each row,
+    * so candidate join and Hamming verify read the same artifact; the
+    * cap counts STORED docs only — the index cannot know future
+    * queries). 32 bits + doc_id per row; payload bytes never leave
+    * the scan. Atomic publish via [[StoreStage]]. */
+  private[graft] def ensurePhashIndex(s: SparkSession, d: String): String =
+    StoreStage.ensure(PhashStoreDir, d) { tmp =>
+      GraftFunctions.ensure(s)
+      import s.implicits._
+      val banded = phashBands(phashSigs(media(s, d)
+        .filter(!isClipBatch($"doc_id"))
+        .select($"doc_id", hex($"payload").as("hexp"))))
+      banded.join(
+          banded.groupBy($"band", $"nib").agg(count(lit(1)).as("bw"))
+            .filter($"bw" <= PhMaxBucket).select($"band", $"nib"),
+          Seq("band", "nib"))
+        .select($"doc_id", $"phash", $"band", $"nib")
+        .write.parquet(s"$tmp/bands")
+    }
+
+  /** Incremental image near-dup against the PERSISTED phash index —
+    * [[mmPhash]]'s production shape (the batch op re-hashes the whole
+    * corpus every call): the ingest batch phashes row-locally, its
+    * band rows join the STORED width-capped band rows (batch×store
+    * only — candidate work tracks the increment), and one integer
+    * `bit_count(xor)` per candidate verifies. The ORACLE recomputes
+    * both sides from raw payloads, so the hash gate proves store-fed
+    * ≡ live on every driver run.
+    *
+    * Scale: query cost tracks the clip batch; the corpus index
+    * amortizes across every later batch — the nightly-ingest image
+    * dedup a 100 TB multimodal pipeline runs. */
+  private def mmPhashIncremental(s: SparkSession, d: String) = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val p = ensurePhashIndex(s, d)
+    val store = s.read.parquet(s"$p/bands")
+      .select($"doc_id".as("doc_b"), $"phash".as("ph_b"), $"band", $"nib")
+    val clips = phashBands(phashSigs(media(s, d)
+      .filter(isClipBatch($"doc_id"))
+      .select($"doc_id", hex($"payload").as("hexp"))))
+      .select($"doc_id".as("doc_a"), $"phash".as("ph_a"), $"band", $"nib")
+    clips.join(store, Seq("band", "nib"))
+      .select($"doc_a", $"doc_b",
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= PhMaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   private val AfFrameHex = 128 // 64-byte frames, the video framing
   private val AfPeakMod = 1024L // "peak frequency" bins per frame
@@ -935,6 +1024,7 @@ object Multimodal {
     OpDef("mm_silence_segments", mmSilenceSegments _, silenceOracle),
     OpDef("mm_scene_cuts", mmSceneCuts _, sceneCutsOracle),
     OpDef("mm_phash", mmPhash _, phashOracle),
+    OpDef("mm_phash_incremental", mmPhashIncremental _, phashIncOracle),
     OpDef("mm_video_neardup", mmVideoNeardup _,
       Dedup.lshOracle(videoGramCte, VideoJaccard,
         bands = VideoBands, rowsPerBand = VideoRows)),

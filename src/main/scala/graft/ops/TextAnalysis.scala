@@ -346,6 +346,46 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style document quality rule battery (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A — the doc-level gates modern
+    * pretraining pipelines run before anything model-based): word
+    * count in [50, 100k], mean word length in [3, 10], a minimum
+    * distinct-word fraction (the duplicate-content analog of Gopher's
+    * repetition rules), and a required stop-word hit count. Gopher
+    * demands ≥ 2 of its 8 stop words; this corpus's vocabulary only
+    * carries [[En]]'s article, so the gate is ≥ 1 distinct hit over
+    * [[En]] — same rule shape, corpus-calibrated threshold. Every
+    * rule's measured VALUE is emitted alongside the verdict so
+    * downstream curation can re-gate at different thresholds without
+    * rescanning the corpus.
+    *
+    * Mean word length rides the normalized text's single-space
+    * invariant (Σ word lengths = len(norm) − n + 1) — no lambda pass
+    * over the token array on either engine.
+    *
+    * Scale: entirely row-local (one projection; the only shuffle is
+    * the output sort) — the 100 TB profile is a scan at parquet
+    * bandwidth. */
+  private def textGopherRules(s: SparkSession, d: String) = {
+    import s.implicits._
+    val enArr = array(En.map(lit): _*)
+    Tables.documents(s, d)
+      .select($"doc_id", normalizeText($"text").as("norm"),
+        tokens($"text").as("w"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        roundHalfUp(lit(1.0) * (length($"norm") - size($"w") + lit(1)) /
+          nullif(size($"w"), lit(0)), 6).as("mean_word_len"),
+        roundHalfUp(lit(1.0) * size(array_distinct($"w")) /
+          nullif(size($"w"), lit(0)), 6).as("frac_unique_words"),
+        size(array_intersect($"w", enArr)).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        $"n_words".between(50L, 100000L) &&
+          $"mean_word_len".between(3.0, 10.0) &&
+          $"frac_unique_words" >= 0.4 && $"stop_hits" >= 1L)
+      .orderBy($"doc_id")
+  }
+
   // GPT-2-style pre-tokenizer shape: letter runs (case-split), digit
   // runs, and single punctuation marks. Plain alternation only, so the
   // pattern means the same thing to Java regex and DuckDB's RE2.
@@ -1977,6 +2017,30 @@ object TextAnalysis {
          |  (len(w) >= 5 AND
          |   len(regexp_replace(norm, '[^a-z]', '', 'g')) * 10 >= len(norm) * 6) AS keep
          |FROM base
+         |ORDER BY doc_id""".stripMargin),
+    OpDef("text_gopher_rules", textGopherRules _,
+      s"""WITH base AS (
+         |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+         |    ${tokensSql("text")} AS w
+         |  FROM documents
+         |),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    ${roundHalfUpSql(
+            "1.0 * (len(norm) - len(w) + 1) / NULLIF(len(w), 0)", 6)} AS mean_word_len,
+         |    ${roundHalfUpSql(
+            "1.0 * len(list_distinct(w)) / NULLIF(len(w), 0)", 6)} AS frac_unique_words,
+         |    CAST(len(list_intersect(w, [${En.map(w => s"'$w'")
+            .mkString(", ")}])) AS BIGINT) AS stop_hits
+         |  FROM base
+         |)
+         |SELECT doc_id, n_words, mean_word_len, frac_unique_words,
+         |  stop_hits,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND frac_unique_words >= 0.4 AND stop_hits >= 1) AS keep
+         |FROM m
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_tokens_bpe", textTokensBpe _,
       s"""WITH toks AS (

@@ -75,4 +75,47 @@ class GeneralizeSpec extends SparkSpecBase {
       "at least one group must actually be perturbed")
     dp.unpersist()
   }
+
+  test("dp sum: same domain as the release, deterministic, Laplace(5000)-bounded") {
+    val cust = Tables.customer(spark, sf)
+    val dp = ops.Curation.dpSumOf(cust).cache()
+    val rel = ops.Curation.generalizeOf(cust)
+    // the sum mechanism answers over the SAME released QI domain
+    assert(dp.select("qi_nation", "qi_segment", "qi_band", "gen_level")
+      .exceptAll(rel.select("qi_nation", "qi_segment", "qi_band",
+        "gen_level")).isEmpty)
+    assert(dp.filter(col("epsilon") =!= 1.0 || col("sensitivity") =!= 5000.0)
+      .count() === 0)
+    val again = ops.Curation.dpSumOf(cust)
+    assert(dp.exceptAll(again).isEmpty && again.exceptAll(dp).isEmpty)
+    // |noise| <= (5000/1) * ln(1000001) at the hash grid's tail, and
+    // the clipped per-group sum is in [0, 5000k] — together a hard
+    // release bound the raw sums need not obey
+    val bound = 5000.0 * math.log(1000001.0)
+    val checked = dp.join(rel, Seq("qi_nation", "qi_segment", "qi_band"))
+      .filter(col("noisy_sum") < -bound ||
+        col("noisy_sum") > col("k") * 5000.0 + bound)
+    assert(checked.count() === 0)
+    dp.unpersist()
+  }
+
+  test("dp sum hand fixture: an unbounded outlier is clipped to the contribution cap") {
+    import spark.implicits._
+    // 15 customers force the ladder to full suppression (the outlier's
+    // own band is a singleton at every finer rung); the released
+    // single-group sum must reflect the CLIP (4,999,999 -> 5000), and
+    // negatives clip to 0 — otherwise no finite noise bound holds
+    val cust = (
+      (1 to 9).map(i => (i.toLong, 7L, "BUILDING", i * 100.0)) ++
+      Seq((10L, 7L, "BUILDING", -800.0), (11L, 3L, "AUTOMOBILE", 4999999.0)) ++
+      (12 to 15).map(i => (i.toLong, 3L, "AUTOMOBILE", 200.0 + i))
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = ops.Curation.dpSumOf(cust).collect()
+    assert(out.length === 1, out.mkString(";"))
+    val clipped = (1 to 9).map(_ * 100.0).sum + 0.0 + 5000.0 +
+      (12 to 15).map(200.0 + _).sum
+    val noisy = out.head.getDouble(3)
+    assert(math.abs(noisy - clipped) <= 5000.0 * math.log(1000001.0) + 1e-6,
+      s"noisy=$noisy clipped=$clipped — the outlier leaked past the clip")
+  }
 }
