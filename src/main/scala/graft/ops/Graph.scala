@@ -1828,6 +1828,104 @@ object Graph {
       moverParity = 1)
   }
 
+  /** Leiden-style refinement of the phase-1 Louvain partition (Traag,
+    * Waltman & van Eck 2019, "From Louvain to Leiden", arXiv:
+    * 1810.08473): Louvain can emit communities that are INTERNALLY
+    * DISCONNECTED (§3 of the paper — up to 25% of communities in
+    * their measurements), and Leiden's fix is a refinement phase that
+    * splits every community into its connected parts before
+    * aggregation. This op runs exactly that diagnosis-and-repair:
+    * bounded-round min-label propagation (`graph_components`'s
+    * [[CcRounds]] convention, oracle-mirrored) over the INTRA-
+    * community subgraph — an edge survives only if both endpoints
+    * share a phase-1 label, so fragments of different communities can
+    * never merge — then one fold per (community, fragment). Output:
+    * one row per refined fragment with its size and whether its
+    * parent community was split. Phase-1 labels come from the
+    * PERSISTED store ([[ensureLouvainStore]] — the nightly shape);
+    * the ORACLE recomputes phase 1 from scratch, so the hash gate
+    * proves store-fed refinement ≡ live on every driver run.
+    *
+    * Scale: the intra-community filter is two co-partitioned label
+    * attaches; the propagation is [[CcRounds]] keyed folds over the
+    * FILTERED edge list (strictly smaller than the input graph); the
+    * summary is community-bounded. Same partitioning-reuse discipline
+    * as `graph_components` (one edge shuffle total, cached sorted). */
+  private def graphLeidenRefine(s: SparkSession, d: String) = {
+    val edges = coOrderEdges(s, d)
+    val labels = s.read.parquet(ensureLouvainStore(s, d))
+    leidenRefineOf(s, edges, labels)
+  }
+
+  /** [[graphLeidenRefine]] over arbitrary (src, dst) edges (both
+    * directions present) and (node, label) community labels. */
+  private[graft] def leidenRefineOf(s: SparkSession, edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    import s.implicits._
+    val intra = edges
+      .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
+      .filter($"ls" === $"ld")
+      .select($"src", $"dst")
+    // self-edges keep every member visible to the propagation even
+    // when all its intra-community edges were filtered away
+    val closed = intra
+      .unionByName(labels.select($"node".as("src"), $"node".as("dst")))
+      .repartition($"src").sortWithinPartitions($"src")
+      .cache()
+    var frag = labels.select($"node", $"node".as("flabel"))
+    for (_ <- 1 to CcRounds) {
+      frag = closed.join(frag, $"dst" === $"node")
+        .groupBy($"src").agg(min($"flabel").as("flabel"))
+        .withColumnRenamed("src", "node")
+    }
+    val out = labels.join(frag, "node")
+      .groupBy($"label", $"flabel").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("split",
+        count(lit(1)).over(Window.partitionBy($"label")) > 1)
+      .select($"label".as("component"), $"flabel".as("refined"),
+        $"n_nodes".cast("long").as("n_nodes"), $"split")
+      .orderBy($"component", $"refined")
+      .localCheckpoint()
+    closed.unpersist(false)
+    out
+  }
+
+  private def leidenRefineOracle: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""lf$i AS (
+         |  SELECT c.src AS node, MIN(f.flabel) AS flabel
+         |  FROM lclosed c JOIN lf${i - 1} f ON c.dst = f.node
+         |  GROUP BY c.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $louvainPhase1Sql,
+       |lintra AS (
+       |  SELECT e.src, e.dst
+       |  FROM edges e
+       |  JOIN final l1 ON l1.node = e.src
+       |  JOIN final l2 ON l2.node = e.dst
+       |  WHERE l1.label = l2.label
+       |),
+       |lclosed AS MATERIALIZED (
+       |  SELECT src, dst FROM lintra
+       |  UNION ALL
+       |  SELECT node AS src, node AS dst FROM final
+       |),
+       |lf0 AS (SELECT node, node AS flabel FROM final),
+       |$rounds,
+       |fr AS (
+       |  SELECT l.label AS component, f.flabel AS refined,
+       |    COUNT(*) AS n_nodes
+       |  FROM final l JOIN lf$CcRounds f ON f.node = l.node
+       |  GROUP BY 1, 2
+       |)
+       |SELECT component, refined, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  (COUNT(*) OVER (PARTITION BY component) > 1) AS split
+       |FROM fr
+       |ORDER BY component, refined""".stripMargin
+  }
+
   /** Oracle: the shared phase-1 chain, then the general phase with
     * ODD movers over `final` — d_ic/community-degree folds, textbook
     * gain, the argmax + source/target-disjointness + two capacity
@@ -2584,6 +2682,7 @@ object Graph {
       louvainLabelStoreOracle),
     OpDef("graph_louvain_step2_store", graphLouvainStep2Store _,
       louvainStep2Oracle),
+    OpDef("graph_leiden_refine", graphLeidenRefine _, leidenRefineOracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),
