@@ -1234,18 +1234,21 @@ object Graph {
     * intermediate cache AND every lazily-checkpointed frame's blocks,
     * so no orphaned checkpoint blocks survive the call).
     *
-    * THREE driver jobs end-to-end (was ~21 when every round gated +
-    * checkpointed): (1) the m probe, which fills the wedge cache;
-    * (2) ONE union-of-aggregates stats job — per level two init rows
-    * (ib₀ self-loop fold, sb₀ = Σk²) and one row per move round
-    * (move count + the two exact gate deltas), 12 one-row branches
-    * whose shared lineage Spark's stage dedup runs once, filling
-    * every best/contraction cache along the way; (3) the caller's
-    * output action. Legal because the per-round gate is provably
-    * always-accept (see [[louvainMoveBest]]), so label chaining and
-    * contraction never depend on a driver-side decision — the stats
-    * are pure output decoration, and the oracle's from-scratch gate
-    * evaluation re-proves that on every driver run.
+    * Job structure: the m probe, then ONE SMALL EAGER JOB PER FOLD —
+    * level-1 init scalars (ib₀ self-loop fold, sb₀ = Σk²) and, per
+    * move round, a one-row aggregate over the staged best frame
+    * (move count + the two exact gate deltas), ~15 sub-second jobs
+    * end-to-end. A prior revision folded all of these into one
+    * 12-branch union action ("3 driver jobs"); measured at sf0.1 the
+    * union job read 22.9 s warm where the same folds run piecewise in
+    * ~4 s — Catalyst does not deduplicate the branches' chained
+    * lineages (no common-subplan reuse across a union; concurrent
+    * branch stages re-materialize the shared upstream work), so
+    * fewer-but-bigger jobs LOST to more-but-tiny ones by 6×. The
+    * per-round gate remains provably always-accept (see
+    * [[louvainMoveBest]]), so no job is a control-flow gate — the
+    * stats are pure output decoration, and the oracle's from-scratch
+    * gate evaluation re-proves that on every driver run.
     *
     * `level1Base` (the [[graphLouvainStore]] path) starts level 1
     * from an existing partition — e.g. the persisted phase-1 label
@@ -1342,14 +1345,20 @@ object Graph {
     }
     val deg1deg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val wedges1 = wedges
-    val statRows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def statRow(level: Int, kind: String, agg: DataFrame): DataFrame =
-      agg.select(lit(level).as("lvl"), lit(kind).as("kind"),
-        col(agg.columns(0)).cast("long").as("v1"),
-        (if (agg.columns.length > 1) col(agg.columns(1)) else lit(null))
-          .cast("long").as("v2"),
-        (if (agg.columns.length > 2) col(agg.columns(2)) else lit(null))
-          .cast("long").as("v3"))
+    // Per-round stats collect EAGERLY to driver scalars (one small job
+    // per fold) rather than as one 12-branch union action. Measured on
+    // this op at sf0.1: the union job read 22.9 s warm where the SAME
+    // folds run piecewise in ~4 s — the branches' chained lineages are
+    // not deduplicated across a union (no common-subplan reuse in
+    // Catalyst; lazy localCheckpoint leaves materialize under
+    // concurrent branch stages with duplicated upstream work), so the
+    // "one action" design re-executed most of the pipeline per branch.
+    // ~15 sub-second driver-gated jobs beat that 6× — and at cluster
+    // scale the per-job floor is amortized by the same keyed folds.
+    val qLevels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var ib = 0L
+    var sb = 0L
     val perLevelLabels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (level <- 1 to LouvLevels) {
       val deg = wedges.groupBy($"src").agg(sum($"w").as("k"))
@@ -1371,21 +1380,21 @@ object Graph {
       if (level == 1) {
         if (level1Base.isDefined) {
           val b = staged(labels); labels = b
-          statRows += statRow(level, "ib", wedges
+          ib = wedges
             .join(b.select($"node".as("src"), $"label".as("ls")), "src")
             .join(b.select($"node".as("dst"), $"label".as("ld")), "dst")
             .filter($"ls" === $"ld")
-            .agg(coalesce(sum($"w"), lit(0L))))
-          statRows += statRow(level, "sb", b.join(deg, "node")
+            .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
+          sb = b.join(deg, "node")
             .groupBy($"label").agg(sum($"k").as("ds"))
-            .agg(coalesce(sum($"ds" * $"ds"), lit(0L))))
+            .agg(coalesce(sum($"ds" * $"ds"), lit(0L))).head.getLong(0)
         } else {
-          statRows += statRow(level, "ib", wedges.filter($"src" === $"dst")
-            .agg(coalesce(sum($"w"), lit(0L))))
-          statRows += statRow(level, "sb",
-            deg.agg(coalesce(sum($"k" * $"k"), lit(0L))))
+          ib = wedges.filter($"src" === $"dst")
+            .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
+          sb = deg.agg(coalesce(sum($"k" * $"k"), lit(0L))).head.getLong(0)
         }
       }
+      var levelMoves = 0L
       for (round <- 0 until LouvMoveRounds) {
         // stage BEST, not labels: best is the round's one computed
         // reusable frame (and the smaller one — movers only); the
@@ -1397,15 +1406,22 @@ object Graph {
         // the 6-round chain before a single task ran.)
         val best = staged(louvainMoveBest(s, wedges, deg, m, labels,
           level = level, parity = round % 2, cleanup))
-        statRows += statRow(level, s"r$round", best.agg(
+        // the round's ONE eager job: materializes the staged best and
+        // folds its exact gate deltas to driver scalars
+        val r = best.agg(
           count(lit(1)),
           coalesce(sum(lit(2L) * ($"dcount" - $"d_ia")), lit(0L)),
           coalesce(sum(lit(2L) * $"k" * ($"deg_b" - $"deg_a") +
-            lit(2L) * $"k" * $"k"), lit(0L))))
-        labels = labels
+            lit(2L) * $"k" * $"k"), lit(0L))).head
+        levelMoves += r.getLong(0); ib += r.getLong(1); sb += r.getLong(2)
+        labels = staged(labels
           .join(best.select($"node", $"b"), Seq("node"), "left")
-          .select($"node", coalesce($"b", $"label").as("label"))
+          .select($"node", coalesce($"b", $"label").as("label")))
       }
+      movesPerLevel += levelMoves
+      // levels ≥ 2 inherited ib/sb as this level's starting scalars
+      // (contraction preserves the gate integers)
+      qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
       perLevelLabels += labels
       if (level < LouvLevels) {
         // Contraction with the same symmetric-fold discipline: the
@@ -1422,29 +1438,6 @@ object Graph {
           .repartition(nPartAt(level + 1), $"src")
           .sortWithinPartitions($"src"))
       }
-    }
-    // THE stats job: every init/round row in one union — one action
-    // materializes the whole multi-level pipeline's caches.
-    val stats = statRows.reduce(_.unionByName(_)).collect()
-      .map(r => (r.getInt(0), r.getString(1)) ->
-        (r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3),
-          if (r.isNullAt(4)) 0L else r.getLong(4)))
-      .toMap
-    val qLevels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var ib = stats((1, "ib"))._1
-    var sb = stats((1, "sb"))._1
-    for (level <- 1 to LouvLevels) {
-      // levels ≥ 2 inherit ib/sb from the previous level's finals
-      // (contraction preserves the gate integers)
-      var levelMoves = 0L
-      for (round <- 0 until LouvMoveRounds) {
-        val (nM, dIb, dSb) = stats((level, s"r$round"))
-        levelMoves += nM; ib += dIb; sb += dSb
-      }
-      movesPerLevel += levelMoves
-      qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
     }
     // Lazy composition down to original nodes: |V|-row joins over the
     // cached per-level labels, materialized by the caller's action.
@@ -1501,7 +1494,7 @@ object Graph {
     * fold using the same symmetric label-attach discipline as the
     * move rounds. Materializes the output, then releases every
     * intermediate via the run's cleanup thunk. */
-  private def louvainOutput(s: SparkSession, run: LouvainRun): DataFrame =
+  private[ops] def louvainOutput(s: SparkSession, run: LouvainRun): DataFrame =
       withConf(s, run.confs: _*) {
     import s.implicits._
     val lbl = stage(run.labels) // referenced three times below
