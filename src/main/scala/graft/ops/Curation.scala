@@ -1028,7 +1028,7 @@ object Curation {
     * per-level released-arm builder — shared by the generalize and DP
     * release oracles. */
   private def genLadderSql(armBody: Int => String,
-      gExtra: String = ""): String = {
+      gExtra: String = "", rawCtes: Boolean = false): String = {
     def natSql(l: Int) = l match {
       case 0 | 1 | 2 => "CAST(c_nationkey AS VARCHAR)"
       case 3 => "'R' || CAST(c_nationkey // 5 AS VARCHAR)"
@@ -1047,7 +1047,20 @@ object Curation {
          |    ${bandSql(l)} AS qi_band, COUNT(*) AS k$gExtra
          |  FROM customer GROUP BY 1, 2, 3
          |)""".stripMargin
-    }.mkString(",\n")
+    }.mkString(",\n") + (if (!rawCtes) "" else "," + {
+      // per-level RAW projections (one row per customer, QI rendered
+      // at that rung + the clipped value) for arms that need order
+      // statistics rather than group counts
+      (0 until GenLevels).map { l =>
+        s"""
+           |r$l AS (
+           |  SELECT ${natSql(l)} AS qi_nation, ${segSql(l)} AS qi_segment,
+           |    ${bandSql(l)} AS qi_band,
+           |    LEAST(GREATEST(c_acctbal, 0.0), 5000.0) AS v
+           |  FROM customer
+           |)""".stripMargin
+      }.mkString(",")
+    })
     val mins = (0 until GenLevels - 1)
       .map(l =>
         s"(SELECT COALESCE(MIN(k), 9223372036854775807) FROM g$l) AS m$l")
@@ -1178,6 +1191,97 @@ object Curation {
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
+  // Public candidate domain for the exponential-mechanism median: a
+  // fixed grid over the clipped balance range. The domain must be
+  // DATA-INDEPENDENT (a grid, not the observed values) or the
+  // mechanism leaks through its own candidate set.
+  private val DpMedianGrid: Seq[Double] = (0 to 20).map(_ * 250.0)
+
+  /** ε-DP released MEDIANS via the EXPONENTIAL MECHANISM (McSherry &
+    * Talwar 2007, FOCS — "Mechanism Design via Differential Privacy")
+    * — the third mechanism class in the privacy ladder (Laplace
+    * counts, clipped-Laplace sums, now a non-numeric-noise release):
+    * per released QI group, every grid candidate v scores
+    * u(v) = −|#{x<v} − #{x>v}| (utility sensitivity 1 — one person
+    * moves the imbalance by at most 1), and the released median is
+    * the Gumbel-max draw argmax(ε·u/2 + G) — distributionally the
+    * textbook exp(ε·u/2) sampler, with the Gumbel noise derived from
+    * the same seeded-hash surrogate as the Laplace rungs so the
+    * DuckDB oracle reproduces the draw bit-for-bit. Composes with the
+    * SAME generalization ladder; true order statistics never leave
+    * the engine.
+    *
+    * Scale: one fold over customers × the CONSTANT grid (21
+    * candidates — the explode is a fixed fan-out, not a join), then a
+    * QI-domain-bounded argmax window. */
+  private def privacyDpMedian(s: SparkSession, d: String): DataFrame =
+    dpMedianOf(Tables.customer(s, d))
+
+  /** [[privacyDpMedian]] over an arbitrary customer-shaped frame. */
+  private[graft] def dpMedianOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val level = minGenLevel(cust)
+    val (nat, seg, band) = genQi(cust, level)
+    val clip = least(greatest($"c_acctbal", lit(0.0)), lit(DpClip))
+    val scored = cust
+      .select(nat.as("qi_nation"), seg.as("qi_segment"),
+        band.as("qi_band"), clip.as("v"),
+        explode(array(DpMedianGrid.map(lit): _*)).as("cand"))
+      .groupBy($"qi_nation", $"qi_segment", $"qi_band", $"cand")
+      .agg((sum(when($"v" < $"cand", 1L).otherwise(0L)) -
+        sum(when($"v" > $"cand", 1L).otherwise(0L))).as("imb"))
+    // u strictly inside (0,1) so both logs are finite
+    val u = (hash60(concat(lit("dpmed:"), $"qi_nation", lit("|"),
+      $"qi_segment", lit("|"), $"qi_band", lit("|"),
+      $"cand".cast("string"))) % 2000001L + 1L) / lit(2000002.0)
+    val w = Window.partitionBy($"qi_nation", $"qi_segment", $"qi_band")
+      .orderBy($"score".desc, $"cand".asc)
+    scored
+      .withColumn("score",
+        lit(DpEpsilon / 2.0) * -abs($"imb") - log(-log(u)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"qi_nation", $"qi_segment", $"qi_band",
+        $"cand".as("released_median"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(1L).as("utility_sensitivity"),
+        lit(level).as("gen_level"))
+      .orderBy($"qi_nation", $"qi_segment", $"qi_band")
+  }
+
+  private def dpMedianOracle: String = {
+    val uExpr = s"((${graft.functions.TextFns.hash60Sql(
+      "'dpmed:' || qi_nation || '|' || qi_segment || '|' || qi_band || " +
+        "'|' || CAST(cand AS VARCHAR)")}" +
+      s" % 2000001 + 1) / 2000002.0)"
+    genLadderSql(l =>
+      s"""SELECT qi_nation, qi_segment, qi_band, released_median,
+         |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+         |  CAST(1 AS BIGINT) AS utility_sensitivity,
+         |  CAST($l AS INT) AS gen_level
+         |FROM (
+         |  SELECT qi_nation, qi_segment, qi_band, cand AS released_median,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY qi_nation, qi_segment, qi_band
+         |      ORDER BY ($DpEpsilon / 2.0) * -ABS(imb) - ln(-ln($uExpr))
+         |        DESC, cand ASC) AS rk
+         |  FROM (
+         |    SELECT r.qi_nation, r.qi_segment, r.qi_band,
+         |      CAST(t.cand AS DOUBLE) AS cand,
+         |      CAST(SUM(CASE WHEN r.v < t.cand THEN 1 ELSE 0 END) -
+         |           SUM(CASE WHEN r.v > t.cand THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS imb
+         |    FROM r$l r CROSS JOIN (
+         |      SELECT CAST(k * 250 AS DOUBLE) AS cand
+         |      FROM range(0, 21) t(k)) t
+         |    GROUP BY 1, 2, 3, 4
+         |  ) s
+         |) ranked
+         |WHERE rk = 1 AND (SELECT lv FROM sel) = $l""".stripMargin,
+      rawCtes = true)
+  }
+
   private def dpSumOracle: String = {
     val uExpr = s"((${graft.functions.TextFns.hash60Sql(
       "'dpsum:' || qi_nation || '|' || qi_segment || '|' || qi_band")}" +
@@ -1216,6 +1320,7 @@ object Curation {
     OpDef("privacy_generalize", privacyGeneralize _, generalizeOracle),
     OpDef("privacy_dp_counts", privacyDpCounts _, dpCountsOracle),
     OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
+    OpDef("privacy_dp_median", privacyDpMedian _, dpMedianOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_temperature", corpusMixTemperature _,

@@ -99,6 +99,38 @@ class GeneralizeSpec extends SparkSpecBase {
     dp.unpersist()
   }
 
+  test("dp median: exponential mechanism over the release domain, grid-valued, deterministic") {
+    val cust = Tables.customer(spark, sf)
+    val dp = ops.Curation.dpMedianOf(cust).cache()
+    val rel = ops.Curation.generalizeOf(cust)
+    assert(dp.count() === rel.count(), "one released median per QI group")
+    assert(dp.select("qi_nation", "qi_segment", "qi_band", "gen_level")
+      .exceptAll(rel.select("qi_nation", "qi_segment", "qi_band",
+        "gen_level")).isEmpty)
+    // the release can only ever be a PUBLIC grid point
+    assert(dp.filter(col("released_median") % 250.0 =!= 0.0 ||
+      col("released_median") < 0.0 || col("released_median") > 5000.0)
+      .count() === 0)
+    val again = ops.Curation.dpMedianOf(cust)
+    assert(dp.exceptAll(again).isEmpty && again.exceptAll(dp).isEmpty)
+    dp.unpersist()
+  }
+
+  test("dp median hand fixture: a dominant-utility candidate beats any Gumbel draw") {
+    import spark.implicits._
+    // 50 balances at 400 + 50 at 600 (one level-0 band): candidate 500
+    // splits them exactly (utility 0) while every other grid point is
+    // at least 25 utility units worse — beyond the seeded Gumbel's
+    // ~17-unit total spread, so the draw is provably 500
+    val cust = ((1 to 50).map(i => (i.toLong, 7L, "BUILDING", 400.0)) ++
+      (51 to 100).map(i => (i.toLong, 7L, "BUILDING", 600.0)))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = ops.Curation.dpMedianOf(cust).collect()
+    assert(out.length === 1, out.mkString(";"))
+    assert(out.head.getDouble(3) === 500.0, out.head.toString)
+    assert(out.head.getInt(6) === 0, "level 0 must satisfy k-anonymity here")
+  }
+
   test("dp sum hand fixture: an unbounded outlier is clipped to the contribution cap") {
     import spark.implicits._
     // 15 customers force the ladder to full suppression (the outlier's
