@@ -1258,6 +1258,38 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** ε-DP released STREAMING counts — the privacy ladder crossed into
+    * the stream family: the tumbling per-(window, type) counts
+    * aggregate as usual (state is the streaming agg's, untouched),
+    * and Laplace(1/ε) noise is applied AT THE RELEASE POINT — the
+    * drained sink — which is where a production pipeline perturbs
+    * (the DP boundary sits between the trusted aggregator and the
+    * consumer; noising inside the stream would re-noise every
+    * micro-batch update of a window). Same deterministic seeded-hash
+    * surrogate and (ε, Δ=1) accounting as `privacy_dp_counts`; true
+    * counts never cross the release boundary.
+    *
+    * Scale: the streaming agg is `stream_tumbling`'s (map-side
+    * combined, watermark-bounded state); the perturbation is one
+    * row-local projection over the window×type-bounded release. */
+  private def streamDpCounts(s: SparkSession, d: String) = {
+    import s.implicits._
+    val released = runStream(s,
+      graft.streaming.EventStream.tumblingCounts(streamingEvents(s, d))
+        .select($"hour_start", $"event_type", $"n_events"),
+      "graft_stream_dp_counts", "complete")
+    val u = (hash60(concat(lit("sdp:"), $"hour_start".cast("string"),
+      lit("|"), $"event_type")) % 2000001L - 1000000L) / lit(1000001.0)
+    released
+      .withColumn("u", u)
+      .select($"hour_start", $"event_type",
+        roundHalfUp($"n_events" - lit(1.0 / 1.0) * signum($"u") *
+          log(lit(1.0) - abs($"u")), 6).as("noisy_count"),
+        lit(1.0).as("epsilon"),
+        lit(1L).as("sensitivity"))
+      .orderBy($"hour_start", $"event_type")
+  }
+
   /** Oracle-gated run of the two-level streaming quantile twin
     * ([[graft.streaming.EventStream.windowedValueQuantiles]]). Append
     * mode emits only windows the final watermark sealed
@@ -2302,6 +2334,24 @@ object Events {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin),
+    OpDef("stream_dp_counts", streamDpCounts _, {
+      val uExpr = s"((${hash60Sql(
+        "'sdp:' || CAST(hour_start AS VARCHAR) || '|' || event_type")}" +
+        " % 2000001 - 1000000) / 1000001.0)"
+      s"""WITH agg AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         |    event_type, COUNT(*) AS n_events
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT hour_start, event_type,
+         |  ${graft.functions.Exact.roundHalfUpSql(
+          s"n_events - (1.0 / 1.0) * SIGN($uExpr) * ln(1.0 - ABS($uExpr))",
+          6)} AS noisy_count,
+         |  CAST(1.0 AS DOUBLE) AS epsilon,
+         |  CAST(1 AS BIGINT) AS sensitivity
+         |FROM agg
+         |ORDER BY hour_start, event_type""".stripMargin
+    }),
     OpDef("stream_quantiles", streamQuantiles _,
       """WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
         |b AS (

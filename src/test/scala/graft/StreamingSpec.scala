@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming DP counts: perturbed at release, same domain as the tumbling agg") {
+    val dp = SparkEntry.queries("stream_dp_counts")(spark, sf).cache()
+    val base = SparkEntry.queries("stream_tumbling")(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+    // one release row per (window, type), exactly the aggregate's domain
+    assert(dp.select("hour_start", "event_type")
+      .exceptAll(base.select("hour_start", "event_type")).isEmpty)
+    assert(dp.count() === base.count())
+    // Laplace(1)-bounded at the hash grid's tail, and actually perturbed
+    val j = dp.join(base, Seq("hour_start", "event_type"))
+      .select((col("noisy_count") - col("n_events")).as("noise"))
+    assert(j.filter(abs(col("noise")) > 13.9).count() === 0)
+    assert(j.filter(abs(col("noise")) > 1e-9).count() > 0)
+    // deterministic across re-drains
+    val again = SparkEntry.queries("stream_dp_counts")(spark, sf)
+    assert(dp.exceptAll(again).isEmpty && again.exceptAll(dp).isEmpty)
+    dp.unpersist()
+  }
+
   test("streaming contamination equals the batch op across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
