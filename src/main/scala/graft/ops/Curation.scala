@@ -1191,6 +1191,91 @@ object Curation {
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
+  // LOCAL-DP randomized response over the market-segment attribute.
+  // The domain is the five public TPC-H segments; p_keep is the k-ary
+  // RR truth probability e^ε/(e^ε + k − 1), computed ONCE here and
+  // embedded as a numeric literal in BOTH engines (Double.toString
+  // round-trips exactly, so no cross-libm exp() ever runs in the
+  // oracle).
+  private val LdpSegments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+  private val LdpKeep: Double =
+    math.exp(DpEpsilon) / (math.exp(DpEpsilon) + LdpSegments.size - 1)
+  private val LdpOther: Double = (1.0 - LdpKeep) / (LdpSegments.size - 1)
+  private val LdpDenom: Double = LdpKeep - LdpOther
+
+  /** LOCAL-DP frequency estimation via k-ary randomized response
+    * (Warner 1965; the RAPPOR family, Erlingsson et al. 2014,
+    * arXiv:1407.6981) — the privacy family's fourth mechanism and its
+    * first in the LOCAL model, where the aggregator itself is
+    * untrusted: each record randomizes its OWN segment before
+    * anything aggregates (truth with probability p = e^ε/(e^ε+k−1),
+    * else one of the k−1 other segments uniformly — both draws
+    * row-local seeded hashes), and the release is the standard
+    * debiased estimate n̂_v = (c_v − n·q)/(p − q). No trusted curator,
+    * no clipping, no generalization ladder — the mechanism contrast
+    * with the central-model rungs is the point.
+    *
+    * Scale: the response is row-local (one hash + one array pick per
+    * record); the estimate is one k-bounded fold. */
+  private def privacyLdpFrequency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = LdpSegments.size
+    val segArr = array(LdpSegments.map(lit): _*)
+    val u1 = (hash60(concat(lit("ldp1:"), $"c_custkey".cast("string"))) %
+      1000000L) / lit(1000000.0)
+    val idx = hash60(concat(lit("ldp2:"), $"c_custkey".cast("string"))) %
+      (k - 1)
+    val reported = Tables.customer(s, d)
+      .select(when(u1 < LdpKeep, $"c_mktsegment")
+        .otherwise(element_at(
+          filter(segArr, x => x =!= $"c_mktsegment"),
+          (idx + 1).cast("int"))).as("segment"))
+      .groupBy($"segment").agg(count(lit(1)).as("n_reports"))
+    val total = reported.agg(sum($"n_reports").cast("long").as("n"))
+    LdpSegments.toDF("segment")
+      .join(reported, Seq("segment"), "left")
+      .crossJoin(broadcast(total))
+      .select($"segment",
+        coalesce($"n_reports", lit(0L)).as("n_reports"),
+        roundHalfUp((coalesce($"n_reports", lit(0L)) - $"n" * LdpOther) /
+          lit(LdpDenom), 6).as("est_count"),
+        lit(DpEpsilon).as("epsilon"),
+        roundHalfUp(lit(LdpKeep), 6).as("p_keep"))
+      .orderBy($"segment")
+  }
+
+  private def ldpFrequencyOracle: String = {
+    val segsVals = LdpSegments.map(x => s"('$x')").mkString(", ")
+    val segsList = LdpSegments.map(x => s"'$x'").mkString("[", ", ", "]")
+    val u1 = s"(CAST(${graft.functions.TextFns.hash60Sql(
+      "'ldp1:' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS DOUBLE)" +
+      " / 1000000.0)"
+    val idx = s"(${graft.functions.TextFns.hash60Sql(
+      "'ldp2:' || CAST(c_custkey AS VARCHAR)")} % ${LdpSegments.size - 1})"
+    s"""WITH rr AS (
+       |  SELECT CASE WHEN $u1 < CAST($LdpKeep AS DOUBLE) THEN c_mktsegment
+       |    ELSE list_filter($segsList,
+       |           x -> x <> c_mktsegment)[CAST($idx + 1 AS INT)]
+       |    END AS segment
+       |  FROM customer
+       |),
+       |rep AS (SELECT segment, COUNT(*) AS n_reports FROM rr GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_reports) AS BIGINT) AS n FROM rep),
+       |segs(segment) AS (VALUES $segsVals)
+       |SELECT s.segment,
+       |  CAST(COALESCE(r.n_reports, 0) AS BIGINT) AS n_reports,
+       |  ${roundHalfUpSql(
+        s"(CAST(COALESCE(r.n_reports, 0) AS DOUBLE) - " +
+          s"CAST(t.n AS DOUBLE) * CAST($LdpOther AS DOUBLE)) / " +
+          s"CAST($LdpDenom AS DOUBLE)", 6)} AS est_count,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  ${roundHalfUpSql(s"CAST($LdpKeep AS DOUBLE)", 6)} AS p_keep
+       |FROM segs s LEFT JOIN rep r ON r.segment = s.segment
+       |CROSS JOIN tot t
+       |ORDER BY s.segment""".stripMargin
+  }
+
   // Public candidate domain for the exponential-mechanism median: a
   // fixed grid over the clipped balance range. The domain must be
   // DATA-INDEPENDENT (a grid, not the observed values) or the
@@ -1321,6 +1406,7 @@ object Curation {
     OpDef("privacy_dp_counts", privacyDpCounts _, dpCountsOracle),
     OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
     OpDef("privacy_dp_median", privacyDpMedian _, dpMedianOracle),
+    OpDef("privacy_ldp_frequency", privacyLdpFrequency _, ldpFrequencyOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_temperature", corpusMixTemperature _,

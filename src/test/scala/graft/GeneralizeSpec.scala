@@ -131,6 +131,21 @@ class GeneralizeSpec extends SparkSpecBase {
     assert(out.head.getInt(6) === 0, "level 0 must satisfy k-anonymity here")
   }
 
+  test("ldp frequency: full domain, debiased estimates sum to n, deterministic") {
+    val out = SparkEntry.queries("privacy_ldp_frequency")(spark, sf).cache()
+    assert(out.count() === 5, "all five public segments must be released")
+    val n = Tables.customer(spark, sf).count()
+    assert(out.agg(sum("n_reports")).head.getLong(0) === n,
+      "every record reports exactly once")
+    // the k-RR identity p + (k-1)q = 1 makes the debiased estimates
+    // sum EXACTLY to n (up to the 6-dp rounding of each term)
+    val estSum = out.agg(sum("est_count")).head.getDouble(0)
+    assert(math.abs(estSum - n) < 1e-3, s"estimates sum $estSum vs n=$n")
+    val again = SparkEntry.queries("privacy_ldp_frequency")(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   test("dp sum hand fixture: an unbounded outlier is clipped to the contribution cap") {
     import spark.implicits._
     // 15 customers force the ladder to full suppression (the outlier's
