@@ -1084,6 +1084,18 @@ object Curation {
 
   private val DpEpsilon = 1.0
 
+  /** WARNING stamped on every DP release row: the perturbation in this
+    * catalog derives DETERMINISTICALLY from the released keys (so the
+    * DuckDB oracle reproduces it bit-for-bit and the hash gate proves
+    * the mechanism end-to-end), which means it is publicly
+    * recomputable and exactly invertible — ZERO actual privacy. These
+    * outputs must never be consumed as genuinely private releases.
+    * A production deployment swaps ONLY the uniform draw for a
+    * secret-seeded RNG; the clipping, sensitivity accounting,
+    * composition, and plan shape are exactly what ships. The marker
+    * column makes the surrogate status machine-checkable downstream. */
+  private[graft] val NoiseModel = "seeded_surrogate"
+
   /** ε-differentially-private released counts — the privacy ladder's
     * third rung (audit → generalize → PERTURB): the k-anonymized
     * release at [[generalizeOf]]'s minimal level gets Laplace(Δ/ε)
@@ -1121,7 +1133,8 @@ object Curation {
           log(lit(1.0) - abs($"u")), 6).as("noisy_count"),
         lit(DpEpsilon).as("epsilon"),
         lit(1L).as("sensitivity"),
-        $"gen_level")
+        $"gen_level",
+        lit(NoiseModel).as("noise_model"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
@@ -1135,7 +1148,8 @@ object Curation {
           6)} AS noisy_count,
        |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
        |  CAST(1 AS BIGINT) AS sensitivity,
-       |  CAST($l AS INT) AS gen_level
+       |  CAST($l AS INT) AS gen_level,
+       |  '$NoiseModel' AS noise_model
        |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin
   }
 
@@ -1187,7 +1201,8 @@ object Curation {
           log(lit(1.0) - abs($"u")), 6).as("noisy_sum"),
         lit(DpEpsilon).as("epsilon"),
         lit(DpClip).as("sensitivity"),
-        lit(level).as("gen_level"))
+        lit(level).as("gen_level"),
+        lit(NoiseModel).as("noise_model"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
@@ -1241,7 +1256,8 @@ object Curation {
         roundHalfUp((coalesce($"n_reports", lit(0L)) - $"n" * LdpOther) /
           lit(LdpDenom), 6).as("est_count"),
         lit(DpEpsilon).as("epsilon"),
-        roundHalfUp(lit(LdpKeep), 6).as("p_keep"))
+        roundHalfUp(lit(LdpKeep), 6).as("p_keep"),
+        lit(NoiseModel).as("noise_model"))
       .orderBy($"segment")
   }
 
@@ -1270,10 +1286,104 @@ object Curation {
           s"CAST(t.n AS DOUBLE) * CAST($LdpOther AS DOUBLE)) / " +
           s"CAST($LdpDenom AS DOUBLE)", 6)} AS est_count,
        |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
-       |  ${roundHalfUpSql(s"CAST($LdpKeep AS DOUBLE)", 6)} AS p_keep
+       |  ${roundHalfUpSql(s"CAST($LdpKeep AS DOUBLE)", 6)} AS p_keep,
+       |  '$NoiseModel' AS noise_model
        |FROM segs s LEFT JOIN rep r ON r.segment = s.segment
        |CROSS JOIN tot t
        |ORDER BY s.segment""".stripMargin
+  }
+
+  // USER-level DP: the maximum number of released groups one user may
+  // contribute to (the L0-sensitivity bound). Without it, a user
+  // active in k groups shifts k released counts at once and the
+  // per-group ε guarantees compose to k·ε for that user — the gap
+  // between event-level and user-level privacy.
+  private val DpUserL0Cap = 3
+
+  /** USER-level ε-DP released counts (Dwork & Roth 2014 §3.5
+    * composition; the contribution-bounding step every production
+    * user-level release runs — e.g. the "bounding user contribution"
+    * stage in DP SQL engines, Wilson et al. 2020, VLDB,
+    * arXiv:1909.01917): the add/remove-one-USER adjacency makes a
+    * count release's L1 sensitivity equal the number of groups that
+    * user can touch, so the mechanism (1) DEDUPES to one contribution
+    * per (user, group) — bounding L∞ at 1, (2) CAPS each user to at
+    * most [[DpUserL0Cap]] groups by a deterministic hash-priority
+    * (keep the cap lowest-hash groups; a stable coin flip, not a
+    * data-dependent pick that would itself leak), which bounds L0, and
+    * (3) releases per-group counts with Laplace(Δ/ε) noise at
+    * Δ = L0·L∞ = [[DpUserL0Cap]] — one user now shifts the whole
+    * release vector by at most the cap, so a single ε covers the
+    * user, not just one group. The central-model rungs
+    * ([[privacyDpCounts]]/[[privacyDpSum]]) protect one RECORD per
+    * group; this rung protects a PERSON across the release — the
+    * distinction that matters when the release domain is keyed by
+    * time (here order months: an active customer spans many).
+    *
+    * Same [[NoiseModel]] surrogate-noise contract as every DP rung.
+    *
+    * Scale: one (user, group) distinct fold, one per-user window whose
+    * partitions are that user's group list (months-active-sized,
+    * WindowGroupLimit under the constant cap), one group-keyed count —
+    * three keyed shuffles, all on pair/metadata-sized rows. */
+  private def privacyDpUser(s: SparkSession, d: String): DataFrame =
+    dpUserOf(Tables.orders(s, d))
+
+  /** [[privacyDpUser]] over an arbitrary orders-shaped frame
+    * (spec hook: plant a user in more groups than the cap). */
+  private[graft] def dpUserOf(ord: DataFrame): DataFrame = {
+    val s = ord.sparkSession
+    import s.implicits._
+    val ug = ord.select($"o_custkey".as("u"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .distinct()
+    val w = Window.partitionBy($"u")
+      .orderBy(hash60(concat(lit("dpu:"), $"u".cast("string"), lit("|"),
+        $"month")).asc, $"month".asc)
+    val u = (hash60(concat(lit("dpuser:"), $"month")) % 2000001L -
+      1000000L) / lit(1000001.0)
+    ug.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= DpUserL0Cap)
+      .groupBy($"month").agg(count(lit(1)).as("k"))
+      .withColumn("uu", u)
+      .select($"month",
+        roundHalfUp($"k" - lit(DpUserL0Cap / DpEpsilon) * signum($"uu") *
+          log(lit(1.0) - abs($"uu")), 6).as("noisy_count"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(DpUserL0Cap.toLong).as("l0_cap"),
+        lit(DpUserL0Cap.toLong).as("sensitivity"),
+        lit(NoiseModel).as("noise_model"))
+      .orderBy($"month")
+  }
+
+  private def dpUserOracle: String = {
+    val uExpr = s"((${graft.functions.TextFns.hash60Sql(
+      "'dpuser:' || month")} % 2000001 - 1000000) / 1000001.0)"
+    s"""WITH ug AS (
+       |  SELECT DISTINCT o_custkey AS u,
+       |    strftime(o_orderdate, '%Y-%m') AS month
+       |  FROM orders
+       |),
+       |capped AS (
+       |  SELECT u, month FROM (
+       |    SELECT u, month, ROW_NUMBER() OVER (PARTITION BY u
+       |      ORDER BY ${graft.functions.TextFns.hash60Sql(
+           "'dpu:' || CAST(u AS VARCHAR) || '|' || month")} ASC,
+       |        month ASC) AS rn
+       |    FROM ug) t
+       |  WHERE rn <= $DpUserL0Cap
+       |),
+       |cnt AS (SELECT month, COUNT(*) AS k FROM capped GROUP BY month)
+       |SELECT month,
+       |  ${roundHalfUpSql(
+          s"k - ($DpUserL0Cap / $DpEpsilon) * SIGN($uExpr) * " +
+            s"ln(1.0 - ABS($uExpr))", 6)} AS noisy_count,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  CAST($DpUserL0Cap AS BIGINT) AS l0_cap,
+       |  CAST($DpUserL0Cap AS BIGINT) AS sensitivity,
+       |  '$NoiseModel' AS noise_model
+       |FROM cnt
+       |ORDER BY month""".stripMargin
   }
 
   // Public candidate domain for the exponential-mechanism median: a
@@ -1331,7 +1441,8 @@ object Curation {
         $"cand".as("released_median"),
         lit(DpEpsilon).as("epsilon"),
         lit(1L).as("utility_sensitivity"),
-        lit(level).as("gen_level"))
+        lit(level).as("gen_level"),
+        lit(NoiseModel).as("noise_model"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_band")
   }
 
@@ -1344,7 +1455,8 @@ object Curation {
       s"""SELECT qi_nation, qi_segment, qi_band, released_median,
          |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
          |  CAST(1 AS BIGINT) AS utility_sensitivity,
-         |  CAST($l AS INT) AS gen_level
+         |  CAST($l AS INT) AS gen_level,
+         |  '$NoiseModel' AS noise_model
          |FROM (
          |  SELECT qi_nation, qi_segment, qi_band, cand AS released_median,
          |    ROW_NUMBER() OVER (
@@ -1378,7 +1490,8 @@ object Curation {
               s"ln(1.0 - ABS($uExpr))", 6)} AS noisy_sum,
          |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
          |  CAST($DpClip AS DOUBLE) AS sensitivity,
-         |  CAST($l AS INT) AS gen_level
+         |  CAST($l AS INT) AS gen_level,
+         |  '$NoiseModel' AS noise_model
          |FROM g$l WHERE (SELECT lv FROM sel) = $l""".stripMargin,
       gExtra = ",\n    CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, 0.0), " +
         s"$DpClip) AS DECIMAL(27,6))) AS DOUBLE) AS s_clip")
@@ -1407,6 +1520,7 @@ object Curation {
     OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
     OpDef("privacy_dp_median", privacyDpMedian _, dpMedianOracle),
     OpDef("privacy_ldp_frequency", privacyLdpFrequency _, ldpFrequencyOracle),
+    OpDef("privacy_dp_user", privacyDpUser _, dpUserOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),
     OpDef("corpus_token_budget", corpusTokenBudget _, tokenBudgetOracle),
     OpDef("corpus_mix_temperature", corpusMixTemperature _,

@@ -1286,7 +1286,8 @@ object Events {
         roundHalfUp($"n_events" - lit(1.0 / 1.0) * signum($"u") *
           log(lit(1.0) - abs($"u")), 6).as("noisy_count"),
         lit(1.0).as("epsilon"),
-        lit(1L).as("sensitivity"))
+        lit(1L).as("sensitivity"),
+        lit(Curation.NoiseModel).as("noise_model"))
       .orderBy($"hour_start", $"event_type")
   }
 
@@ -2348,7 +2349,8 @@ object Events {
           s"n_events - (1.0 / 1.0) * SIGN($uExpr) * ln(1.0 - ABS($uExpr))",
           6)} AS noisy_count,
          |  CAST(1.0 AS DOUBLE) AS epsilon,
-         |  CAST(1 AS BIGINT) AS sensitivity
+         |  CAST(1 AS BIGINT) AS sensitivity,
+         |  '${Curation.NoiseModel}' AS noise_model
          |FROM agg
          |ORDER BY hour_start, event_type""".stripMargin
     }),

@@ -1380,8 +1380,15 @@ object Graph {
       if (level == 1) {
         if (level1Base.isDefined) {
           val b = staged(labels); labels = b
+          // Same symmetric doubled-edge fold as contraction/louvainOutput:
+          // attach the src label co-partitioned (free), partial-combine
+          // onto (dst, ls) BEFORE the dst attach so only pair-sized
+          // partials shuffle — the naive two-attach re-shuffled the full
+          // edge list to dst and made the store-fed 10× ratio 3.0× vs
+          // the live op's 2.1× (round-15 rehearsal, BASELINE.md).
           ib = wedges
             .join(b.select($"node".as("src"), $"label".as("ls")), "src")
+            .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
             .join(b.select($"node".as("dst"), $"label".as("ld")), "dst")
             .filter($"ls" === $"ld")
             .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
@@ -1843,7 +1850,20 @@ object Graph {
     * attaches; the propagation is [[CcRounds]] keyed folds over the
     * FILTERED edge list (strictly smaller than the input graph); the
     * summary is community-bounded. Same partitioning-reuse discipline
-    * as `graph_components` (one edge shuffle total, cached sorted). */
+    * as `graph_components` (one edge shuffle total, cached sorted).
+    *
+    * Bound caveat (the documented `graph_components` convention): the
+    * split flag is exact only for fragments within radius
+    * [[CcRounds]] of their min-id node — a genuinely connected
+    * community whose members lie further from its min-id node would
+    * be reported as split. The oracle mirrors the bound, so the gate
+    * proves bounded-propagation equivalence, not full convergence;
+    * a production run of the same plan raises the round knob (or adds
+    * the `graph_components_converged` driver-scalar quiescence probe:
+    * loop until a round changes zero labels). Community diameters in
+    * a modularity partition are small (intra-community paths are what
+    * the objective rewards), so radius > [[CcRounds]] fragments need
+    * pathological geometry. */
   private def graphLeidenRefine(s: SparkSession, d: String) = {
     val edges = coOrderEdges(s, d)
     val labels = s.read.parquet(ensureLouvainStore(s, d))

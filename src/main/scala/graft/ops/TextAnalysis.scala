@@ -741,6 +741,74 @@ object TextAnalysis {
     bpeEncodeFromMerges(s, docs, bpeMergeStore(s, docs))
   }
 
+  /** BPE DECODE round-trip — the training-serving-skew gate the
+    * encode-only ops cannot provide: encode the corpus through the
+    * trained merge store, DECODE it back (every merged symbol is its
+    * member words joined by the store's  delimiter, so decoding
+    * is one row-local `translate` to spaces), and prove per document
+    * that decode(encode(x)) equals the normalized token stream x —
+    * the invertibility a tokenizer deployment asserts before shipping
+    * a vocab (a merge table that drops or reorders content corrupts
+    * EVERY downstream token id, silently). The oracle re-derives the
+    * decoded text from ITS OWN merge chain, so the cross-engine hash
+    * gate on `decoded_digest` proves both engines reconstruct the
+    * identical byte stream, not just matching booleans.
+    *
+    * Scale: training is `bpe_train_merges`' pair-count folds; encode +
+    * decode + digest are one row-local pass over the docs with the
+    * merge list on a 1-row broadcast — no shuffle beyond the output
+    * sort. */
+  private def bpeDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val docs = Tables.documents(s, d)
+    val packed = bpeMergeStore(s, docs)
+      .agg(expr("transform(array_sort(collect_list(struct(round, mg)))," +
+        " x -> x.mg)").as("mgs"))
+    docs.select($"doc_id", tokens($"text").as("w"))
+      .crossJoin(broadcast(packed))
+      .withColumn("enc", expr("bpe_apply(w, mgs)"))
+      .withColumn("decoded",
+        translate(array_join($"enc", " "), "", " "))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_tokens_raw"),
+        size($"enc").cast("long").as("n_tokens_enc"),
+        md5($"decoded").as("decoded_digest"),
+        (md5($"decoded") === md5(array_join($"w", " ")))
+          .as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
+  private def bpeDecodeOracle: String = {
+    val rounds = (1 to BpeRounds)
+      .map(r => bpeRoundSql(r, last = false)).mkString(",\n")
+    s"""WITH toks1 AS (
+       |  SELECT doc_id, CAST(s.pos AS BIGINT) - 1 AS pos, s.tok FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'tok': w[CAST(i AS INT)]}
+       |              for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))
+       |),
+       |$rounds,
+       |dec AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens_enc,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS dd
+       |  FROM toks${BpeRounds + 1} GROUP BY doc_id
+       |),
+       |raw AS (
+       |  SELECT doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens_raw,
+       |    md5(array_to_string(${tokensSql("text")}, ' ')) AS rawd
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.n_tokens_raw,
+       |  CAST(COALESCE(d.n_tokens_enc, 0) AS BIGINT) AS n_tokens_enc,
+       |  COALESCE(d.dd, md5('')) AS decoded_digest,
+       |  COALESCE(d.dd, md5('')) = r.rawd AS roundtrip_ok
+       |FROM raw r LEFT JOIN dec d ON d.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** The encode pass alone, from any (round, mg) merge frame. */
   private[graft] def bpeEncodeFromMerges(s: SparkSession, docs: DataFrame,
                                          merges: DataFrame): DataFrame = {
@@ -1758,6 +1826,81 @@ object TextAnalysis {
     uniTokensFrom(s, docs, store)
   }
 
+  /** Unigram DETOKENIZE round-trip — `bpe_decode`'s twin on the
+    * SentencePiece path: Viterbi-segment every word with the trained
+    * vocab, concatenate the chosen pieces back, rebuild each
+    * document's token stream in position order, and prove
+    * decode(encode(x)) = normalized x per document. Words outside the
+    * segmenter's coverage (over-[[UniMaxWord]], or uncovered) fall
+    * back to the per-char encoding whose concat is the word itself —
+    * the NULL→word coalesce BOTH engines apply, so the fallback path
+    * is round-trip-proven too. The oracle walks ITS OWN backpointer
+    * chain to re-extract pieces in start-position order, so the
+    * cross-engine `decoded_digest` gate proves byte-identical
+    * reconstruction, not just matching booleans.
+    *
+    * Scale: training is `text_unigram_train`'s folds; segmentation is
+    * row-local codegen'd `unigram_seg` over DISTINCT words; the
+    * per-doc rebuild is one doc-keyed fold over (pos, word) pairs. */
+  private def textDetokenizeUnigram(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val docs = Tables.documents(s, d)
+    val voc = unigramVocab(s, docs)
+    val docw = docs.select($"doc_id",
+      posexplode(tokens($"text")).as(Seq("pos", "w")))
+    val dec = uniSegmented(s,
+        docw.select($"w").distinct().withColumn("f", lit(1L)), voc)
+      .select($"w", coalesce(array_join($"seg", ""), $"w").as("dw"))
+    val rebuilt = docw.join(dec, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, dw))), x -> x.dw), ' ')").as("dtext"))
+    docs.select($"doc_id",
+        md5(array_join(tokens($"text"), " ")).as("rawd"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        md5(coalesce($"dtext", lit(""))).as("decoded_digest"),
+        (md5(coalesce($"dtext", lit(""))) === $"rawd").as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
+  private def unigramDetokenizeOracle: String =
+    s"""WITH $uniChainSql,
+       |${uniSegSql(uniFinal, "ud")},
+       |udp AS (
+       |  ${(1 to UniMaxWord)
+            .map(t => s"SELECT w, pos, piece FROM ud_w_$t")
+            .mkString(" UNION ALL ")}
+       |),
+       |wdec AS MATERIALIZED (
+       |  SELECT w, string_agg(piece, '' ORDER BY pos) AS dw
+       |  FROM udp GROUP BY w
+       |),
+       |udocw AS (
+       |  SELECT doc_id, CAST(s.pos AS BIGINT) - 1 AS pos, s.w FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'w': t[CAST(i AS INT)]}
+       |              for i in range(1, len(t) + 1)]) AS s
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents))
+       |),
+       |rebuilt AS (
+       |  SELECT u.doc_id, COUNT(*) AS n_words,
+       |    string_agg(COALESCE(d.dw, u.w), ' ' ORDER BY u.pos) AS dtext
+       |  FROM udocw u LEFT JOIN wdec d ON d.w = u.w
+       |  GROUP BY u.doc_id
+       |)
+       |SELECT x.doc_id,
+       |  CAST(COALESCE(r.n_words, 0) AS BIGINT) AS n_words,
+       |  md5(COALESCE(r.dtext, '')) AS decoded_digest,
+       |  md5(COALESCE(r.dtext, '')) =
+       |    md5(array_to_string(${tokensSql("text")}, ' ')) AS roundtrip_ok
+       |FROM documents x LEFT JOIN rebuilt r ON r.doc_id = x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
+
   // ---- unigram oracle builders -----------------------------------
 
   private def uniLpsSql(cntExpr: String, totSql: String): String =
@@ -1950,6 +2093,9 @@ object TextAnalysis {
       unigramTokensOracle),
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),
     OpDef("bpe_encode_from_store", bpeEncodeFromStore _, bpeEncodeOracle),
+    OpDef("bpe_decode", bpeDecode _, bpeDecodeOracle),
+    OpDef("text_detokenize_unigram", textDetokenizeUnigram _,
+      unigramDetokenizeOracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_span_excise", textSpanExcise _, spanExciseOracle),
     OpDef("text_span_rewrite", textSpanRewrite _, spanRewriteOracle),
