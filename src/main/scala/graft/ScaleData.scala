@@ -66,14 +66,25 @@ object ScaleData {
     // whose degree is ~factor × 10⁴ while the typical supplier stays
     // at ~10³, so every keyed shuffle in the graph family sees a
     // genuinely hot key.
+    // `hotsrc` grows the TEXT tables past the vowel-window cap (maps
+    // cycle mod 22 — near-dup structure degrades, but the text-skew
+    // rehearsal ops never read shingles) and overlays REAL key skew:
+    // ~50% of all docs are rewritten to ONE global source
+    // (`src_hot`) and get ONE shared token appended to their text
+    // (`zqhotterm`, alien to the vocabulary so it collides with
+    // nothing) — so every source-keyed window (domain caps, quality
+    // gates) and every term-keyed fold (inverted index, TF-IDF) sees
+    // a key owning half the corpus. Deterministic membership via the
+    // doc_id hash, stable under factor changes.
     val mode = if (args.length > 3) args(3) else ""
     val hubMode = mode == "graphhub"
+    val hotSrcMode = mode == "hotsrc"
     val graphMode = mode == "graph" || hubMode
     val factor = factorStr.toInt
     require(factor >= 1 && factor <= 99,
       s"factor must be in [1, 99] (copy ids shift by k*10^7 and must stay " +
         s"below the 10^9 fresh-key offset); got $factor")
-    val docFactor = math.min(factor, 21)
+    val docFactor = if (hotSrcMode) factor else math.min(factor, 21)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,15 +95,29 @@ object ScaleData {
     val vowelTargets = "aeioubcdfghjklmnpqrstvwxyz"
     val docs = Tables.documents(spark, sfDir)
     val docCopies = (0 until docFactor).map { k =>
+      val vk = k % 22
       val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-      if (k == 0) shifted
+      if (vk == 0) shifted
       else shifted.withColumn("text",
-        translate(col("text"), "aeiou", vowelTargets.substring(k, k + 5)))
+        translate(col("text"), "aeiou", vowelTargets.substring(vk, vk + 5)))
     }.reduce(_ union _)
-    docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val docsAll =
+      if (!hotSrcMode) docCopies
+      else {
+        val hot = pmod(hash(col("doc_id"), lit("hotdoc")), lit(2)) === 0
+        docCopies
+          .withColumn("source",
+            when(hot, lit("src_hot")).otherwise(col("source")))
+          .withColumn("text",
+            when(hot, concat(col("text"), lit(" zqhotterm")))
+              .otherwise(col("text")))
+      }
+    docsAll.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    // embeddings stay inside the bias window regardless of mode (the
+    // hotsrc rehearsal ops never read vectors)
     val emb = Tables.embeddings(spark, sfDir)
-    val embCopies = (0 until docFactor).map { k =>
+    val embCopies = (0 until math.min(docFactor, 21)).map { k =>
       emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
         expr(s"transform(embedding, x -> CAST(x + ${k * 0.001} AS FLOAT))")
           .as("embedding"),

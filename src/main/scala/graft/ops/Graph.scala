@@ -1307,8 +1307,26 @@ object Graph {
     (r.labels, r.qLevels, r.moves, r.cleanup)
   }
 
+  /** `refineLevels = true` runs the FULL LEIDEN cycle (Traag, Waltman
+    * & van Eck 2019, arXiv:1810.08473 §A) instead of plain Louvain:
+    * after each level's gated move rounds, the partition REFINES into
+    * its connected fragments (bounded min-label propagation over the
+    * intra-community subgraph — `graph_leiden_refine`'s machinery,
+    * inline), the graph aggregates ON THE REFINED partition, and the
+    * next level's move rounds start from each fragment's ORIGINAL
+    * community (not singletons) — the constraint that lets whole
+    * fragments relocate while keeping the standing partition's Q as
+    * the floor. The output labels compose the FRAGMENT maps, so every
+    * emitted community is a union of per-level connected fragments —
+    * connected in the original graph by construction (modulo the
+    * [[CcRounds]] propagation bound), the guarantee Louvain lacks.
+    * The Q-gate scalars carry across levels unchanged: the refined
+    * contraction preserves both integers for the COMMUNITY partition
+    * (fragments respect communities), and the base regroups fragments
+    * back to exactly that partition. */
   private[graft] def louvainMultiLevelRun(s: SparkSession,
-      edges0: DataFrame, level1Base: Option[DataFrame] = None)
+      edges0: DataFrame, level1Base: Option[DataFrame] = None,
+      refineLevels: Boolean = false)
       : LouvainRun = {
     import s.implicits._
     // m first (fills the caller's edge cache), then partition count AS
@@ -1359,14 +1377,17 @@ object Graph {
     val movesPerLevel = scala.collection.mutable.ArrayBuffer.empty[Long]
     var ib = 0L
     var sb = 0L
+    var ibF = 0L
+    var sbF = 0L
+    var nextBase: Option[DataFrame] = None
     val perLevelLabels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (level <- 1 to LouvLevels) {
       val deg = wedges.groupBy($"src").agg(sum($"w").as("k"))
         .withColumnRenamed("src", "node").cache()
       cleanup += deg
       if (level == 1) deg1deg += deg
-      var labels = level1Base match {
-        case Some(b) if level == 1 => b.select($"node", $"label")
+      var labels = (if (level == 1) level1Base else nextBase) match {
+        case Some(b) => b.select($"node", $"label")
         case _ => deg.select($"node", $"node".as("label"))
       }
       // Level-1 init rows: ib₀ (internal edge weight of the base
@@ -1429,23 +1450,74 @@ object Graph {
       // levels ≥ 2 inherited ib/sb as this level's starting scalars
       // (contraction preserves the gate integers)
       qLevels += (if (m == 0L) 0.0 else 1.0 * ib / m - 1.0 * sb / m / m)
-      perLevelLabels += labels
-      if (level < LouvLevels) {
-        // Contraction with the same symmetric-fold discipline: the
-        // src-side label attach is co-partitioned (free); a partial
-        // (dst, ls) combine collapses parallel edges BEFORE any
-        // shuffle, so only pair-sized partials ever move — the naive
-        // two-attach form re-shuffled the raw edge list to dst.
-        wedges = staged(wedges
-          .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
-          .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
-          .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
-          .groupBy($"ls".as("src"), $"ld".as("dst"))
-          .agg(sum($"w").as("w"))
-          .repartition(nPartAt(level + 1), $"src")
-          .sortWithinPartitions($"src"))
+      if (!refineLevels) {
+        perLevelLabels += labels
+        if (level < LouvLevels) {
+          // Contraction with the same symmetric-fold discipline: the
+          // src-side label attach is co-partitioned (free); a partial
+          // (dst, ls) combine collapses parallel edges BEFORE any
+          // shuffle, so only pair-sized partials ever move — the naive
+          // two-attach form re-shuffled the raw edge list to dst.
+          wedges = staged(wedges
+            .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
+            .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
+            .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
+            .groupBy($"ls".as("src"), $"ld".as("dst"))
+            .agg(sum($"w").as("w"))
+            .repartition(nPartAt(level + 1), $"src")
+            .sortWithinPartitions($"src"))
+        }
+      } else {
+        // LEIDEN refinement: split this level's communities into their
+        // connected fragments (bounded min-label propagation over the
+        // intra-community subgraph, self-edges keeping every member
+        // visible), aggregate on the FRAGMENTS, and seed the next
+        // level from each fragment's community.
+        val lbl = staged(labels)
+        val intra = wedges
+          .join(lbl.select($"node".as("src"), $"label".as("ls")), "src")
+          .join(lbl.select($"node".as("dst"), $"label".as("ld")), "dst")
+          .filter($"ls" === $"ld")
+          .select($"src", $"dst")
+        val closed = staged(intra.unionByName(
+          deg.select($"node".as("src"), $"node".as("dst"))))
+        var frag = deg.select($"node", $"node".as("flabel"))
+        for (_ <- 1 to CcRounds) {
+          frag = closed.join(frag, $"dst" === $"node")
+            .groupBy($"src").agg(min($"flabel").as("flabel"))
+            .withColumnRenamed("src", "node")
+        }
+        frag = staged(frag)
+        perLevelLabels += frag.select($"node", $"flabel".as("label"))
+        if (level == LouvLevels) {
+          // gate integers of the FINAL (refined) partition — the
+          // output's q_final; two driver-scalar folds over the
+          // twice-contracted level-L graph
+          ibF = wedges
+            .join(frag.select($"node".as("src"), $"flabel".as("fs")), "src")
+            .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
+            .join(frag.select($"node".as("dst"), $"flabel".as("fd")), "dst")
+            .filter($"fs" === $"fd")
+            .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
+          sbF = frag.join(deg, "node")
+            .groupBy($"flabel").agg(sum($"k").as("ds"))
+            .agg(coalesce(sum($"ds" * $"ds"), lit(0L))).head.getLong(0)
+        } else {
+          wedges = staged(wedges
+            .join(frag.select($"node".as("src"), $"flabel".as("fs")), "src")
+            .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
+            .join(frag.select($"node".as("dst"), $"flabel".as("fd")), "dst")
+            .groupBy($"fs".as("src"), $"fd".as("dst"))
+            .agg(sum($"w").as("w"))
+            .repartition(nPartAt(level + 1), $"src")
+            .sortWithinPartitions($"src"))
+          nextBase = Some(staged(frag.join(lbl, "node")
+            .select($"flabel".as("node"), $"label").distinct()))
+        }
       }
     }
+    if (refineLevels)
+      qLevels += (if (m == 0L) 0.0 else 1.0 * ibF / m - 1.0 * sbF / m / m)
     // Lazy composition down to original nodes: |V|-row joins over the
     // cached per-level labels, materialized by the caller's action.
     var fullLab = perLevelLabels.head
@@ -1562,6 +1634,183 @@ object Graph {
       louvainMultiLevelRun(s, edges0, Some(base)))
     edges0.unpersist(false)
     out
+  }
+
+  /** FULL LEIDEN to the level bound (arXiv:1810.08473 §A — the
+    * complete move → refine → aggregate-on-refined cycle, composing
+    * the pieces `graph_louvain` and `graph_leiden_refine` each ship
+    * half of): per level the same gated move rounds as Louvain, then
+    * the partition refines into its connected fragments, the graph
+    * contracts BY FRAGMENT, and the next level starts each fragment
+    * at its original community — so whole fragments (not just whole
+    * communities) can relocate, which is exactly the move class
+    * Louvain's community-contraction cannot express, and the one that
+    * repairs its internally-disconnected communities. Output: the
+    * `graph_louvain` stats over the COMPOSED FRAGMENT partition —
+    * every emitted community is connected in the original graph by
+    * construction (GraphLeidenSpec pins zero split communities and
+    * q_final ≥ Louvain's at equal round/level bounds). The oracle
+    * unrolls the whole trajectory — moves, propagation rounds,
+    * refined contractions, constrained re-seeds — so the hash gate
+    * proves the running gate integers AND the refinement algebra.
+    *
+    * Scale: Louvain's per-level costs plus [[CcRounds]] keyed folds
+    * over the intra-community edge list per level (strictly smaller
+    * than the level's graph); the refined contraction shrinks less
+    * per level than Louvain's (fragments ≥ communities), the honest
+    * price of the connectivity guarantee. */
+  private def graphLeiden(s: SparkSession, d: String) = {
+    val edges0 = coOrderEdges(s, d).cache()
+    val out = louvainOutput(s,
+      louvainMultiLevelRun(s, edges0, refineLevels = true))
+    edges0.unpersist(false)
+    out
+  }
+
+  /** Spec hook: the composed-fragment label map [[graphLeiden]]'s
+    * stats summarize, materialized with the run's staging released. */
+  private[graft] def leidenLabelsForSpec(s: SparkSession, d: String)
+      : DataFrame = {
+    val edges0 = coOrderEdges(s, d).cache()
+    val run = louvainMultiLevelRun(s, edges0, refineLevels = true)
+    val out = run.labels.localCheckpoint()
+    run.cleanup()
+    edges0.unpersist(false)
+    out
+  }
+
+  /** Oracle twin of [[graphLeiden]]: the Louvain multi-level unroll
+    * with a propagation chain + fragment contraction + constrained
+    * re-seed between levels, the composed-fragment label maps, and
+    * the final-partition gate integers from scratch. */
+  private def leidenOracle: String = {
+    val R = LouvMoveRounds
+    val levels = (1 to LouvLevels).map { l =>
+      val rounds = (1 to R).map(louvRoundSql(l, _)).mkString(",\n")
+      val fin = s"lab_${l}_$R"
+      val prop = (1 to CcRounds).map { i =>
+        s"""lf_${l}_$i AS MATERIALIZED (
+           |  SELECT c.src AS node, MIN(f.flabel) AS flabel
+           |  FROM lcl_$l c JOIN lf_${l}_${i - 1} f ON c.dst = f.node
+           |  GROUP BY c.src
+           |)""".stripMargin
+      }.mkString(",\n")
+      val refine =
+        s"""lint_$l AS (
+           |  SELECT e.src, e.dst FROM we_$l e
+           |  JOIN $fin x ON x.node = e.src
+           |  JOIN $fin y ON y.node = e.dst
+           |  WHERE x.label = y.label
+           |),
+           |lcl_$l AS MATERIALIZED (
+           |  SELECT src, dst FROM lint_$l
+           |  UNION ALL
+           |  SELECT node AS src, node AS dst FROM deg_$l
+           |),
+           |lf_${l}_0 AS (SELECT node, node AS flabel FROM deg_$l),
+           |$prop,
+           |fr_$l AS MATERIALIZED (
+           |  SELECT node, flabel FROM lf_${l}_$CcRounds
+           |)""".stripMargin
+      val contract =
+        if (l == LouvLevels) ""
+        else s""",
+           |we_${l + 1} AS MATERIALIZED (
+           |  SELECT x.flabel AS src, y.flabel AS dst, SUM(e.w) AS w
+           |  FROM we_$l e
+           |  JOIN fr_$l x ON x.node = e.src
+           |  JOIN fr_$l y ON y.node = e.dst
+           |  GROUP BY x.flabel, y.flabel
+           |)""".stripMargin
+      val init =
+        if (l == 1) s"SELECT node, node AS label FROM deg_$l"
+        else
+          s"""SELECT DISTINCT f.flabel AS node, b.label
+             |  FROM fr_${l - 1} f
+             |  JOIN lab_${l - 1}_$R b ON b.node = f.node""".stripMargin
+      s"""deg_$l AS MATERIALIZED (
+         |  SELECT src AS node, SUM(w) AS k FROM we_$l GROUP BY src
+         |),
+         |lab_${l}_0 AS MATERIALIZED (
+         |  $init
+         |),
+         |$rounds,
+         |ql_$l AS MATERIALIZED (
+         |  SELECT
+         |    (SELECT COALESCE(SUM(e.w), 0) FROM we_$l e
+         |      JOIN $fin x ON x.node = e.src
+         |      JOIN $fin y ON y.node = e.dst AND y.label = x.label) AS qi,
+         |    (SELECT COALESCE(SUM(t.degc * t.degc), 0) FROM (
+         |      SELECT SUM(d.k) AS degc FROM $fin f
+         |      JOIN deg_$l d ON d.node = f.node GROUP BY f.label) t) AS qs
+         |),
+         |$refine$contract""".stripMargin
+    }.mkString(",\n")
+    val glMaps = (2 to LouvLevels).map { l =>
+      s"""gl_$l AS MATERIALIZED (
+         |  SELECT g.node, f.flabel AS label
+         |  FROM gl_${l - 1} g JOIN fr_$l f ON f.node = g.label
+         |)""".stripMargin
+    }.mkString(",\n")
+    val contrib = roundHalfUpSql(
+      "1.0 * COALESCE(i.n_in, 0) / m.m - " +
+        "(1.0 * d.degree_sum / m.m) * (1.0 * d.degree_sum / m.m)", 6)
+    def qExpr(a: String, i: String, ss: String) =
+      roundHalfUpSql(s"1.0 * $a.$i / m.m - 1.0 * $a.$ss / m.m / m.m", 6)
+    val qCols = ((1 to LouvLevels).map(i =>
+      s"${qExpr(s"q$i", "qi", "qs")} AS q_level$i") :+
+      s"${qExpr("qf", "qi", "qs")} AS q_final").mkString(",\n  ")
+    val qJoins = (1 to LouvLevels)
+      .map(i => s"CROSS JOIN ql_$i q$i").mkString(" ") + " CROSS JOIN qf"
+    s"""WITH co AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM co
+       |  UNION ALL
+       |  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM co
+       |),
+       |we_1 AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |),
+       |mt AS (SELECT COALESCE(SUM(w), 0) AS m FROM we_1),
+       |$levels,
+       |qf AS MATERIALIZED (
+       |  SELECT
+       |    (SELECT COALESCE(SUM(e.w), 0) FROM we_$LouvLevels e
+       |      JOIN fr_$LouvLevels x ON x.node = e.src
+       |      JOIN fr_$LouvLevels y ON y.node = e.dst
+       |        AND y.flabel = x.flabel) AS qi,
+       |    (SELECT COALESCE(SUM(t.degc * t.degc), 0) FROM (
+       |      SELECT SUM(d.k) AS degc FROM fr_$LouvLevels f
+       |      JOIN deg_$LouvLevels d ON d.node = f.node
+       |      GROUP BY f.flabel) t) AS qs
+       |),
+       |gl_1 AS (SELECT node, flabel AS label FROM fr_1),
+       |$glMaps,
+       |fdsum AS (
+       |  SELECT f.label, COUNT(*) AS n_nodes,
+       |    CAST(SUM(dg.k) AS BIGINT) AS degree_sum
+       |  FROM gl_$LouvLevels f JOIN deg_1 dg ON dg.node = f.node
+       |  GROUP BY f.label
+       |),
+       |finc AS (
+       |  SELECT a.label, COUNT(*) AS n_in
+       |  FROM edges e
+       |  JOIN gl_$LouvLevels a ON e.src = a.node
+       |  JOIN gl_$LouvLevels b2 ON e.dst = b2.node AND b2.label = a.label
+       |  GROUP BY a.label
+       |)
+       |SELECT d.label AS component, d.n_nodes,
+       |  CAST(COALESCE(i.n_in, 0) AS BIGINT) AS internal_edges,
+       |  d.degree_sum,
+       |  $contrib AS contribution,
+       |  $qCols
+       |FROM fdsum d CROSS JOIN mt m
+       |LEFT JOIN finc i ON i.label = d.label
+       |$qJoins
+       |ORDER BY component""".stripMargin
   }
 
   /** One oracle move round at level `l`, round `r` (1-based), parity
@@ -2696,6 +2945,7 @@ object Graph {
     OpDef("graph_louvain_step2_store", graphLouvainStep2Store _,
       louvainStep2Oracle),
     OpDef("graph_leiden_refine", graphLeidenRefine _, leidenRefineOracle),
+    OpDef("graph_leiden", graphLeiden _, leidenOracle),
     OpDef("graph_components_converged", graphComponentsConverged _,
       componentsConvergedOracle),
     OpDef("graph_kcore", graphKcore _, kcoreOracle),

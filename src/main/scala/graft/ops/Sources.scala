@@ -346,6 +346,155 @@ object Sources {
        |FROM packed GROUP BY p_month, bin
        |ORDER BY p_month, bin""".stripMargin
 
+  /** Compaction EXECUTOR — the other half of OPTIMIZE that
+    * `layout_compaction` only plans: materialize the planned bins as a
+    * REAL partitioned parquet rewrite (each bin is one independent
+    * output partition — embarrassingly parallel, the property that
+    * lets a 1000-executor cluster compact a 100 TB table as a flat
+    * map of bin-rewrite tasks), read the compacted store back, and
+    * re-run the `layout_zonemap` probe over BOTH layouts to prove
+    * pruning survives compaction: the post-compaction store answers
+    * the same point probes opening ~merge-factor FEWER files while
+    * month-level pruning is preserved (bins never cross p_month).
+    * The oracle simulates the rewrite in SQL, so the hash gate proves
+    * the executed store — the physical files a reader would scan —
+    * holds exactly the planned rows with the planned zone maps
+    * (nothing lost, duplicated, or mis-binned in the rewrite).
+    *
+    * Scale: the plan is metadata-sized (one row per input file) and
+    * joins broadcast; the rewrite is one partitioned write shuffled by
+    * (p_month, bin); the verification is the zonemap op's folds. */
+  private def layoutCompactionExec(s: SparkSession, d: String) = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d).select(
+      (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("int")
+        .as("p_month"),
+      ($"l_suppkey" % 20).cast("int").as("file_id"),
+      $"l_shipdate")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_month").orderBy($"file_id".asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val plan = rows.groupBy($"p_month", $"file_id")
+      .agg((count(lit(1)) * 100L).as("size_bytes"))
+      .withColumn("cum", sum($"size_bytes").over(w))
+      .select($"p_month", $"file_id",
+        expr(s"(cum - size_bytes) div $CompactTarget").as("bin"))
+    val path = s"$tmpRoot/li_compacted"
+    rows.join(broadcast(plan), Seq("p_month", "file_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p_month", "bin")
+      .parquet(path)
+    // a zero-row partitioned write leaves no part files to infer a
+    // schema from — the empty-input shape reads back as an empty
+    // frame with the written schema
+    val back =
+      try s.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          rows.limit(0).withColumn("bin", lit(0L))
+            .select($"p_month", $"bin", $"l_shipdate")
+      }
+    val zones = rows
+      .select(lit("precompact").as("layout"), $"p_month",
+        $"file_id".cast("long").as("f"), $"l_shipdate")
+      .unionByName(back.select(lit("postcompact").as("layout"),
+        $"p_month".cast("int").as("p_month"), $"bin".cast("long").as("f"),
+        $"l_shipdate"))
+      .groupBy($"layout", $"p_month", $"f")
+      .agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"),
+        count(lit(1)).as("in_file"))
+      .cache()
+    val probes = Tables.lineitem(s, d).select($"l_shipdate").distinct()
+      .filter(hash60(concat(lit("probe:"), $"l_shipdate".cast("string")))
+        % 20 === 0)
+    val hits = broadcast(zones).join(probes,
+        $"l_shipdate" >= $"lo" && $"l_shipdate" <= $"hi")
+      .groupBy($"layout", $"l_shipdate").agg(count(lit(1)).as("files_hit"))
+      .groupBy($"layout").agg(
+        count(lit(1)).as("n_probes"), sum($"files_hit").as("hit_sum"))
+    zones.groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"), sum($"in_file").as("n_rows"))
+      .join(hits, "layout")
+      .select($"layout", $"n_files", $"n_rows",
+        roundHalfUp($"hit_sum" / $"n_probes", 6).as("avg_files_hit"),
+        roundHalfUp(lit(1.0) - $"hit_sum" / ($"n_probes" * $"n_files"), 6)
+          .as("pct_pruned"))
+      .orderBy($"layout")
+  }
+
+  /** Spec hook: run the executor for `d` and return the compacted
+    * store path (the read-back side of the rewrite). */
+  private[graft] def compactedPathForSpec(s: SparkSession, d: String)
+      : String = {
+    layoutCompactionExec(s, d).count()
+    s"$tmpRoot/li_compacted"
+  }
+
+  private def layoutCompactionExecOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+       |      AS p_month,
+       |    CAST(l_suppkey % 20 AS INT) AS file_id,
+       |    CAST(COUNT(*) * 100 AS BIGINT) AS size_bytes
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |plan_ AS (
+       |  SELECT p_month, file_id,
+       |    (SUM(size_bytes) OVER (PARTITION BY p_month ORDER BY file_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - size_bytes) // $CompactTarget AS bin
+       |  FROM manifest
+       |),
+       |rows_ AS (
+       |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+       |      AS p_month,
+       |    CAST(l_suppkey % 20 AS INT) AS file_id,
+       |    l_shipdate
+       |  FROM lineitem
+       |),
+       |asg AS (
+       |  SELECT r.p_month, r.file_id, p.bin, r.l_shipdate
+       |  FROM rows_ r JOIN plan_ p
+       |    ON p.p_month = r.p_month AND p.file_id = r.file_id
+       |),
+       |zones AS (
+       |  SELECT 'precompact' AS layout, p_month,
+       |    CAST(file_id AS BIGINT) AS f,
+       |    MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+       |    COUNT(*) AS in_file
+       |  FROM asg GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'postcompact', p_month, CAST(bin AS BIGINT),
+       |    MIN(l_shipdate), MAX(l_shipdate), COUNT(*)
+       |  FROM asg GROUP BY 2, 3
+       |),
+       |probes AS (
+       |  SELECT DISTINCT l_shipdate FROM lineitem
+       |  WHERE ${hash60Sql("'probe:' || CAST(l_shipdate AS VARCHAR)")} % 20 = 0
+       |),
+       |perprobe AS (
+       |  SELECT z.layout, p.l_shipdate, COUNT(*) AS files_hit
+       |  FROM zones z JOIN probes p ON p.l_shipdate BETWEEN z.lo AND z.hi
+       |  GROUP BY z.layout, p.l_shipdate
+       |),
+       |hits AS (
+       |  SELECT layout, COUNT(*) AS n_probes,
+       |    CAST(SUM(files_hit) AS BIGINT) AS hit_sum
+       |  FROM perprobe GROUP BY layout
+       |),
+       |files AS (
+       |  SELECT layout, COUNT(*) AS n_files,
+       |    CAST(SUM(in_file) AS BIGINT) AS n_rows
+       |  FROM zones GROUP BY layout
+       |)
+       |SELECT f.layout, f.n_files, f.n_rows,
+       |  ${roundHalfUpSql("1.0 * h.hit_sum / h.n_probes", 6)} AS avg_files_hit,
+       |  ${roundHalfUpSql(
+      "1.0 - 1.0 * h.hit_sum / (h.n_probes * f.n_files)", 6)} AS pct_pruned
+       |FROM files f JOIN hits h ON h.layout = f.layout
+       |ORDER BY f.layout""".stripMargin
+
   // Keys synthesized by the v2 snapshot simulation: deletes every
   // 97th order, flips the status of every 89th, inserts a shifted
   // copy of every 101st above this offset (clear of real keys).
@@ -676,6 +825,8 @@ object Sources {
     OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),
     OpDef("layout_zonemap", layoutZonemap _, zonemapOracle),
     OpDef("layout_compaction", layoutCompaction _, layoutCompactionOracle),
+    OpDef("layout_compaction_exec", layoutCompactionExec _,
+      layoutCompactionExecOracle),
     OpDef("sink_partitioned", sinkPartitioned _,
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS o_month,
         |  o_orderstatus,

@@ -366,10 +366,13 @@ object TextAnalysis {
     * Scale: entirely row-local (one projection; the only shuffle is
     * the output sort) — the 100 TB profile is a scan at parquet
     * bandwidth. */
-  private def textGopherRules(s: SparkSession, d: String) = {
+  /** The Gopher battery over an arbitrary (doc_id, text) frame —
+    * shared by the catalog op and the v3 prep chain's gate. */
+  private[graft] def gopherFlagsOf(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
     import s.implicits._
     val enArr = array(En.map(lit): _*)
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", normalizeText($"text").as("norm"),
         tokens($"text").as("w"))
       .select($"doc_id",
@@ -383,8 +386,38 @@ object TextAnalysis {
         $"n_words".between(50L, 100000L) &&
           $"mean_word_len".between(3.0, 10.0) &&
           $"frac_unique_words" >= 0.4 && $"stop_hits" >= 1L)
-      .orderBy($"doc_id")
   }
+
+  private def textGopherRules(s: SparkSession, d: String) = {
+    import s.implicits._
+    gopherFlagsOf(s, Tables.documents(s, d)).orderBy($"doc_id")
+  }
+
+  /** Gopher CTE pair for oracle reuse: `${px}base` (normalized +
+    * tokenized docs) and `${px}m` (the measured battery). */
+  private def gopherCtes(px: String): String =
+    s"""${px}base AS (
+       |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
+       |    ${tokensSql("text")} AS w
+       |  FROM documents
+       |),
+       |${px}m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    ${roundHalfUpSql(
+          "1.0 * (len(norm) - len(w) + 1) / NULLIF(len(w), 0)", 6)} AS mean_word_len,
+       |    ${roundHalfUpSql(
+          "1.0 * len(list_distinct(w)) / NULLIF(len(w), 0)", 6)} AS frac_unique_words,
+       |    CAST(len(list_intersect(w, [${En.map(w => s"'$w'")
+          .mkString(", ")}])) AS BIGINT) AS stop_hits
+       |  FROM ${px}base
+       |)""".stripMargin
+
+  /** The battery's keep predicate over a `${px}m` row. */
+  private def gopherKeepSql: String =
+    "(n_words BETWEEN 50 AND 100000" +
+      " AND mean_word_len BETWEEN 3.0 AND 10.0" +
+      " AND frac_unique_words >= 0.4 AND stop_hits >= 1)"
 
   // GPT-2-style pre-tokenizer shape: letter runs (case-split), digit
   // runs, and single punctuation marks. Plain alternation only, so the
@@ -1901,6 +1934,183 @@ object TextAnalysis {
        |FROM documents x LEFT JOIN rebuilt r ON r.doc_id = x.doc_id
        |ORDER BY x.doc_id""".stripMargin
 
+  /** The per-word unigram token costs (w, np) — Viterbi piece count
+    * with the NULL→length fallback — over an arbitrary corpus, for
+    * callers that re-tokenize rewritten text (v3 prep): unigram
+    * tokenization is per-word, so any doc rewrite that removes whole
+    * tokens re-tokenizes as a SUM over this table, no re-training. */
+  private[graft] def uniWordCostsOf(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val words = docs.select(explode(tokens($"text")).as("w")).distinct()
+      .withColumn("f", lit(1L))
+    uniSegmented(s, words, unigramVocab(s, docs))
+      .select($"w",
+        coalesce(size($"seg"), length($"w")).cast("long").as("np"))
+  }
+
+  /** `pipeline_docprep_v3` — the attributed prep chain over the
+    * round-15 stages, per language: (1) the GOPHER battery gates
+    * documents ([[gopherFlagsOf]] — exits attributed as
+    * `n_gopher_fail`), (2) the corpus-wide duplicate-SPAN manifest
+    * ([[spanExcise]] — built over the FULL corpus, the span-store
+    * shape, because gram duplication is a corpus property, then
+    * APPLIED to the survivors) excises tokens (attributed as
+    * `tokens_excised`), (3) the surviving text re-tokenizes under the
+    * trained UNIGRAM vocab — per-word costs from [[uniWordCostsOf]],
+    * so the post-rewrite count is an exact per-position sum, no
+    * re-segmentation — and (4) the post-prep token mass feeds the
+    * TEMPERATURE mix (`corpus_mix_temperature`'s exact algebra:
+    * √p quantized to DECIMAL(27,6), decimal-exact denominator), so
+    * the emitted sampling weights describe the corpus a loader would
+    * actually see, not the raw one. DocprepV3Spec reconciles every
+    * stage against its owning catalog op.
+    *
+    * Scale: each stage is its owning op's plan (row-local gate,
+    * span-volume-bounded anti-join, broadcast per-word costs,
+    * lang-bounded mix fold) — the chain adds joins, not new shuffle
+    * classes. */
+  private def docPrepV3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val docs = Tables.documents(s, d)
+    val gop = gopherFlagsOf(s, docs).select($"doc_id", $"keep")
+    val keptDocs = docs
+      .join(gop.filter($"keep").select($"doc_id"), "doc_id")
+    val toks = keptDocs.select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("n_before"),
+        posexplode($"w"))
+      .select($"doc_id", $"n_before",
+        ($"pos" + 1).cast("long").as("p"), $"col".as("tok"))
+    val removed = spanExcise(s, docs)
+      .select($"doc_id",
+        explode(sequence($"span_start", $"span_end")).as("p"))
+    val nps = uniWordCostsOf(s, docs)
+    val perDoc = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+      .join(nps, $"tok" === $"w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_after"), sum($"np").as("n_uni"))
+    val base = keptDocs
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_before"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"n_uni", lit(0L)).as("n_uni"))
+    val rpt = docs.select($"doc_id", $"lang").join(gop, "doc_id")
+      .join(base, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countWhen(!$"keep").as("n_gopher_fail"),
+        countWhen($"keep").as("n_kept"),
+        sum(when($"keep", $"n_before" - $"n_after").otherwise(0L))
+          .cast("long").as("tokens_excised"),
+        sum(when($"keep", $"n_uni").otherwise(0L))
+          .cast("long").as("n_tokens_unigram"))
+    val total = rpt.agg(sum($"n_tokens_unigram").cast("long").as("tot"))
+    val win = Window.partitionBy(lit(1))
+    val p = $"n_tokens_unigram".cast("double") /
+      nullif($"tot".cast("double"), lit(0.0))
+    val qRaw = $"tw".cast("double") / $"denom".cast("double")
+    rpt.crossJoin(broadcast(total))
+      .withColumn("p", p)
+      .withColumn("tw",
+        sqrt($"p").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+      .withColumn("denom", sum($"tw").over(win))
+      .select($"lang", $"n_docs", $"n_gopher_fail", $"n_kept",
+        $"tokens_excised", $"n_tokens_unigram",
+        roundHalfUp($"p", 6).as("token_share"),
+        roundHalfUp(qRaw, 6).as("sample_share"),
+        roundHalfUp(qRaw / nullif($"p", lit(0.0)), 6).as("epochs"))
+      .orderBy($"lang")
+  }
+
+  private def docPrepV3Oracle: String =
+    s"""WITH ${gopherCtes("v")},
+       |vkeep AS MATERIALIZED (
+       |  SELECT doc_id, $gopherKeepSql AS keep FROM vm
+       |),
+       |$uniChainSql,
+       |${uniSegSql(uniFinal, "uv")},
+       |vnps AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS np FROM uv_path GROUP BY w
+       |),
+       |$spanExciseCtes,
+       |vspans AS (
+       |  SELECT doc_id, MIN(p) AS span_start,
+       |    MAX(p) + ${SpanK - 1} AS span_end
+       |  FROM grp GROUP BY doc_id, island
+       |),
+       |vrem AS MATERIALIZED (
+       |  SELECT doc_id, CAST(unnest(range(span_start, span_end + 1))
+       |    AS BIGINT) AS p
+       |  FROM vspans
+       |),
+       |vtok AS (
+       |  SELECT t.doc_id, CAST(len(t.words) AS BIGINT) AS n_before,
+       |    CAST(s.p AS BIGINT) AS p, t.words[CAST(s.p AS INT)] AS tok
+       |  FROM toks t
+       |  JOIN vkeep k ON k.doc_id = t.doc_id AND k.keep,
+       |  LATERAL (SELECT unnest(range(1, len(t.words) + 1)) AS p) s
+       |),
+       |vkept AS (
+       |  SELECT kt.doc_id, kt.tok FROM vtok kt
+       |  LEFT JOIN vrem r ON r.doc_id = kt.doc_id AND r.p = kt.p
+       |  WHERE r.p IS NULL
+       |),
+       |vpd AS MATERIALIZED (
+       |  SELECT k.doc_id, COUNT(*) AS n_after,
+       |    CAST(SUM(COALESCE(n.np, len(k.tok))) AS BIGINT) AS n_uni
+       |  FROM vkept k LEFT JOIN vnps n ON n.w = k.tok
+       |  GROUP BY k.doc_id
+       |),
+       |vdoc AS (
+       |  SELECT t.doc_id, CAST(len(t.words) AS BIGINT) AS n_before,
+       |    COALESCE(p.n_after, 0) AS n_after, COALESCE(p.n_uni, 0) AS n_uni
+       |  FROM toks t
+       |  JOIN vkeep k ON k.doc_id = t.doc_id AND k.keep
+       |  LEFT JOIN vpd p ON p.doc_id = t.doc_id
+       |),
+       |vrpt AS MATERIALIZED (
+       |  SELECT d.lang,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN NOT k.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_gopher_fail,
+       |    CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(SUM(CASE WHEN k.keep THEN b.n_before - b.n_after
+       |             ELSE 0 END) AS BIGINT) AS tokens_excised,
+       |    CAST(SUM(CASE WHEN k.keep THEN b.n_uni ELSE 0 END) AS BIGINT)
+       |      AS n_tokens_unigram
+       |  FROM documents d
+       |  JOIN vkeep k ON k.doc_id = d.doc_id
+       |  LEFT JOIN vdoc b ON b.doc_id = d.doc_id
+       |  GROUP BY d.lang
+       |),
+       |vtot AS (SELECT CAST(SUM(n_tokens_unigram) AS BIGINT) AS tot
+       |         FROM vrpt),
+       |vw AS (
+       |  SELECT lang, n_docs, n_gopher_fail, n_kept, tokens_excised,
+       |    n_tokens_unigram,
+       |    CAST(n_tokens_unigram AS DOUBLE) /
+       |      NULLIF(CAST(tot AS DOUBLE), 0.0) AS p,
+       |    CAST(SQRT(CAST(n_tokens_unigram AS DOUBLE) /
+       |              NULLIF(CAST(tot AS DOUBLE), 0.0))
+       |      AS DECIMAL(27,6)) AS w
+       |  FROM vrpt, vtot
+       |),
+       |vdnm AS (SELECT SUM(w) AS denom FROM vw)
+       |SELECT lang, n_docs, n_gopher_fail, n_kept, tokens_excised,
+       |  n_tokens_unigram,
+       |  ${roundHalfUpSql("p", 6)} AS token_share,
+       |  ${roundHalfUpSql(
+          "CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)", 6)} AS sample_share,
+       |  ${roundHalfUpSql(
+          "(CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)) / NULLIF(p, 0.0)",
+          6)} AS epochs
+       |FROM vw, vdnm
+       |ORDER BY lang""".stripMargin
+
   // ---- unigram oracle builders -----------------------------------
 
   private def uniLpsSql(cntExpr: String, totSql: String): String =
@@ -2096,6 +2306,7 @@ object TextAnalysis {
     OpDef("bpe_decode", bpeDecode _, bpeDecodeOracle),
     OpDef("text_detokenize_unigram", textDetokenizeUnigram _,
       unigramDetokenizeOracle),
+    OpDef("pipeline_docprep_v3", docPrepV3 _, docPrepV3Oracle),
     OpDef("text_dup_spans", textDupSpans _, dupSpansOracle),
     OpDef("text_span_excise", textSpanExcise _, spanExciseOracle),
     OpDef("text_span_rewrite", textSpanRewrite _, spanRewriteOracle),
@@ -2165,28 +2376,11 @@ object TextAnalysis {
          |FROM base
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_gopher_rules", textGopherRules _,
-      s"""WITH base AS (
-         |  SELECT doc_id, ${normalizeTextSql("text")} AS norm,
-         |    ${tokensSql("text")} AS w
-         |  FROM documents
-         |),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_words,
-         |    ${roundHalfUpSql(
-            "1.0 * (len(norm) - len(w) + 1) / NULLIF(len(w), 0)", 6)} AS mean_word_len,
-         |    ${roundHalfUpSql(
-            "1.0 * len(list_distinct(w)) / NULLIF(len(w), 0)", 6)} AS frac_unique_words,
-         |    CAST(len(list_intersect(w, [${En.map(w => s"'$w'")
-            .mkString(", ")}])) AS BIGINT) AS stop_hits
-         |  FROM base
-         |)
+      s"""WITH ${gopherCtes("g")}
          |SELECT doc_id, n_words, mean_word_len, frac_unique_words,
          |  stop_hits,
-         |  (n_words BETWEEN 50 AND 100000
-         |   AND mean_word_len BETWEEN 3.0 AND 10.0
-         |   AND frac_unique_words >= 0.4 AND stop_hits >= 1) AS keep
-         |FROM m
+         |  $gopherKeepSql AS keep
+         |FROM gm
          |ORDER BY doc_id""".stripMargin),
     OpDef("text_tokens_bpe", textTokensBpe _,
       s"""WITH toks AS (
