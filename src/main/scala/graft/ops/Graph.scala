@@ -1113,6 +1113,10 @@ object Graph {
   // accept nothing contracts to an isomorphic graph, so every later
   // round recomputes the identical no-move decision).
   private val LouvMoveRounds = 2
+  // Leiden fragment-propagation rounds: exact for the move-phase
+  // community geometry (diameter ≤ 2·rounds — see the refinement
+  // block), unlike graph_components' generic CcRounds bound.
+  private val LeidenCc = 2 * LouvMoveRounds
   private val LouvLevels = 3
 
   /** The accepted MOVE SET of one weighted general Louvain round over
@@ -1319,7 +1323,7 @@ object Graph {
     * the floor. The output labels compose the FRAGMENT maps, so every
     * emitted community is a union of per-level connected fragments —
     * connected in the original graph by construction (modulo the
-    * [[CcRounds]] propagation bound), the guarantee Louvain lacks.
+    * [[LeidenCc]] propagation bound), the guarantee Louvain lacks.
     * The Q-gate scalars carry across levels unchanged: the refined
     * contraction preserves both integers for the COMMUNITY partition
     * (fragments respect communities), and the base regroups fragments
@@ -1482,7 +1486,13 @@ object Graph {
         val closed = staged(intra.unionByName(
           deg.select($"node".as("src"), $"node".as("dst"))))
         var frag = deg.select($"node", $"node".as("flabel"))
-        for (_ <- 1 to CcRounds) {
+        // LeidenCc = 2·LouvMoveRounds propagation rounds suffice
+        // EXACTLY here (unlike the generic CcRounds bound): after R
+        // gated move rounds from a one-node-per-community base, any
+        // community's intra diameter is ≤ 2R (each accepted move
+        // attaches a node adjacent to an existing member), so every
+        // member is within 2R hops of the min-id member.
+        for (_ <- 1 to LeidenCc) {
           frag = closed.join(frag, $"dst" === $"node")
             .groupBy($"src").agg(min($"flabel").as("flabel"))
             .withColumnRenamed("src", "node")
@@ -1493,10 +1503,17 @@ object Graph {
           // gate integers of the FINAL (refined) partition — the
           // output's q_final; two driver-scalar folds over the
           // twice-contracted level-L graph
+          // broadcast the |V_L|-row fragment map into both attaches:
+          // a staged leaf carries no size stats, so the planner would
+          // otherwise sort-merge the full edge list TWICE (measured
+          // 57 s of a 1.17M-edge fold at sf0.1; broadcast, it is a
+          // scan + two map-side joins). |V_L| is the twice-contracted
+          // vertex set — broadcast-sized whenever the level shrinks;
+          // a non-contracting graph would co-partition instead.
           ibF = wedges
-            .join(frag.select($"node".as("src"), $"flabel".as("fs")), "src")
+            .join(broadcast(frag.select($"node".as("src"), $"flabel".as("fs"))), "src")
             .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
-            .join(frag.select($"node".as("dst"), $"flabel".as("fd")), "dst")
+            .join(broadcast(frag.select($"node".as("dst"), $"flabel".as("fd"))), "dst")
             .filter($"fs" === $"fd")
             .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
           sbF = frag.join(deg, "node")
@@ -1654,7 +1671,7 @@ object Graph {
     * refined contractions, constrained re-seeds — so the hash gate
     * proves the running gate integers AND the refinement algebra.
     *
-    * Scale: Louvain's per-level costs plus [[CcRounds]] keyed folds
+    * Scale: Louvain's per-level costs plus [[LeidenCc]] keyed folds
     * over the intra-community edge list per level (strictly smaller
     * than the level's graph); the refined contraction shrinks less
     * per level than Louvain's (fragments ≥ communities), the honest
@@ -1688,7 +1705,7 @@ object Graph {
     val levels = (1 to LouvLevels).map { l =>
       val rounds = (1 to R).map(louvRoundSql(l, _)).mkString(",\n")
       val fin = s"lab_${l}_$R"
-      val prop = (1 to CcRounds).map { i =>
+      val prop = (1 to LeidenCc).map { i =>
         s"""lf_${l}_$i AS MATERIALIZED (
            |  SELECT c.src AS node, MIN(f.flabel) AS flabel
            |  FROM lcl_$l c JOIN lf_${l}_${i - 1} f ON c.dst = f.node
@@ -1710,7 +1727,7 @@ object Graph {
            |lf_${l}_0 AS (SELECT node, node AS flabel FROM deg_$l),
            |$prop,
            |fr_$l AS MATERIALIZED (
-           |  SELECT node, flabel FROM lf_${l}_$CcRounds
+           |  SELECT node, flabel FROM lf_${l}_$LeidenCc
            |)""".stripMargin
       val contract =
         if (l == LouvLevels) ""
