@@ -76,7 +76,8 @@ object GraftFunctions {
       es => UnigramSeg(es(0), es(1), es(2))),
     ("high_nibble_counts", classOf[HighNibbleCounts],
       es => HighNibbleCounts(es(0))),
-    ("letter_counts", classOf[LetterCounts], es => LetterCounts(es(0))))
+    ("letter_counts", classOf[LetterCounts], es => LetterCounts(es(0))),
+    ("cc_fragments", classOf[CcFragments], es => CcFragments(es(0))))
 
   /** Sessions already registered — weak keys so dropped sessions don't
     * leak. All access happens under the map's monitor: concurrent

@@ -1113,10 +1113,6 @@ object Graph {
   // accept nothing contracts to an isomorphic graph, so every later
   // round recomputes the identical no-move decision).
   private val LouvMoveRounds = 2
-  // Leiden fragment-propagation rounds: exact for the move-phase
-  // community geometry (diameter ≤ 2·rounds — see the refinement
-  // block), unlike graph_components' generic CcRounds bound.
-  private val LeidenCc = 2 * LouvMoveRounds
   private val LouvLevels = 3
 
   /** The accepted MOVE SET of one weighted general Louvain round over
@@ -1192,12 +1188,18 @@ object Graph {
     cleanup += ninfo
     val cdeg = ninfo.groupBy($"label").agg(sum($"k").as("degc")).cache()
     cleanup += cdeg
+    // |V|-sized frames broadcast into every attach below the small-
+    // graph gate (cached/staged leaves carry no size stats, so the
+    // static planner would sort-merge the edge fold per attach); the
+    // co-partitioned shuffle shape stands above it.
+    def bc(df: DataFrame): DataFrame =
+      if (m < 20000000L) broadcast(df) else df
     val fold = wedges.filter(moverPred && $"src" =!= $"dst")
-      .join(base.select($"node".as("src"), $"label".as("c")), "src")
+      .join(bc(base.select($"node".as("src"), $"label".as("c"))), "src")
       .groupBy($"dst", $"c").agg(sum($"w").as("dcount"))
-      .join(cdeg.select($"label".as("c"), $"degc".as("deg_c")), "c")
+      .join(bc(cdeg.select($"label".as("c"), $"degc".as("deg_c"))), "c")
       .withColumnRenamed("dst", "node")
-      .join(ninfo.select($"node", $"label".as("a"), $"k"), "node")
+      .join(bc(ninfo.select($"node", $"label".as("a"), $"k")), "node")
       .groupBy($"node", $"k", $"a")
       .agg(
         max_by(struct($"c".as("b"), $"dcount", $"deg_c"),
@@ -1207,7 +1209,7 @@ object Graph {
         coalesce(sum(when($"c" === $"a", $"dcount")), lit(0L)).as("d_ia"))
       .filter($"x".isNotNull)
     val winners = fold
-      .join(cdeg.select($"label".as("a"), $"degc".as("deg_a")), "a")
+      .join(bc(cdeg.select($"label".as("a"), $"degc".as("deg_a"))), "a")
       .select($"node", $"a", $"x.b".as("b"), $"k", $"d_ia",
         $"x.dcount".as("dcount"), $"deg_a", $"x.deg_c".as("deg_b"))
       .withColumn("gain", lit(2L) * lit(m) * ($"dcount" - $"d_ia") -
@@ -1217,8 +1219,8 @@ object Graph {
     // left_anti needs no deduplicated right side — the old .distinct()
     // calls were two pure-overhead aggregation stages per round
     val disjoint = winners
-      .join(winners.select($"a".as("b")), Seq("b"), "left_anti")
-      .join(winners.select($"b".as("a")), Seq("a"), "left_anti")
+      .join(bc(winners.select($"a".as("b"))), Seq("b"), "left_anti")
+      .join(bc(winners.select($"b".as("a"))), Seq("a"), "left_anti")
     disjoint.groupBy($"b")
       .agg(max_by(struct($"node", $"a", $"k", $"d_ia", $"dcount",
         $"deg_a", $"deg_b", $"gain"), struct($"gain", -$"node")).as("x"))
@@ -1314,16 +1316,17 @@ object Graph {
   /** `refineLevels = true` runs the FULL LEIDEN cycle (Traag, Waltman
     * & van Eck 2019, arXiv:1810.08473 §A) instead of plain Louvain:
     * after each level's gated move rounds, the partition REFINES into
-    * its connected fragments (bounded min-label propagation over the
-    * intra-community subgraph — `graph_leiden_refine`'s machinery,
-    * inline), the graph aggregates ON THE REFINED partition, and the
+    * its connected fragments (EXACT per-community union-find —
+    * [[graft.expressions.CcFragments]], one keyed shuffle), the graph
+    * aggregates ON THE REFINED partition, and the
     * next level's move rounds start from each fragment's ORIGINAL
     * community (not singletons) — the constraint that lets whole
     * fragments relocate while keeping the standing partition's Q as
     * the floor. The output labels compose the FRAGMENT maps, so every
     * emitted community is a union of per-level connected fragments —
-    * connected in the original graph by construction (modulo the
-    * [[LeidenCc]] propagation bound), the guarantee Louvain lacks.
+    * connected in the original graph by construction, UNCONDITIONALLY
+    * (the refinement is exact, not round-bounded), the guarantee
+    * Louvain lacks.
     * The Q-gate scalars carry across levels unchanged: the refined
     * contraction preserves both integers for the COMMUNITY partition
     * (fragments respect communities), and the base regroups fragments
@@ -1343,6 +1346,17 @@ object Graph {
     // Contracted levels shrink the graph, so their partition counts
     // shrink too (¼ per level, floored at 1).
     val m = edges0.count()
+    // GRAFT_LOUV_TRACE=1: force-materialize at phase boundaries and
+    // print wall-clock deltas (local diagnosis only; perturbs the lazy
+    // staging, so never on in benchmarked runs).
+    val trace = sys.env.get("GRAFT_LOUV_TRACE").contains("1")
+    var traceT0 = System.nanoTime()
+    def tr(tag: String, df: DataFrame = null): Unit = if (trace) {
+      if (df != null) df.count()
+      val t1 = System.nanoTime()
+      println(f"    [louv] $tag%-28s ${(t1 - traceT0) / 1e9}%7.3f s")
+      traceT0 = t1
+    }
     val nPart = math.max(8L, math.min(
       s.sparkContext.defaultParallelism.toLong, m / 200000L)).toInt
     def nPartAt(level: Int): Int = math.max(4, nPart >> (level - 1))
@@ -1355,7 +1369,9 @@ object Graph {
     val confs: Seq[(String, String)] =
       Seq("spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
         "true") ++
-      (if (m < 20000000L) Seq("spark.sql.codegen.wholeStage" -> "false")
+      (if (m < 20000000L)
+        Seq("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.shuffle.partitions" -> nPart.toString)
        else Seq.empty)
     withConf(s, confs: _*) {
     var wedges = edges0.select($"src", $"dst", lit(1L).as("w"))
@@ -1446,6 +1462,7 @@ object Graph {
           coalesce(sum(lit(2L) * $"k" * ($"deg_b" - $"deg_a") +
             lit(2L) * $"k" * $"k"), lit(0L))).head
         levelMoves += r.getLong(0); ib += r.getLong(1); sb += r.getLong(2)
+        tr(s"L$level round$round gate")
         labels = staged(labels
           .join(best.select($"node", $"b"), Seq("node"), "left")
           .select($"node", coalesce($"b", $"label").as("label")))
@@ -1457,79 +1474,111 @@ object Graph {
       if (!refineLevels) {
         perLevelLabels += labels
         if (level < LouvLevels) {
-          // Contraction with the same symmetric-fold discipline: the
-          // src-side label attach is co-partitioned (free); a partial
-          // (dst, ls) combine collapses parallel edges BEFORE any
-          // shuffle, so only pair-sized partials ever move — the naive
-          // two-attach form re-shuffled the raw edge list to dst.
-          wedges = staged(wedges
-            .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
-            .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
-            .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
+          // Contraction: below the small-graph gate both |V|-row label
+          // attaches broadcast (map-side) and ONE (ls, ld) combine
+          // shuffles; above it the symmetric-fold discipline stands —
+          // src attach co-partitioned (free), a partial (dst, ls)
+          // combine collapsing parallel edges BEFORE the dst shuffle,
+          // so only pair-sized partials ever move.
+          val lblS = labels.select($"node".as("src"), $"label".as("ls"))
+          val lblD = labels.select($"node".as("dst"), $"label".as("ld"))
+          wedges = staged(
+            (if (m < 20000000L)
+              wedges.join(broadcast(lblS), "src").join(broadcast(lblD), "dst")
+            else
+              wedges.join(lblS, "src")
+                .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
+                .join(lblD, "dst"))
             .groupBy($"ls".as("src"), $"ld".as("dst"))
             .agg(sum($"w").as("w"))
             .repartition(nPartAt(level + 1), $"src")
             .sortWithinPartitions($"src"))
+          tr(s"L$level contract", wedges)
         }
       } else {
         // LEIDEN refinement: split this level's communities into their
-        // connected fragments (bounded min-label propagation over the
-        // intra-community subgraph, self-edges keeping every member
-        // visible), aggregate on the FRAGMENTS, and seed the next
-        // level from each fragment's community.
+        // connected fragments EXACTLY — one keyed shuffle + row-local
+        // union-find. Move rounds are capacity-1 ([[louvainMoveBest]]),
+        // so a level-l community holds ≤ 1 + l·LouvMoveRounds members
+        // (induction in the [[graft.expressions.CcFragments]] scaladoc)
+        // — the per-community edge group is CONSTANT-sized at any graph
+        // scale, so collect_list + cc_fragments is bounded per-row work
+        // and every emitted fragment is a connected component
+        // UNCONDITIONALLY. This replaces LeidenCc iterative min-label
+        // propagation rounds (2 shuffles each, exact only up to the
+        // round budget — and provably short of the level ≥ 2 geometry,
+        // where fragment-seeded bases allow diameter > 2·move-rounds);
+        // one self-edge per member keeps isolated members visible.
+        graft.expressions.GraftFunctions.ensure(s)
         val lbl = staged(labels)
-        val intra = wedges
-          .join(lbl.select($"node".as("src"), $"label".as("ls")), "src")
-          .join(lbl.select($"node".as("dst"), $"label".as("ld")), "dst")
+        // Below the 20M-edge gate the graph is single-box-sized, so
+        // the |V|-row label/fragment maps BROADCAST into every edge
+        // attach (a staged leaf carries no size stats — the planner
+        // would otherwise sort-merge the full edge list per attach;
+        // measured 57 s of a 1.17M-edge fold at sf0.1, vs a scan +
+        // map-side joins broadcast). Above the gate the maps may be
+        // executor-memory-sized, so the co-partitioned shuffle shape
+        // stands — same adaptivity contract as the codegen switch.
+        def mapSide(df: DataFrame): DataFrame =
+          if (m < 20000000L) broadcast(df) else df
+        val fragRows = staged(wedges
+          .join(mapSide(lbl.select($"node".as("src"), $"label".as("ls"))),
+            "src")
+          .join(mapSide(lbl.select($"node".as("dst"), $"label".as("ld"))),
+            "dst")
           .filter($"ls" === $"ld")
-          .select($"src", $"dst")
-        val closed = staged(intra.unionByName(
-          deg.select($"node".as("src"), $"node".as("dst"))))
-        var frag = deg.select($"node", $"node".as("flabel"))
-        // LeidenCc = 2·LouvMoveRounds propagation rounds suffice
-        // EXACTLY here (unlike the generic CcRounds bound): after R
-        // gated move rounds from a one-node-per-community base, any
-        // community's intra diameter is ≤ 2R (each accepted move
-        // attaches a node adjacent to an existing member), so every
-        // member is within 2R hops of the min-id member.
-        for (_ <- 1 to LeidenCc) {
-          frag = closed.join(frag, $"dst" === $"node")
-            .groupBy($"src").agg(min($"flabel").as("flabel"))
-            .withColumnRenamed("src", "node")
-        }
-        frag = staged(frag)
+          .select($"ls".as("label"), $"src", $"dst")
+          .unionByName(lbl.select($"label", $"node".as("src"),
+            $"node".as("dst")))
+          .groupBy($"label")
+          .agg(collect_list(struct($"src".cast("long"),
+            $"dst".cast("long"))).as("es"))
+          .select($"label", explode(expr("cc_fragments(es)")).as("f"))
+          .select($"f.node".as("node"), $"f.flabel".as("flabel"), $"label"))
+        tr(s"L$level fragRows", fragRows)
+        val frag = fragRows.select($"node", $"flabel")
         perLevelLabels += frag.select($"node", $"flabel".as("label"))
+        val fragS = mapSide(frag.select($"node".as("src"), $"flabel".as("fs")))
+        val fragD = mapSide(frag.select($"node".as("dst"), $"flabel".as("fd")))
         if (level == LouvLevels) {
           // gate integers of the FINAL (refined) partition — the
           // output's q_final; two driver-scalar folds over the
-          // twice-contracted level-L graph
-          // broadcast the |V_L|-row fragment map into both attaches:
-          // a staged leaf carries no size stats, so the planner would
-          // otherwise sort-merge the full edge list TWICE (measured
-          // 57 s of a 1.17M-edge fold at sf0.1; broadcast, it is a
-          // scan + two map-side joins). |V_L| is the twice-contracted
-          // vertex set — broadcast-sized whenever the level shrinks;
-          // a non-contracting graph would co-partition instead.
+          // twice-contracted level-L graph. With map-side attaches the
+          // intra fold needs no intermediate combine: attach both
+          // fragment ends, filter, one scalar agg.
           ibF = wedges
-            .join(broadcast(frag.select($"node".as("src"), $"flabel".as("fs"))), "src")
-            .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
-            .join(broadcast(frag.select($"node".as("dst"), $"flabel".as("fd"))), "dst")
+            .join(fragS, "src").join(fragD, "dst")
             .filter($"fs" === $"fd")
             .agg(coalesce(sum($"w"), lit(0L))).head.getLong(0)
+          tr("ibF")
           sbF = frag.join(deg, "node")
             .groupBy($"flabel").agg(sum($"k").as("ds"))
             .agg(coalesce(sum($"ds" * $"ds"), lit(0L))).head.getLong(0)
+          tr("sbF")
         } else {
-          wedges = staged(wedges
-            .join(frag.select($"node".as("src"), $"flabel".as("fs")), "src")
-            .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
-            .join(frag.select($"node".as("dst"), $"flabel".as("fd")), "dst")
+          // Fragment contraction: map-side attach both ends, then ONE
+          // (fs, fd) combine — the partial (dst, fs) pre-combine only
+          // pays when the dst attach is itself a shuffle join, so it
+          // rides the non-broadcast branch only.
+          wedges = staged(
+            (if (m < 20000000L)
+              wedges.join(fragS, "src").join(fragD, "dst")
+            else
+              wedges.join(fragS, "src")
+                .groupBy($"dst", $"fs").agg(sum($"w").as("w"))
+                .join(fragD, "dst"))
             .groupBy($"fs".as("src"), $"fd".as("dst"))
             .agg(sum($"w").as("w"))
             .repartition(nPartAt(level + 1), $"src")
             .sortWithinPartitions($"src"))
-          nextBase = Some(staged(frag.join(lbl, "node")
-            .select($"flabel".as("node"), $"label").distinct()))
+          tr(s"L$level frag-contract", wedges)
+          // fragRows already pairs each fragment with its community —
+          // the constrained re-seed needs no join back through lbl,
+          // and no distinct: each fragment has exactly one root row
+          // (node = flabel = the fragment's min id).
+          nextBase = Some(staged(fragRows
+            .filter($"node" === $"flabel")
+            .select($"flabel".as("node"), $"label")))
         }
       }
     }
@@ -1594,12 +1643,21 @@ object Graph {
       withConf(s, run.confs: _*) {
     import s.implicits._
     val lbl = stage(run.labels) // referenced three times below
+    // same small-graph broadcast gate as the run itself: the composed
+    // |V|-row label map rides map-side into the edge folds
+    def bc(df: DataFrame): DataFrame =
+      if (run.m < 20000000L) broadcast(df) else df
     val dsum = lbl.join(run.deg1, "node").groupBy($"label")
       .agg(count(lit(1)).as("n_nodes"), sum($"k").as("degree_sum"))
-    val inC = run.wedges1
-      .join(lbl.select($"node".as("src"), $"label".as("ls")), "src")
-      .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
-      .join(lbl.select($"node".as("dst"), $"label".as("ld")), "dst")
+    val inC = (if (run.m < 20000000L)
+        run.wedges1
+          .join(bc(lbl.select($"node".as("src"), $"label".as("ls"))), "src")
+          .join(bc(lbl.select($"node".as("dst"), $"label".as("ld"))), "dst")
+      else
+        run.wedges1
+          .join(lbl.select($"node".as("src"), $"label".as("ls")), "src")
+          .groupBy($"dst", $"ls").agg(sum($"w").as("w"))
+          .join(lbl.select($"node".as("dst"), $"label".as("ld")), "dst"))
       .filter($"ld" === $"ls")
       .groupBy($"ls".as("label")).agg(sum($"w").as("n_in"))
     val base = dsum.join(inC, Seq("label"), "left")
@@ -1671,11 +1729,13 @@ object Graph {
     * refined contractions, constrained re-seeds — so the hash gate
     * proves the running gate integers AND the refinement algebra.
     *
-    * Scale: Louvain's per-level costs plus [[LeidenCc]] keyed folds
-    * over the intra-community edge list per level (strictly smaller
-    * than the level's graph); the refined contraction shrinks less
-    * per level than Louvain's (fragments ≥ communities), the honest
-    * price of the connectivity guarantee. */
+    * Scale: Louvain's per-level costs plus ONE keyed fold of the
+    * intra-community edge list per level (strictly smaller than the
+    * level's graph; capacity-1 move rounds bound every community
+    * group at 1 + level·rounds members, so the per-group union-find
+    * is constant work at any scale); the refined contraction shrinks
+    * less per level than Louvain's (fragments ≥ communities), the
+    * honest price of the connectivity guarantee. */
   private def graphLeiden(s: SparkSession, d: String) = {
     val edges0 = coOrderEdges(s, d).cache()
     val out = louvainOutput(s,
@@ -1699,13 +1759,22 @@ object Graph {
   /** Oracle twin of [[graphLeiden]]: the Louvain multi-level unroll
     * with a propagation chain + fragment contraction + constrained
     * re-seed between levels, the composed-fragment label maps, and
-    * the final-partition gate integers from scratch. */
+    * the final-partition gate integers from scratch.
+    *
+    * The engine computes each community's fragments EXACTLY
+    * (union-find per community group — [[graft.expressions.CcFragments]]);
+    * the oracle renders min-label propagation with `l·R` rounds at
+    * level `l`, which converges to the same exact components because
+    * capacity-1 move rounds bound a level-l community at `1 + l·R`
+    * members — every member is within `l·R` hops of its fragment's
+    * min-id node, so round `l·R` has already reached the fixpoint. */
   private def leidenOracle: String = {
     val R = LouvMoveRounds
     val levels = (1 to LouvLevels).map { l =>
       val rounds = (1 to R).map(louvRoundSql(l, _)).mkString(",\n")
       val fin = s"lab_${l}_$R"
-      val prop = (1 to LeidenCc).map { i =>
+      val ccRounds = R * l
+      val prop = (1 to ccRounds).map { i =>
         s"""lf_${l}_$i AS MATERIALIZED (
            |  SELECT c.src AS node, MIN(f.flabel) AS flabel
            |  FROM lcl_$l c JOIN lf_${l}_${i - 1} f ON c.dst = f.node
@@ -1727,7 +1796,7 @@ object Graph {
            |lf_${l}_0 AS (SELECT node, node AS flabel FROM deg_$l),
            |$prop,
            |fr_$l AS MATERIALIZED (
-           |  SELECT node, flabel FROM lf_${l}_$LeidenCc
+           |  SELECT node, flabel FROM lf_${l}_$ccRounds
            |)""".stripMargin
       val contract =
         if (l == LouvLevels) ""
