@@ -192,6 +192,35 @@ object ScaleData {
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     println(s"[scale] $outDir: ${counts.mkString(" ")} (factor $factor" +
       s"${if (graphMode) ", graph mode" else ""} from $sfDir)")
+    // Self-describing MODE marker: hotsrc raises docFactor past the
+    // 21-copy embeddings cap, so documents with doc_id >= 21e7 have NO
+    // embedding rows — vector ops on such a dir would quietly operate
+    // on partial coverage. The marker makes a mis-pointed run fail
+    // loudly instead (see [[checkDir]], called by Bench/SpotBench).
+    val embCopies21 = math.min(docFactor, 21)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/SCALE_MODE.txt"),
+      s"mode=${if (mode.isEmpty) "full" else mode}\n" +
+        s"factor=$factor\ndocCopies=$docFactor\nembCopies=$embCopies21\n" +
+        s"partialVectorCoverage=${docFactor > embCopies21}\n")
     spark.stop()
+  }
+
+  /** Refuse to bench a rehearsal dir whose marker says vector coverage
+    * is partial (hotsrc mode), unless explicitly overridden — vector
+    * ops there would silently score a doc population with no matching
+    * embeddings. Dirs without a marker (the driver's testdata) pass. */
+  def checkDir(sfDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(s"$sfDir/SCALE_MODE.txt")
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker)
+          .contains("partialVectorCoverage=true") &&
+        !sys.env.get("GRAFT_ALLOW_PARTIAL_VECTORS").contains("1")) {
+      System.err.println(s"[bench] REFUSING $sfDir: SCALE_MODE.txt marks " +
+        "partial vector coverage (hotsrc rehearsal dir). Vector ops would " +
+        "read a doc population with no matching embeddings. Set " +
+        "GRAFT_ALLOW_PARTIAL_VECTORS=1 to override for text-only runs.")
+      sys.exit(2)
+    }
   }
 }

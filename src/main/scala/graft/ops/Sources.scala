@@ -348,22 +348,29 @@ object Sources {
 
   /** Compaction EXECUTOR — the other half of OPTIMIZE that
     * `layout_compaction` only plans: materialize the planned bins as a
-    * REAL partitioned parquet rewrite (each bin is one independent
-    * output partition — embarrassingly parallel, the property that
-    * lets a 1000-executor cluster compact a 100 TB table as a flat
-    * map of bin-rewrite tasks), read the compacted store back, and
-    * re-run the `layout_zonemap` probe over BOTH layouts to prove
-    * pruning survives compaction: the post-compaction store answers
-    * the same point probes opening ~merge-factor FEWER files while
-    * month-level pruning is preserved (bins never cross p_month).
-    * The oracle simulates the rewrite in SQL, so the hash gate proves
-    * the executed store — the physical files a reader would scan —
-    * holds exactly the planned rows with the planned zone maps
-    * (nothing lost, duplicated, or mis-binned in the rewrite).
+    * REAL parquet rewrite (the (p_month, bin) shuffle guarantees every
+    * bin is rewritten WHOLE by exactly one task — embarrassingly
+    * parallel, the property that lets a 1000-executor cluster compact
+    * a 100 TB table as a flat map of bin-rewrite tasks), read the
+    * compacted store back, and re-run the `layout_zonemap` probe over
+    * BOTH layouts to prove pruning survives compaction: the
+    * post-compaction store answers the same point probes opening
+    * ~merge-factor FEWER read units while month-level pruning is
+    * preserved (bins never cross p_month).
+    *
+    * Read-unit accounting: `n_files`/zone rows are per PLANNED BIN,
+    * recomputed from the read-back rows — the row-group-stats granule
+    * a reader prunes on inside the sorted flat store — NOT physical
+    * files on disk (one task's file may pack several sorted bins, and
+    * the physical file count depends on session parallelism, which an
+    * oracle cannot mirror). Row conservation and whole-bin assignment
+    * through the rewrite ARE physical facts of the store; the oracle
+    * simulates the rewrite in SQL so the hash gate proves nothing was
+    * lost, duplicated, or mis-binned.
     *
     * Scale: the plan is metadata-sized (one row per input file) and
-    * joins broadcast; the rewrite is one partitioned write shuffled by
-    * (p_month, bin); the verification is the zonemap op's folds. */
+    * joins broadcast; the rewrite is one shuffle keyed (p_month, bin);
+    * the verification is the zonemap op's folds. */
   private def layoutCompactionExec(s: SparkSession, d: String) = {
     import s.implicits._
     val rows = Tables.lineitem(s, d).select(
@@ -383,11 +390,12 @@ object Sources {
         expr(s"(cum - size_bytes) div $CompactTarget").as("bin"))
     val path = s"$tmpRoot/li_compacted"
     // The compacted store writes as SORTED FLAT parquet — bin-keyed
-    // repartition (each bin lands whole in one task's file) + a
-    // (p_month, bin) sort within files, so file footers and row
-    // groups carry tight (p_month, bin) stats. That is the
-    // Iceberg/Delta table shape: pruning reads file-level stats, not
-    // directory trees. The Hive-style partitionBy variant prunes
+    // repartition (each bin lands whole in ONE task's output; a task
+    // may pack several bins) + a (p_month, bin) sort within files, so
+    // row groups carry tight (p_month, bin) stats. That is the
+    // Iceberg/Delta table shape: pruning reads stats granules, not
+    // directory trees. The Hive-style partitionBy variant (which WOULD
+    // make bins physical files) prunes
     // identically in this report but paid ~150 ms/directory in the
     // dynamic-partition commit protocol alone (measured 11.6 s for
     // 329 dirs vs 3.3 s flat at sf0.1) — exactly the many-small-

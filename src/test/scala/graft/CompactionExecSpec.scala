@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Pins `layout_compaction_exec`'s executed-rewrite contract: the
-  * compacted store holds exactly the planned bins (file count = the
-  * plan's bin count), conserves every row, never merges across the
-  * p_month partition boundary (zone maps stay month-bounded, so
-  * partition pruning survives), and the probe cost drops by at least
-  * the merge factor's worth.
+  * compacted store holds exactly the planned bins (read-unit count =
+  * the plan's bin count — per-bin stats granules of the sorted flat
+  * store, not physical files; see the op's read-unit accounting note),
+  * conserves every row, never merges across the p_month partition
+  * boundary (zone maps stay month-bounded, so partition pruning
+  * survives), and the probe cost drops by at least the merge factor's
+  * worth.
   */
 class CompactionExecSpec extends SparkSpecBase {
 
@@ -19,15 +21,15 @@ class CompactionExecSpec extends SparkSpecBase {
     val (preF, preR, preHit) = out("precompact")
     // row conservation through the real parquet rewrite
     assert(postR === preR, "the rewrite lost or duplicated rows")
-    // executed file count equals the planner's bin count
+    // executed read-unit (bin) count equals the planner's bin count
     val plannedBins = SparkEntry.queries("layout_compaction")(spark, sf)
       .count()
     assert(postF === plannedBins,
-      s"executed $postF files vs $plannedBins planned bins")
+      s"executed $postF bins vs $plannedBins planned bins")
     // compaction merged something, and the probe cost tracks it
-    assert(postF < preF, "no files were merged")
+    assert(postF < preF, "no read units were merged")
     assert(postHit < preHit,
-      "a point probe should open fewer files after compaction")
+      "a point probe should open fewer read units after compaction")
   }
 
   test("bins never cross the p_month partition boundary") {
