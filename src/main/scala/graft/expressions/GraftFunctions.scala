@@ -74,6 +74,8 @@ object GraftFunctions {
     ("bpe_apply", classOf[BpeApply], es => BpeApply(es(0), es(1))),
     ("unigram_seg", classOf[UnigramSeg],
       es => UnigramSeg(es(0), es(1), es(2))),
+    ("wordpiece_seg", classOf[WordPieceSeg],
+      es => WordPieceSeg(es(0), es(1))),
     ("high_nibble_counts", classOf[HighNibbleCounts],
       es => HighNibbleCounts(es(0))),
     ("letter_counts", classOf[LetterCounts], es => LetterCounts(es(0))),

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact._
@@ -797,6 +798,161 @@ object Sources {
        |SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
        |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // ── Commit-log time travel ────────────────────────────────────────
+  // Above MergeInsertOffset (1e9) so the families can never collide;
+  // version v inserts land at base_id + v * TtInsertOffset.
+  private val TtStoreDir = "/tmp/graft_timetravel_store"
+  private val TtInsertOffset = 2000000000L
+  // Content digest = SUM(hash60(row) % 1e12): order-independent exact
+  // integer arithmetic; overflow-safe up to ~9e6 rows per snapshot
+  // (9.2e18 / 1e12), far above any catalog sf. At warehouse scale the
+  // digest would shard per partition before the final fold.
+  private val TtDigestMod = 1000000000000L
+
+  /** Deterministic change batch v (1-based) over the documents BASE
+    * keyspace: keys where hash60("tt{v}:"‖id) % 10 = 0; action by
+    * (doc_id + v) % 3 — 0 → delete, 1 → update (text gains
+    * " [tt v{v}]"), 2 → insert under the fresh key
+    * base_id + v·[[TtInsertOffset]]. The selector is VERSION-dependent
+    * so the same key can draw different actions across commits — in
+    * particular delete-in-v1 / update-in-v2, the resurrect case
+    * latest-wins replay must get right (doc_id % 3 = 2 keys selected
+    * by both batches hit exactly that path). */
+  private def ttBatch(s: SparkSession, d: String, v: Int) = {
+    import s.implicits._
+    val act = ($"doc_id" + v) % 3
+    Tables.documents(s, d).select($"doc_id", $"text", $"source")
+      .filter(hash60(concat(lit(s"tt$v:"), $"doc_id")) % 10 === 0)
+      .select(
+        when(act === 2, $"doc_id" + v * TtInsertOffset)
+          .otherwise($"doc_id").as("doc_id"),
+        when(act === 0, lit(null).cast("string"))
+          .when(act === 1, concat($"text", lit(s" [tt v$v]")))
+          .otherwise($"text").as("text"),
+        $"source",
+        when(act === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        lit(v).as("version"))
+  }
+
+  /** Versioned store: base snapshot as commit 0 plus one delta file
+    * per change batch, laid out `delta/version=N` ([[StoreStage]]
+    * atomic publish). Reading "as of v" prunes on the version
+    * partition column — the commit-log prune that makes time travel a
+    * metadata operation at scale. */
+  private[graft] def ttStage(s: SparkSession, d: String): String =
+    StoreStage.ensure(TtStoreDir, d) { tmp =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", $"source", lit("upsert").as("op"))
+        .write.parquet(s"$tmp/delta/version=0")
+      (1 to 2).foreach { v =>
+        ttBatch(s, d, v).drop("version")
+          .write.parquet(s"$tmp/delta/version=$v")
+      }
+    }
+
+  /** Live rows of snapshot `v` (spec hook, and the single-version read
+    * path): the `version <= v` filter prunes delta PARTITIONS before
+    * any row is read — time travel as a metadata operation. */
+  private[graft] def ttSnapshot(s: SparkSession, d: String, v: Int) = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"version".desc)
+    s.read.parquet(s"${ttStage(s, d)}/delta")
+      .filter($"version" <= v)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" === "upsert")
+      .select($"doc_id", $"text", $"source")
+  }
+
+  /** Time travel over the commit-versioned store — the lakehouse read
+    * path Delta/Iceberg call "as of version": every snapshot version
+    * is the latest-wins merge-on-read replay of base + deltas ≤ v.
+    * Emits one audit row per version: action count of that commit,
+    * live row count, live inserted-key count, and an exact
+    * order-independent content digest ([[TtDigestMod]]) proving WHICH
+    * rows each snapshot holds — including the v1-delete / v2-update
+    * resurrect case. The oracle re-derives the batches and replays
+    * the same merge from the raw table, so store-fed ≡ recomputed is
+    * hash-proven per driver run.
+    *
+    * Scale: one pass — each delta row expands to the snapshot
+    * versions it is visible in (≤ n_versions, a handful), then ONE
+    * (version, key) shuffle ranks latest-wins and the summary is a
+    * map-side-combined 3-row aggregate. Reading any single snapshot
+    * prunes delta partitions by the version column; deltas are
+    * increment-sized, so replay cost tracks the change history, not
+    * n_versions × corpus. */
+  private def tableTimetravel(s: SparkSession, d: String) = {
+    import s.implicits._
+    val deltas = s.read.parquet(s"${ttStage(s, d)}/delta")
+    val nActions = deltas.groupBy($"version".cast("int").as("version"))
+      .agg(count(lit(1)).as("n_actions"))
+    val vw = Window.partitionBy($"sv", $"doc_id").orderBy($"version".desc)
+    val live = deltas
+      .withColumn("sv", explode(expr("sequence(CAST(version AS INT), 2)")))
+      .withColumn("rn", row_number().over(vw))
+      .filter($"rn" === 1 && $"op" === "upsert")
+    live.groupBy($"sv".as("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(($"doc_id" >= TtInsertOffset).cast("long")).as("n_inserted"),
+        sum(hash60(concat_ws("|", $"doc_id", $"text", $"source"))
+          % TtDigestMod).as("content_sum"))
+      .join(nActions, "version")
+      .select($"version", $"n_actions", $"n_rows", $"n_inserted",
+        $"content_sum")
+      .orderBy($"version")
+  }
+
+  private def ttBatchSql(v: Int): String =
+    s"""SELECT
+       |    CASE WHEN (doc_id + $v) % 3 = 2
+       |         THEN doc_id + CAST($v AS BIGINT) * $TtInsertOffset
+       |         ELSE doc_id END AS doc_id,
+       |    CASE WHEN (doc_id + $v) % 3 = 0 THEN NULL
+       |         WHEN (doc_id + $v) % 3 = 1 THEN text || ' [tt v$v]'
+       |         ELSE text END AS text,
+       |    source,
+       |    CASE WHEN (doc_id + $v) % 3 = 0 THEN 'delete'
+       |         ELSE 'upsert' END AS op,
+       |    $v AS version
+       |  FROM documents
+       |  WHERE ${hash60Sql(s"'tt$v:' || doc_id")} % 10 = 0""".stripMargin
+
+  /** Oracle twin of [[tableTimetravel]]: batches re-derived from the
+    * raw table, replay re-spelled as the same visible-version expand +
+    * latest-wins window + per-snapshot fold. */
+  private def ttOracle: String =
+    s"""WITH deltas AS (
+       |  SELECT doc_id, text, source, 'upsert' AS op, 0 AS version
+       |  FROM documents
+       |  UNION ALL
+       |  ${ttBatchSql(1)}
+       |  UNION ALL
+       |  ${ttBatchSql(2)}
+       |),
+       |vis AS (
+       |  SELECT d.*, t.sv,
+       |    ROW_NUMBER() OVER (PARTITION BY t.sv, d.doc_id
+       |      ORDER BY d.version DESC) AS rn
+       |  FROM deltas d CROSS JOIN range(0, 3) t(sv)
+       |  WHERE d.version <= t.sv
+       |),
+       |actions AS (
+       |  SELECT version, COUNT(*) AS n_actions FROM deltas GROUP BY version
+       |)
+       |SELECT CAST(l.sv AS INT) AS version,
+       |  a.n_actions,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN l.doc_id >= $TtInsertOffset THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_inserted,
+       |  CAST(SUM(${hash60Sql(
+             "CAST(l.doc_id AS VARCHAR) || '|' || l.text || '|' || l.source")}
+       |    % $TtDigestMod) AS BIGINT) AS content_sum
+       |FROM vis l JOIN actions a ON a.version = l.sv
+       |WHERE l.rn = 1 AND l.op = 'upsert'
+       |GROUP BY l.sv, a.n_actions
+       |ORDER BY version""".stripMargin
+
   val defs: Seq[OpDef] = Seq(
     OpDef("layout_zorder", layoutZorder _,
       s"""WITH keyed AS (
@@ -840,6 +996,7 @@ object Sources {
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
+    OpDef("table_timetravel", tableTimetravel _, ttOracle),
     OpDef("merge_into", mergeInto _, mergeIntoOracle),
     OpDef("merge_into_delete", mergeIntoDelete _, mergeIntoDeleteOracle),
     OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),

@@ -1950,6 +1950,212 @@ object TextAnalysis {
         coalesce(size($"seg"), length($"w")).cast("long").as("np"))
   }
 
+  // ---------------------------------------------------------------
+  // WordPiece (BERT-style) tokenizer — Devlin et al. 2019,
+  // arXiv:1810.04805 §A: greedy longest-match-first segmentation over
+  // a ##-marked vocabulary, the third tokenizer family alongside the
+  // BPE merge loop and the unigram-LM Viterbi. Same bounded
+  // piece/word lengths as the unigram family
+  // ([[graft.expressions.WordPieceOps]]) so the oracle unrolls the
+  // identical greedy walk step by step. Greedy-vs-Viterbi is the real
+  // semantic difference: WordPiece commits to the longest LOCAL match
+  // even when a shorter first piece would yield fewer total pieces.
+  private val WpVocab = 100
+  private val WpMaxPiece = graft.expressions.WordPieceOps.MaxPiece // 4
+  private val WpMaxWord = graft.expressions.WordPieceOps.MaxWord // 16
+
+  /** Candidate pieces of each eligible word weighted by corpus word
+    * frequency: word-initial substrings verbatim, word-internal
+    * substrings in their `##` continuation form (lengths
+    * 1..[[WpMaxPiece]]). */
+  private def wpCandidates(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select($"f", explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($WpMaxPiece,
+           |      length(w) - i + 1)),
+           |    l -> CASE WHEN i = 1 THEN substring(w, i, l)
+           |         ELSE '##' || substring(w, i, l) END)))""".stripMargin))
+        .as("piece"))
+      .groupBy($"piece").agg(sum($"f").as("cnt"))
+  }
+
+  /** Frequency-seeded WordPiece vocabulary: ALL effective-length-1
+    * pieces (raw length, `##` marker excluded — the coverage floor
+    * that keeps every eligible word segmentable, so `[UNK]` is the
+    * over-length rule, not a coverage accident) + the top [[WpVocab]]
+    * longer pieces by (cnt desc, piece asc). The marker-length rule is
+    * string-syntactic (a piece whose raw text starts with `##` is
+    * binned as if marked) — mirrored verbatim in the oracle, so both
+    * engines share the vocabulary exactly. */
+  private[graft] def wordpieceVocab(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val cands = wpCandidates(uniWords(docs))
+    val rawLen = when($"piece".startsWith("##"), length($"piece") - 2)
+      .otherwise(length($"piece"))
+    cands.filter(rawLen === 1)
+      .unionByName(cands.filter(rawLen >= 2)
+        .orderBy($"cnt".desc, $"piece".asc).limit(WpVocab))
+  }
+
+  /** The trained WordPiece vocabulary — (piece, cnt, is_continuation).
+    * Scale: candidates explode DISTINCT words (multiplicity collapses
+    * into the frequency column), the fold is one map-side-combined
+    * keyed aggregate, and the kept vocabulary is a few-hundred-row
+    * broadcast — the tokenizer-training shape shared with
+    * `text_unigram_train`. */
+  private def wordpieceVocabOp(s: SparkSession, d: String) = {
+    import s.implicits._
+    wordpieceVocab(s, Tables.documents(s, d))
+      .select($"piece", $"cnt".cast("long").as("cnt"),
+        $"piece".startsWith("##").as("is_continuation"))
+      .orderBy($"piece")
+  }
+
+  /** Encode pass from any (piece, cnt) vocab frame: greedy
+    * longest-match per DISTINCT word (row-local codegen'd
+    * `wordpiece_seg` over a one-row broadcast of the sorted vocab),
+    * multiplicity restored by the word join, per-doc fold. Words the
+    * segmenter refuses (over-[[WpMaxWord]]) count ONE `[UNK]` token —
+    * BERT's rule, and the semantic difference from the unigram
+    * family's per-char fallback. */
+  private[graft] def wpTokensFrom(s: SparkSession, docs: DataFrame,
+      voc: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftFunctions.ensure(s)
+    val packed = voc.agg(expr("array_sort(collect_list(piece))").as("pieces"))
+    val docw = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+    val nps = docw.select($"w").distinct()
+      .crossJoin(broadcast(packed))
+      .select($"w", expr("wordpiece_seg(w, pieces)").as("seg"))
+      .select($"w",
+        coalesce(size($"seg").cast("long"), lit(1L)).as("np"),
+        $"seg".isNull.cast("long").as("unk"))
+    docw.join(nps, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(when($"w" =!= "", lit(1))).as("n_words"),
+        sum($"np").as("n_tokens_wordpiece"),
+        sum($"unk").as("n_unk_words"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens_wordpiece",
+        $"n_unk_words", $"n_chars",
+        roundHalfUp(lit(1.0) * $"n_chars" /
+          nullif($"n_tokens_wordpiece".cast("double"), lit(0.0)), 6)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokenize the corpus with the trained WordPiece vocabulary. */
+  private def textTokensWordpiece(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    wpTokensFrom(s, docs, wordpieceVocab(s, docs))
+  }
+
+  /** Shared vocab CTEs (`wwords`, `wcand`, `wvoc`) — the engine's
+    * candidate expansion and keep rule re-spelled. */
+  private def wpVocabSql: String =
+    s"""wwords AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(${tokensSql("text")}) AS w FROM documents) t
+       |  WHERE len(w) BETWEEN 1 AND $WpMaxWord
+       |  GROUP BY w
+       |),
+       |wcand AS MATERIALIZED (
+       |  SELECT CASE WHEN s.i = 1
+       |           THEN substr(w, CAST(s.i AS INT), CAST(t.l AS INT))
+       |         ELSE '##' || substr(w, CAST(s.i AS INT), CAST(t.l AS INT))
+       |         END AS piece,
+       |    SUM(f) AS cnt
+       |  FROM wwords
+       |  JOIN range(1, ${WpMaxWord + 1}) s(i) ON s.i <= len(w)
+       |  JOIN range(1, ${WpMaxPiece + 1}) t(l) ON t.l <= len(w) - s.i + 1
+       |  GROUP BY 1
+       |),
+       |wvoc AS MATERIALIZED (
+       |  SELECT piece, cnt FROM wcand
+       |  WHERE (CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+       |         ELSE len(piece) END) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM wcand
+       |    WHERE (CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+       |           ELSE len(piece) END) >= 2
+       |    ORDER BY cnt DESC, piece ASC LIMIT $WpVocab) kept
+       |)""".stripMargin
+
+  private def wordpieceVocabOracle: String =
+    s"""WITH $wpVocabSql
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |  (piece LIKE '##%') AS is_continuation
+       |FROM wvoc
+       |ORDER BY piece""".stripMargin
+
+  /** Greedy walk unrolled: step CTE t advances every live word by its
+    * longest matching piece (MAX(l) over the vocab join — the greedy
+    * commit), carries finished/`[UNK]` words through, and every word
+    * of length ≤ [[WpMaxWord]] finishes within [[WpMaxWord]] steps
+    * because each step consumes ≥ 1 char. */
+  private def wpWalkSql: String = {
+    val steps = (1 to WpMaxWord).map { t =>
+      s"""wp_$t AS MATERIALIZED (
+         |  SELECT w, pos, np, unk FROM wp_${t - 1}
+         |  WHERE pos >= len(w) OR unk
+         |  UNION ALL
+         |  SELECT p.w,
+         |    CASE WHEN m.l IS NULL THEN len(p.w)
+         |         ELSE p.pos + CAST(m.l AS INT) END AS pos,
+         |    CASE WHEN m.l IS NULL THEN 1 ELSE p.np + 1 END AS np,
+         |    (m.l IS NULL) AS unk
+         |  FROM (SELECT * FROM wp_${t - 1}
+         |        WHERE pos < len(w) AND NOT unk) p
+         |  LEFT JOIN (
+         |    SELECT q.w, q.pos, MAX(t.l) AS l
+         |    FROM (SELECT DISTINCT w, pos FROM wp_${t - 1}
+         |          WHERE pos < len(w) AND NOT unk) q
+         |    JOIN range(1, ${WpMaxPiece + 1}) t(l)
+         |      ON t.l <= len(q.w) - q.pos
+         |    JOIN wvoc v ON v.piece =
+         |      CASE WHEN q.pos = 0 THEN substr(q.w, 1, CAST(t.l AS INT))
+         |           ELSE '##' || substr(q.w, q.pos + 1, CAST(t.l AS INT))
+         |      END
+         |    GROUP BY q.w, q.pos) m ON m.w = p.w AND m.pos = p.pos
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""wp_0 AS (
+       |  SELECT w, 0 AS pos, 0 AS np, FALSE AS unk FROM wwords
+       |),
+       |$steps,
+       |wnp AS MATERIALIZED (
+       |  SELECT w, np, CASE WHEN unk THEN 1 ELSE 0 END AS unk
+       |  FROM wp_$WpMaxWord
+       |)""".stripMargin
+  }
+
+  private def wordpieceTokensOracle: String =
+    s"""WITH $wpVocabSql,
+       |$wpWalkSql,
+       |wdocw AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents
+       |)
+       |SELECT doc_id,
+       |  COUNT(*) FILTER (WHERE d.w <> '') AS n_words,
+       |  CAST(SUM(CASE WHEN len(d.w) = 0 THEN 0
+       |           WHEN len(d.w) > $WpMaxWord THEN 1
+       |           ELSE n.np END) AS BIGINT) AS n_tokens_wordpiece,
+       |  CAST(SUM(CASE WHEN len(d.w) > $WpMaxWord THEN 1
+       |           ELSE COALESCE(n.unk, 0) END) AS BIGINT) AS n_unk_words,
+       |  CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+       |  ${roundHalfUpSql(
+           "1.0 * SUM(len(d.w)) / " +
+             "NULLIF(CAST(SUM(CASE WHEN len(d.w) = 0 THEN 0 " +
+             s"WHEN len(d.w) > $WpMaxWord THEN 1 " +
+             "ELSE n.np END) AS DOUBLE), 0.0)",
+           6)} AS chars_per_token
+       |FROM wdocw d LEFT JOIN wnp n ON n.w = d.w
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** `pipeline_docprep_v3` — the attributed prep chain over the
     * round-15 stages, per language: (1) the GOPHER battery gates
     * documents ([[gopherFlagsOf]] — exits attributed as
@@ -2299,6 +2505,9 @@ object TextAnalysis {
     OpDef("bpe_train_merges", bpeTrainMerges _, bpeMergesOracle),
     OpDef("text_unigram_train", textUnigramTrain _, unigramTrainOracle),
     OpDef("text_tokens_unigram", textTokensUnigram _, unigramTokensOracle),
+    OpDef("wordpiece_vocab", wordpieceVocabOp _, wordpieceVocabOracle),
+    OpDef("text_tokens_wordpiece", textTokensWordpiece _,
+      wordpieceTokensOracle),
     OpDef("text_tokens_unigram_store", textTokensUnigramStore _,
       unigramTokensOracle),
     OpDef("bpe_encode", bpeEncode _, bpeEncodeOracle),

@@ -1,0 +1,90 @@
+package graft
+
+/** `table_timetravel`: the one-pass visible-version replay must agree
+  * with an INDEPENDENT sequential re-application of the commits (base,
+  * then batch 1, then batch 2, applied in order to a driver-side map),
+  * the version-dependent action selector must actually produce the
+  * delete-then-resurrect case, and snapshot 0 must be exactly the base
+  * table.
+  */
+class TimetravelSpec extends SparkSpecBase {
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val DigestMod = 1000000000000L
+  private val Offset = 2000000000L
+
+  /** Sequential reference replay: base map, then each batch applied in
+    * commit order — a DIFFERENT formulation than the engine's
+    * single-pass latest-wins window. */
+  private def refSnapshots(): Seq[Map[Long, (String, String)]] = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val snaps = scala.collection.mutable.ArrayBuffer(base)
+    var cur = base
+    for (v <- 1 to 2) {
+      base.foreach { case (id, (text, src)) =>
+        if (h60(s"tt$v:$id") % 10 == 0) {
+          (id + v) % 3 match {
+            case 0 => cur = cur - id
+            case 1 => cur = cur + (id -> (s"$text [tt v$v]", src))
+            case _ => cur = cur + ((id + v * Offset) -> (text, src))
+          }
+        }
+      }
+      snaps += cur
+    }
+    snaps.toSeq
+  }
+
+  test("op summary equals the sequential-replay reference per version") {
+    val ref = refSnapshots()
+    val got = SparkEntry.queries("table_timetravel")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(0, 1, 2))
+    for (v <- 0 to 2) {
+      val m = ref(v)
+      val nRows = m.size.toLong
+      val nIns = m.keys.count(_ >= Offset).toLong
+      val sum = m.map { case (id, (t, s)) => h60(s"$id|$t|$s") % DigestMod }.sum
+      assert(got(v) === ((nRows, nIns, sum)), s"version $v")
+    }
+  }
+
+  test("a v1-deleted key is resurrected by a v2 update (latest-wins)") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val resurrected = base.filter { id =>
+      h60(s"tt1:$id") % 10 == 0 && (id + 1) % 3 == 0 &&
+        h60(s"tt2:$id") % 10 == 0 && (id + 2) % 3 == 1
+    }
+    assert(resurrected.nonEmpty,
+      "fixture never exercises delete-then-update; selector is broken")
+    val k = resurrected.min
+    def snap(v: Int) = ops.Sources.ttSnapshot(spark, sf, v)
+      .filter($"doc_id" === k).collect()
+    assert(snap(0).length === 1)
+    assert(snap(1).isEmpty, s"key $k should be deleted in v1")
+    val s2 = snap(2)
+    assert(s2.length === 1 && s2.head.getString(1).endsWith(" [tt v2]"))
+  }
+
+  test("snapshot 0 is exactly the base table") {
+    import spark.implicits._
+    val baseN = Tables.documents(spark, sf).count()
+    val s0 = ops.Sources.ttSnapshot(spark, sf, 0)
+    assert(s0.count() === baseN)
+    // spot row equality via anti-join in both directions
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+    assert(s0.exceptAll(base).isEmpty && base.exceptAll(s0).isEmpty)
+  }
+}
