@@ -903,6 +903,79 @@ object Sources {
       .orderBy($"version")
   }
 
+  /** Per-commit rows of the store classified against each key's own
+    * PRIOR commit state (spec hook, and [[tableChanges]]'s core): one
+    * LAG over the (key, version) order — the previous delta for a key
+    * IS its latest-wins state at v−1, because a key appears at most
+    * once per commit. */
+  private[graft] def ttChangeRows(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"version".asc)
+    s.read.parquet(s"${ttStage(s, d)}/delta")
+      .withColumn("prev_op", lag($"op", 1).over(w))
+      .withColumn("change_type",
+        when($"op" === "delete",
+          when($"prev_op" === "upsert", "delete").otherwise("delete_noop"))
+          .otherwise(when($"prev_op" === "upsert", "update")
+            .otherwise("insert")))
+  }
+
+  /** Change-data-feed read over the commit-versioned store — the
+    * Delta/Iceberg `table_changes` / readChangeFeed shape (Armbrust
+    * et al., VLDB 2020, "Delta Lake" §4.4) completing the family's
+    * read side: [[tableTimetravel]] answers "what did the table look
+    * like at v", this answers "what CHANGED at v" — the feed an
+    * incremental consumer (downstream materialization, cache
+    * invalidator, CDC relay) actually tails. Classification is
+    * [[ttChangeRows]]'s LAG against the key's prior commit: `insert`
+    * (first appearance, or an upsert landing on a deleted key — the
+    * resurrect case surfaces as an insert, exactly how a CDF reports
+    * it), `update` (upsert over a live key), `delete` (tombstone over
+    * a live key), `delete_noop` (tombstone over an already-dead key,
+    * emitted so a replayer can prove it dropped nothing). Per
+    * (version, change_type): row count, key digest, and post-image
+    * content digest ([[TtDigestMod]] arithmetic) — the granularity a
+    * consumer reconciles against [[tableTimetravel]]'s audit rows.
+    *
+    * Scale: ONE key-keyed shuffle for the LAG over increment-sized
+    * deltas — the feed costs the change history, never
+    * n_versions × corpus — then a map-side-combined fold to a
+    * (versions × 4)-bounded artifact. */
+  private def tableChanges(s: SparkSession, d: String) = {
+    import s.implicits._
+    ttChangeRows(s, d)
+      .groupBy($"version".cast("int").as("version"), $"change_type")
+      .agg(count(lit(1)).as("n_changes"),
+        sum($"doc_id" % TtDigestMod).as("key_sum"),
+        sum(when($"op" === "upsert",
+          hash60(concat_ws("|", $"doc_id", $"text", $"source"))
+            % TtDigestMod).otherwise(0L)).as("post_sum"))
+      .orderBy($"version", $"change_type")
+  }
+
+  /** Oracle twin of [[tableChanges]]: the same LAG classification over
+    * the re-derived commit log. */
+  private def tcOracle: String =
+    s"""WITH $ttDeltasSql,
+       |cls AS (
+       |  SELECT version, doc_id, text, source, op,
+       |    LAG(op) OVER (PARTITION BY doc_id ORDER BY version) AS prev_op
+       |  FROM deltas
+       |)
+       |SELECT CAST(version AS INT) AS version,
+       |  CASE WHEN op = 'delete' AND prev_op = 'upsert' THEN 'delete'
+       |       WHEN op = 'delete' THEN 'delete_noop'
+       |       WHEN prev_op = 'upsert' THEN 'update'
+       |       ELSE 'insert' END AS change_type,
+       |  COUNT(*) AS n_changes,
+       |  CAST(SUM(doc_id % $TtDigestMod) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CASE WHEN op = 'upsert' THEN ${hash60Sql(
+             "CAST(doc_id AS VARCHAR) || '|' || text || '|' || source")}
+       |    % $TtDigestMod ELSE 0 END) AS BIGINT) AS post_sum
+       |FROM cls
+       |GROUP BY 1, 2
+       |ORDER BY version, change_type""".stripMargin
+
   private def ttBatchSql(v: Int): String =
     s"""SELECT
        |    CASE WHEN (doc_id + $v) % 3 = 2
@@ -918,18 +991,23 @@ object Sources {
        |  FROM documents
        |  WHERE ${hash60Sql(s"'tt$v:' || doc_id")} % 10 = 0""".stripMargin
 
-  /** Oracle twin of [[tableTimetravel]]: batches re-derived from the
-    * raw table, replay re-spelled as the same visible-version expand +
-    * latest-wins window + per-snapshot fold. */
-  private def ttOracle: String =
-    s"""WITH deltas AS (
+  /** The commit log re-derived from the raw table — shared CTE of the
+    * [[tableTimetravel]] and [[tableChanges]] oracles. */
+  private def ttDeltasSql: String =
+    s"""deltas AS (
        |  SELECT doc_id, text, source, 'upsert' AS op, 0 AS version
        |  FROM documents
        |  UNION ALL
        |  ${ttBatchSql(1)}
        |  UNION ALL
        |  ${ttBatchSql(2)}
-       |),
+       |)""".stripMargin
+
+  /** Oracle twin of [[tableTimetravel]]: batches re-derived from the
+    * raw table, replay re-spelled as the same visible-version expand +
+    * latest-wins window + per-snapshot fold. */
+  private def ttOracle: String =
+    s"""WITH $ttDeltasSql,
        |vis AS (
        |  SELECT d.*, t.sv,
        |    ROW_NUMBER() OVER (PARTITION BY t.sv, d.doc_id
@@ -997,6 +1075,7 @@ object Sources {
         |ORDER BY s_suppkey""".stripMargin),
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
     OpDef("table_timetravel", tableTimetravel _, ttOracle),
+    OpDef("table_changes", tableChanges _, tcOracle),
     OpDef("merge_into", mergeInto _, mergeIntoOracle),
     OpDef("merge_into_delete", mergeIntoDelete _, mergeIntoDeleteOracle),
     OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),

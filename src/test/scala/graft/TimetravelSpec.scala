@@ -78,6 +78,41 @@ class TimetravelSpec extends SparkSpecBase {
     assert(s2.length === 1 && s2.head.getString(1).endsWith(" [tt v2]"))
   }
 
+  test("change feed reconciles with snapshots version by version") {
+    val ref = refSnapshots()
+    val got = SparkEntry.queries("table_changes")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // v0 is the base commit: every row an insert, nothing else
+    assert(got((0, "insert")) === ref(0).size.toLong)
+    assert(!got.keySet.exists { case (v, t) => v == 0 && t != "insert" })
+    // live-row deltas: rows(v) = rows(v-1) + inserts - deletes
+    for (v <- 1 to 2) {
+      val ins = got.getOrElse((v, "insert"), 0L)
+      val del = got.getOrElse((v, "delete"), 0L)
+      assert(ref(v).size.toLong === ref(v - 1).size + ins - del, s"v$v")
+    }
+    // the fixture never tombstones a dead key (deletes in v1/v2 are
+    // disjoint key classes), so delete_noop must not appear
+    assert(!got.keySet.exists(_._2 == "delete_noop"))
+  }
+
+  test("the v1-delete / v2-update resurrect key is a CDF insert at v2") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val k = base.filter { id =>
+      h60(s"tt1:$id") % 10 == 0 && (id + 1) % 3 == 0 &&
+        h60(s"tt2:$id") % 10 == 0 && (id + 2) % 3 == 1
+    }.min
+    val rows = ops.Sources.ttChangeRows(spark, sf)
+      .filter($"doc_id" === k)
+      .collect().map(r => r.getAs[Number]("version").intValue ->
+        r.getAs[String]("change_type")).toMap
+    assert(rows(0) === "insert")
+    assert(rows(1) === "delete")
+    assert(rows(2) === "insert", "resurrect must re-classify as insert")
+  }
+
   test("snapshot 0 is exactly the base table") {
     import spark.implicits._
     val baseN = Tables.documents(spark, sf).count()
