@@ -1326,6 +1326,89 @@ object Curation {
     * partitions are that user's group list (months-active-sized,
     * WindowGroupLimit under the constant cap), one group-keyed count —
     * three keyed shuffles, all on pair/metadata-sized rows. */
+  // DP top-k selection: how many identities the release names.
+  private val DpTopK = 3
+
+  /** ε-DP top-k selection via the ONE-SHOT GUMBEL mechanism (Durfee &
+    * Rogers, NeurIPS 2019, "Practical Differentially Private Top-k
+    * Selection" — adding Gumbel noise to every utility and taking the
+    * top k is distributionally identical to k rounds of PEELING
+    * exponential mechanism at ε/k each): release WHICH k sources
+    * dominate the corpus by document count, the selection primitive
+    * the ladder's argmax rung ([[privacyDpMedian]] — one winner per
+    * group) doesn't cover — k winners from ONE domain, with the
+    * composition split across selection and count release. Budget:
+    * ε/2 buys the k identities (per-item score ε_sel/(2k)·count + G,
+    * Δ = 1 under add/remove-one-document adjacency); the other ε/2
+    * buys the k released counts (Laplace(k/ε_cnt) each, ε_cnt/k per
+    * count by basic composition). True counts and every unselected
+    * source stay inside the engine. The candidate domain is the
+    * corpus's source registry — pipeline infrastructure metadata, not
+    * user data (the Durfee-Rogers limited-domain correction applies
+    * when the domain itself is sensitive). Same [[NoiseModel]]
+    * seeded-hash surrogate as every DP rung, so the oracle reproduces
+    * both draws bit-for-bit.
+    *
+    * Scale: one map-side-combined count fold to the source domain
+    * (bounded, a handful of rows), then row-local noise and one rank
+    * over that domain-bounded frame. */
+  private def privacyDpTopk(s: SparkSession, d: String): DataFrame =
+    dpTopkOf(Tables.documents(s, d))
+
+  /** [[privacyDpTopk]] over an arbitrary documents-shaped frame. */
+  private[graft] def dpTopkOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val epsSel = DpEpsilon / 2.0
+    val epsCnt = DpEpsilon / 2.0
+    // u strictly inside (0,1) for the Gumbel; (-1,1) for the Laplace
+    val uSel = (hash60(concat(lit("dptopk:"), $"source")) % 2000001L + 1L) /
+      lit(2000002.0)
+    val uCnt = (hash60(concat(lit("dptopkc:"), $"source")) % 2000001L -
+      1000000L) / lit(1000001.0)
+    val w = Window.orderBy($"score".desc, $"source".asc)
+    docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("score",
+        lit(epsSel / (2.0 * DpTopK)) * $"n" - log(-log(uSel)))
+      .withColumn("uc", uCnt)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= DpTopK)
+      .select($"rank", $"source",
+        roundHalfUp($"n" - lit(DpTopK / epsCnt) * signum($"uc") *
+          log(lit(1.0) - abs($"uc")), 6).as("released_count"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(epsSel).as("epsilon_select"),
+        lit(epsCnt).as("epsilon_count"),
+        lit(1L).as("sensitivity"),
+        lit(NoiseModel).as("noise_model"))
+      .orderBy($"rank")
+  }
+
+  private def dpTopkOracle: String = {
+    val uSel = s"((${graft.functions.TextFns.hash60Sql("'dptopk:' || source")}" +
+      " % 2000001 + 1) / 2000002.0)"
+    val uCnt = s"((${graft.functions.TextFns.hash60Sql("'dptopkc:' || source")}" +
+      " % 2000001 - 1000000) / 1000001.0)"
+    s"""SELECT CAST(rank AS INT) AS rank, source,
+       |  ${roundHalfUpSql(
+          s"n - ($DpTopK / ($DpEpsilon / 2.0)) * SIGN($uCnt) * " +
+            s"ln(1.0 - ABS($uCnt))", 6)} AS released_count,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  CAST($DpEpsilon / 2.0 AS DOUBLE) AS epsilon_select,
+       |  CAST($DpEpsilon / 2.0 AS DOUBLE) AS epsilon_count,
+       |  CAST(1 AS BIGINT) AS sensitivity,
+       |  '$NoiseModel' AS noise_model
+       |FROM (
+       |  SELECT source, n,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      (($DpEpsilon / 2.0) / (2.0 * $DpTopK)) * n - ln(-ln($uSel))
+       |      DESC, source ASC) AS rank
+       |  FROM (SELECT source, COUNT(*) AS n FROM documents
+       |        GROUP BY source) c) r
+       |WHERE rank <= $DpTopK
+       |ORDER BY rank""".stripMargin
+  }
+
   private def privacyDpUser(s: SparkSession, d: String): DataFrame =
     dpUserOf(Tables.orders(s, d))
 
@@ -1519,6 +1602,7 @@ object Curation {
     OpDef("privacy_dp_counts", privacyDpCounts _, dpCountsOracle),
     OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
     OpDef("privacy_dp_median", privacyDpMedian _, dpMedianOracle),
+    OpDef("privacy_dp_topk", privacyDpTopk _, dpTopkOracle),
     OpDef("privacy_ldp_frequency", privacyLdpFrequency _, ldpFrequencyOracle),
     OpDef("privacy_dp_user", privacyDpUser _, dpUserOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),

@@ -851,18 +851,22 @@ object Sources {
       }
     }
 
-  /** Live rows of snapshot `v` (spec hook, and the single-version read
-    * path): the `version <= v` filter prunes delta PARTITIONS before
-    * any row is read — time travel as a metadata operation. */
-  private[graft] def ttSnapshot(s: SparkSession, d: String, v: Int) = {
-    import s.implicits._
+  /** Latest-wins live rows at version `v` of any commit-log frame. */
+  private[graft] def ttLiveAt(deltas: org.apache.spark.sql.DataFrame, v: Int) = {
+    import deltas.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"version".desc)
-    s.read.parquet(s"${ttStage(s, d)}/delta")
+    deltas
       .filter($"version" <= v)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1 && $"op" === "upsert")
       .select($"doc_id", $"text", $"source")
   }
+
+  /** Live rows of snapshot `v` (spec hook, and the single-version read
+    * path): the `version <= v` filter prunes delta PARTITIONS before
+    * any row is read — time travel as a metadata operation. */
+  private[graft] def ttSnapshot(s: SparkSession, d: String, v: Int) =
+    ttLiveAt(s.read.parquet(s"${ttStage(s, d)}/delta"), v)
 
   /** Time travel over the commit-versioned store — the lakehouse read
     * path Delta/Iceberg call "as of version": every snapshot version
@@ -901,6 +905,135 @@ object Sources {
       .select($"version", $"n_actions", $"n_rows", $"n_inserted",
         $"content_sum")
       .orderBy($"version")
+  }
+
+  // Retention vacuum of the commit log: commits < VacCutoff fold into
+  // a checkpoint snapshot at VacCutoff; later deltas survive as-is.
+  private val TtVacDir = "/tmp/graft_timetravel_vacuum"
+  private val VacCutoff = 1
+
+  /** Vacuumed twin of [[ttStage]] (the Delta VACUUM / Iceberg
+    * expire-snapshots maintenance write): the base commit and every
+    * delta < [[VacCutoff]] are REPLACED by one checkpoint file — the
+    * latest-wins live state at the cutoff, tombstones and superseded
+    * row versions physically dropped — while deltas ≥ cutoff copy
+    * over untouched. Readers of any retained version see byte-equal
+    * state ([[tableVacuum]] proves it); versions before the cutoff
+    * become unreadable, which IS the retention contract. */
+  private[graft] def ttVacStage(s: SparkSession, d: String): String =
+    StoreStage.ensure(TtVacDir, d) { tmp =>
+      import s.implicits._
+      ttSnapshot(s, d, VacCutoff)
+        .select($"doc_id", $"text", $"source", lit("upsert").as("op"))
+        .write.parquet(s"$tmp/delta/version=$VacCutoff")
+      (VacCutoff + 1 to 2).foreach { v =>
+        s.read.parquet(s"${ttStage(s, d)}/delta")
+          .filter($"version" === v)
+          .select($"doc_id", $"text", $"source", $"op")
+          .write.parquet(s"$tmp/delta/version=$v")
+      }
+    }
+
+  /** Per-retained-version audit over a commit-log frame: live row
+    * count + content digest (the read-side facts) and the physical
+    * delta rows a `version <= v` read must scan (the cost the vacuum
+    * exists to cut). `sv` ranges over retained snapshots only. */
+  private def ttVacAudit(deltas: org.apache.spark.sql.DataFrame) = {
+    import deltas.sparkSession.implicits._
+    val vw = Window.partitionBy($"sv", $"doc_id").orderBy($"version".desc)
+    val vis = deltas.withColumn("sv",
+      explode(expr(s"sequence(greatest(CAST(version AS INT), $VacCutoff), 2)")))
+    val live = vis
+      .withColumn("rn", row_number().over(vw))
+      .filter($"rn" === 1 && $"op" === "upsert")
+      .groupBy($"sv".as("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(hash60(concat_ws("|", $"doc_id", $"text", $"source"))
+          % TtDigestMod).as("content_sum"))
+    val scanned = vis.groupBy($"sv".as("version"))
+      .agg(count(lit(1)).as("n_scanned"))
+    live.join(scanned, "version")
+  }
+
+  /** Vacuum audit — the proof a retention rewrite wants before it
+    * swaps stores: for every RETAINED version, the vacuumed store's
+    * live rows and content digest against the full-history store's
+    * (`digest_match` — store-fed ≡ full replay, per run), plus the
+    * physical rows a reader must scan before and after (the reclaim:
+    * the checkpoint drops tombstones and superseded row versions, so
+    * `rows_scanned_after` < `rows_scanned_before` whenever history
+    * was actually folded). The oracle re-derives BOTH stores' values
+    * from the raw table, so the driver's hash gate proves the
+    * physical rewrite end-to-end.
+    *
+    * Scale: both audits are the [[tableTimetravel]] shape — a ≤
+    * n_versions fan-out of increment-sized deltas into one keyed
+    * rank + a map-side-combined fold; the checkpoint write itself is
+    * one latest-wins pass over the history it retires. */
+  private def tableVacuum(s: SparkSession, d: String) = {
+    import s.implicits._
+    val pre = ttVacAudit(s.read.parquet(s"${ttStage(s, d)}/delta"))
+      .withColumnRenamed("n_rows", "pre_rows")
+      .withColumnRenamed("content_sum", "pre_sum")
+      .withColumnRenamed("n_scanned", "rows_scanned_before")
+    val post = ttVacAudit(s.read.parquet(s"${ttVacStage(s, d)}/delta"))
+      .withColumnRenamed("n_scanned", "rows_scanned_after")
+    post.join(pre, "version")
+      .select($"version".cast("int").as("version"),
+        $"n_rows", $"content_sum",
+        ($"n_rows" === $"pre_rows" && $"content_sum" === $"pre_sum")
+          .as("digest_match"),
+        $"rows_scanned_before", $"rows_scanned_after")
+      .orderBy($"version")
+  }
+
+  /** Oracle twin of [[tableVacuum]]: the checkpoint is re-derived as
+    * the live set at the cutoff, the vacuumed commit log re-assembled
+    * from it, and both audits replayed from the raw table. */
+  private def tvOracle: String = {
+    val digest = hash60Sql(
+      "CAST(doc_id AS VARCHAR) || '|' || text || '|' || source")
+    def audit(rel: String, p: String): String =
+      s"""${p}vis AS (
+         |  SELECT d.*, t.sv,
+         |    ROW_NUMBER() OVER (PARTITION BY t.sv, d.doc_id
+         |      ORDER BY d.version DESC) AS rn
+         |  FROM $rel d JOIN range($VacCutoff, 3) t(sv) ON d.version <= t.sv
+         |),
+         |${p}live AS (
+         |  SELECT sv, COUNT(*) AS n_rows,
+         |    CAST(SUM($digest % $TtDigestMod) AS BIGINT) AS content_sum
+         |  FROM ${p}vis WHERE rn = 1 AND op = 'upsert' GROUP BY sv
+         |),
+         |${p}scan AS (
+         |  SELECT sv, COUNT(*) AS n_scanned FROM ${p}vis GROUP BY sv
+         |)""".stripMargin
+    s"""WITH $ttDeltasSql,
+       |${audit("deltas", "a")},
+       |ck AS (
+       |  SELECT doc_id, text, source, 'upsert' AS op,
+       |    $VacCutoff AS version
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY version DESC) AS crn
+       |        FROM deltas WHERE version <= $VacCutoff) c
+       |  WHERE crn = 1 AND op = 'upsert'
+       |),
+       |vdeltas AS (
+       |  SELECT doc_id, text, source, op, version FROM ck
+       |  UNION ALL
+       |  SELECT doc_id, text, source, op, version FROM deltas
+       |  WHERE version > $VacCutoff
+       |),
+       |${audit("vdeltas", "b")}
+       |SELECT CAST(b.sv AS INT) AS version,
+       |  b.n_rows, b.content_sum,
+       |  (b.n_rows = a.n_rows AND b.content_sum = a.content_sum)
+       |    AS digest_match,
+       |  a2.n_scanned AS rows_scanned_before,
+       |  b2.n_scanned AS rows_scanned_after
+       |FROM blive b JOIN bscan b2 USING (sv)
+       |JOIN alive a USING (sv) JOIN ascan a2 USING (sv)
+       |ORDER BY version""".stripMargin
   }
 
   /** Per-commit rows of the store classified against each key's own
@@ -1076,6 +1209,7 @@ object Sources {
     OpDef("snapshot_diff", snapshotDiff _, snapshotDiffOracle),
     OpDef("table_timetravel", tableTimetravel _, ttOracle),
     OpDef("table_changes", tableChanges _, tcOracle),
+    OpDef("table_vacuum", tableVacuum _, tvOracle),
     OpDef("merge_into", mergeInto _, mergeIntoOracle),
     OpDef("merge_into_delete", mergeIntoDelete _, mergeIntoDeleteOracle),
     OpDef("merge_into_evolve", mergeIntoEvolve _, mergeEvolveOracle),

@@ -22,6 +22,8 @@ package graft
   *  - Similarity.scala `ann_hybrid_rerank`: ≤ HybridK fused rows.
   *  - Curation.scala `quality_ensemble` bucketCdf (×2): cumulative
   *    sums over ≤ 1000 histogram-BUCKET rows, never documents.
+  *  - Curation.scala `privacy_dp_topk`: one rank over the SOURCE
+  *    domain (a handful of rows after the count fold), never docs.
   * Unbounded global sorts belong to TakeOrderedAndProject patterns
   * (`sample_reservoir`, `text_vocab_coverage`, `agg_countmin`) — the
   * dedicated tests below pin those.

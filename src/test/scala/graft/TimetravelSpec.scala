@@ -113,6 +113,34 @@ class TimetravelSpec extends SparkSpecBase {
     assert(rows(2) === "insert", "resurrect must re-classify as insert")
   }
 
+  test("vacuum: retained reads are byte-equal, scan cost strictly drops") {
+    val rows = SparkEntry.queries("table_vacuum")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === Set(1, 2))
+    rows.values.foreach { r =>
+      assert(r.getAs[Boolean]("digest_match"),
+        s"v${r.getInt(0)} vacuumed read diverged from full history")
+      assert(r.getAs[Long]("rows_scanned_after") <
+        r.getAs[Long]("rows_scanned_before"),
+        s"v${r.getInt(0)} vacuum reclaimed nothing")
+    }
+    // the checkpoint at the cutoff is EXACTLY the live set: a v1 read
+    // scans no dead rows at all
+    assert(rows(1).getAs[Long]("rows_scanned_after") ===
+      rows(1).getAs[Long]("n_rows"))
+  }
+
+  test("vacuumed store snapshots frame-equal the full-history store") {
+    import spark.implicits._
+    for (v <- 1 to 2) {
+      val full = ops.Sources.ttSnapshot(spark, sf, v)
+      val vac = ops.Sources.ttLiveAt(
+        spark.read.parquet(s"${ops.Sources.ttVacStage(spark, sf)}/delta"), v)
+      assert(vac.exceptAll(full).isEmpty && full.exceptAll(vac).isEmpty,
+        s"version $v")
+    }
+  }
+
   test("snapshot 0 is exactly the base table") {
     import spark.implicits._
     val baseN = Tables.documents(spark, sf).count()
