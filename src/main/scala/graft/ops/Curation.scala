@@ -1409,6 +1409,112 @@ object Curation {
        |ORDER BY rank""".stripMargin
   }
 
+  // Sparse vector technique: halt after this many above-threshold
+  // answers; the probe threshold is a data-independent constant.
+  private val SvtC = 3
+  private val SvtT = 70.0
+
+  /** ε-DP ABOVE-THRESHOLD probing via the SPARSE VECTOR TECHNIQUE
+    * (Dwork & Roth 2014, §3.6 Alg. 2 "Sparse"): walk a SEQUENCE of
+    * count queries — per-nation customer cohort sizes, in nation-key
+    * order — and release, for each probed query, only whether its
+    * noisy value clears a noisy threshold, halting after [[SvtC]]
+    * hits. The mechanism the ladder's release rungs don't cover:
+    * paying ε for a whole QUERY STREAM costs only the hits (queries
+    * answered ⊥ are free beyond the shared threshold noise), which is
+    * how a pipeline probes "which cohorts are big enough to release"
+    * without spending budget on every cohort. Noise scales are the
+    * textbook ones (threshold Lap(2c/ε), re-drawn after each hit;
+    * queries Lap(4c/ε); Δ = 1); statuses: `above` (a hit), `below`
+    * (probed, didn't clear its epoch's threshold), `not_probed`
+    * (after the c-th hit — the halt IS the privacy guarantee). True
+    * counts never leave; the threshold [[SvtT]] is a data-independent
+    * constant. Same [[NoiseModel]] seeded surrogate as every rung.
+    *
+    * Scale: one map-side count fold to the nation domain (25 rows),
+    * then THREE domain-bounded scalar reductions (the hit positions,
+    * broadcast back) and a row-local status CASE — the whole
+    * mechanism after the fold is nation-domain-sized. */
+  private def privacySvt(s: SparkSession, d: String): DataFrame =
+    svtOf(Tables.customer(s, d))
+
+  /** [[privacySvt]] over an arbitrary customer-shaped frame. */
+  private[graft] def svtOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val b = 4.0 * SvtC / DpEpsilon
+    val bt = 2.0 * SvtC / DpEpsilon
+    def lap(scale: Double, u: Column): Column =
+      -lit(scale) * signum(u) * log(lit(1.0) - abs(u))
+    def uOf(tag: Column): Column =
+      (hash60(tag) % 2000001L - 1000000L) / lit(1000001.0)
+    val pw = Window.orderBy($"nation_key".asc)
+    val g = cust.groupBy($"c_nationkey".cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pos", row_number().over(pw))
+      .withColumn("nq",
+        $"n" + lap(b, uOf(concat(lit("svt_q:"), $"nation_key"))))
+    def tHat(k: Int): Column =
+      lit(SvtT) + lap(bt, uOf(lit(s"svt_t:$k")))
+    val h1f = g.filter($"nq" >= tHat(1)).agg(min($"pos").as("h1"))
+    val g1 = g.crossJoin(broadcast(h1f))
+    val h2f = g1.filter($"nq" >= tHat(2) && $"pos" > $"h1")
+      .agg(min($"pos").as("h2"))
+    val g2 = g1.crossJoin(broadcast(h2f))
+    val h3f = g2.filter($"nq" >= tHat(3) && $"pos" > $"h2")
+      .agg(min($"pos").as("h3"))
+    g2.crossJoin(broadcast(h3f))
+      .select($"nation_key", $"pos",
+        when($"pos" === $"h1" || $"pos" === $"h2" || $"pos" === $"h3",
+          "above")
+          .when($"h3".isNotNull && $"pos" > $"h3", "not_probed")
+          .otherwise("below").as("status"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(SvtC.toLong).as("c"),
+        lit(SvtT).as("threshold"),
+        lit(1L).as("sensitivity"),
+        lit(NoiseModel).as("noise_model"))
+      .orderBy($"nation_key")
+  }
+
+  private def svtOracle: String = {
+    val b = s"(4.0 * $SvtC / $DpEpsilon)"
+    val bt = s"(2.0 * $SvtC / $DpEpsilon)"
+    def uOf(tag: String): String =
+      s"((${graft.functions.TextFns.hash60Sql(tag)}" +
+        " % 2000001 - 1000000) / 1000001.0)"
+    def lap(scale: String, u: String): String =
+      s"(-$scale * SIGN($u) * ln(1.0 - ABS($u)))"
+    val nq = s"(n + ${lap(b, uOf("'svt_q:' || nation_key"))})"
+    def tHat(k: Int): String =
+      s"($SvtT + ${lap(bt, uOf(s"'svt_t:$k'"))})"
+    s"""WITH g AS (
+       |  SELECT nation_key, n,
+       |    ROW_NUMBER() OVER (ORDER BY nation_key ASC) AS pos,
+       |    $nq AS nq
+       |  FROM (SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       |          COUNT(*) AS n
+       |        FROM customer GROUP BY 1) c
+       |),
+       |h1 AS (SELECT MIN(pos) AS h1 FROM g WHERE nq >= ${tHat(1)}),
+       |h2 AS (SELECT MIN(pos) AS h2 FROM g, h1
+       |       WHERE nq >= ${tHat(2)} AND pos > h1.h1),
+       |h3 AS (SELECT MIN(pos) AS h3 FROM g, h2
+       |       WHERE nq >= ${tHat(3)} AND pos > h2.h2)
+       |SELECT g.nation_key, CAST(g.pos AS INT) AS pos,
+       |  CASE WHEN g.pos = h1.h1 OR g.pos = h2.h2 OR g.pos = h3.h3
+       |         THEN 'above'
+       |       WHEN h3.h3 IS NOT NULL AND g.pos > h3.h3 THEN 'not_probed'
+       |       ELSE 'below' END AS status,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon,
+       |  CAST($SvtC AS BIGINT) AS c,
+       |  CAST($SvtT AS DOUBLE) AS threshold,
+       |  CAST(1 AS BIGINT) AS sensitivity,
+       |  '$NoiseModel' AS noise_model
+       |FROM g, h1, h2, h3
+       |ORDER BY g.nation_key""".stripMargin
+  }
+
   private def privacyDpUser(s: SparkSession, d: String): DataFrame =
     dpUserOf(Tables.orders(s, d))
 
@@ -1603,6 +1709,7 @@ object Curation {
     OpDef("privacy_dp_sum", privacyDpSum _, dpSumOracle),
     OpDef("privacy_dp_median", privacyDpMedian _, dpMedianOracle),
     OpDef("privacy_dp_topk", privacyDpTopk _, dpTopkOracle),
+    OpDef("privacy_svt", privacySvt _, svtOracle),
     OpDef("privacy_ldp_frequency", privacyLdpFrequency _, ldpFrequencyOracle),
     OpDef("privacy_dp_user", privacyDpUser _, dpUserOracle),
     OpDef("quality_ensemble", qualityEnsemble _, qualityEnsembleOracle),

@@ -44,6 +44,28 @@ class AnnHnswSpec extends SparkSpecBase {
       s"only $covered of $n nodes reachable in the built graph")
   }
 
+  test("incremental: every ingest vector answered, only from the store") {
+    import spark.implicits._
+    val isNew = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ing:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 == 0
+    }
+    val ids = Tables.embeddings(spark, sf).select($"vec_id")
+      .collect().map(_.getLong(0))
+    val newIds = ids.filter(isNew).toSet
+    val rows = SparkEntry.queries("ann_hnsw_incremental")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("inc_id")).toSet === newIds,
+      "every ingest vector gets an answer, no indexed vector does")
+    rows.groupBy(_.getAs[Long]("inc_id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3), s"$id")
+    }
+    // candidates come from the INDEXED slice only — the walk never
+    // touches another ingest vector (store discipline)
+    assert(rows.forall(r => !newIds(r.getAs[Long]("cand_id"))))
+  }
+
   test("measured frontier: 20 queries, sane recall, sub-brute-force cost") {
     import spark.implicits._
     val rows = SparkEntry.queries("ann_hnsw")(spark, sf).collect()

@@ -24,6 +24,8 @@ package graft
   *    sums over ≤ 1000 histogram-BUCKET rows, never documents.
   *  - Curation.scala `privacy_dp_topk`: one rank over the SOURCE
   *    domain (a handful of rows after the count fold), never docs.
+  *  - Curation.scala `privacy_svt`: probe order over the NATION
+  *    domain (25 rows after the count fold), never customers.
   * Unbounded global sorts belong to TakeOrderedAndProject patterns
   * (`sample_reservoir`, `text_vocab_coverage`, `agg_countmin`) — the
   * dedicated tests below pin those.
