@@ -1756,16 +1756,29 @@ object TextAnalysis {
       .groupBy($"piece").agg(sum($"f").as("cnt"))
       .cache()
     val chars = seeds.filter(length($"piece") === 1)
+    // Every vocab frame below is MATERIALIZED (localCheckpoint): each
+    // EM round references its predecessor several times (the
+    // segmenter's total probe + packed broadcast, the usage join's
+    // two branches) and the callers reference the final vocab 2-3
+    // more times — left lazy, Catalyst re-expands the whole EM
+    // lineage per reference (measured at sf0.1: 13 `unigram_seg`
+    // sites / 136 Exchanges in one plan, i.e. each round's Viterbi
+    // pass over the distinct words ran ~4x). The frames are
+    // vocabulary-bounded (≤ |chars| + UniSeedV rows), so each
+    // checkpoint is a KB-sized block and its job is the total-probe
+    // job the round already paid.
     var voc = chars.unionByName(
       seeds.filter(length($"piece") >= 2)
         .orderBy($"cnt".desc, $"piece".asc).limit(UniSeedV))
+      .localCheckpoint()
     for (_ <- 1 to UniEmRounds) {
-      val usage = uniUsage(s, words, voc)
+      val usage = uniUsage(s, words, voc).localCheckpoint()
       voc = chars.select($"piece")
         .join(usage, Seq("piece"), "left")
         .select($"piece", (coalesce($"cnt", lit(0L)) + lit(1L)).as("cnt"))
         .unionByName(usage.filter(length($"piece") >= 2)
           .orderBy($"cnt".desc, $"piece".asc).limit(UniVocab))
+        .localCheckpoint()
     }
     voc
   }
