@@ -1184,16 +1184,19 @@ object Graph {
     // place of the textbook form's extra dic self-join. The final
     // groupBy keys (node, k, a) start with the join key, so the
     // ninfo attach's partitioning satisfies it with no exchange.
-    val ninfo = base.join(deg, "node").cache()
-    cleanup += ninfo
-    val cdeg = ninfo.groupBy($"label").agg(sum($"k").as("degc")).cache()
-    cleanup += cdeg
     // |V|-sized frames broadcast into every attach below the small-
     // graph gate (cached/staged leaves carry no size stats, so the
     // static planner would sort-merge the edge fold per attach); the
     // co-partitioned shuffle shape stands above it.
     def bc(df: DataFrame): DataFrame =
       if (m < 20000000L) broadcast(df) else df
+    // deg broadcast for the same reason: base is a staged leaf, so
+    // this |V|⋈|V| attach would sort-merge inside the fold's
+    // broadcast threads every round
+    val ninfo = base.join(bc(deg), "node").cache()
+    cleanup += ninfo
+    val cdeg = ninfo.groupBy($"label").agg(sum($"k").as("degc")).cache()
+    cleanup += cdeg
     val fold = wedges.filter(moverPred && $"src" =!= $"dst")
       .join(bc(base.select($"node".as("src"), $"label".as("c"))), "src")
       .groupBy($"dst", $"c").agg(sum($"w").as("dcount"))
@@ -1463,8 +1466,16 @@ object Graph {
             lit(2L) * $"k" * $"k"), lit(0L))).head
         levelMoves += r.getLong(0); ib += r.getLong(1); sb += r.getLong(2)
         tr(s"L$level round$round gate")
+        // movers-only best rides map-side into the ladder join below
+        // the small-graph gate: both sides are stats-free staged
+        // leaves, so the static plan inside the NEXT round's broadcast
+        // threads would otherwise sort-merge them (2 extra shuffle
+        // stages per round, re-executed per reference until the lazy
+        // checkpoint pins)
+        val bestB = if (m < 20000000L) broadcast(best.select($"node", $"b"))
+          else best.select($"node", $"b")
         labels = staged(labels
-          .join(best.select($"node", $"b"), Seq("node"), "left")
+          .join(bestB, Seq("node"), "left")
           .select($"node", coalesce($"b", $"label").as("label")))
       }
       movesPerLevel += levelMoves
@@ -1647,7 +1658,7 @@ object Graph {
     // |V|-row label map rides map-side into the edge folds
     def bc(df: DataFrame): DataFrame =
       if (run.m < 20000000L) broadcast(df) else df
-    val dsum = lbl.join(run.deg1, "node").groupBy($"label")
+    val dsum = lbl.join(bc(run.deg1), "node").groupBy($"label")
       .agg(count(lit(1)).as("n_nodes"), sum($"k").as("degree_sum"))
     val inC = (if (run.m < 20000000L)
         run.wedges1
