@@ -901,12 +901,20 @@ object Graph {
   private[graft] def louvainPhase1Labels(s: SparkSession,
                                          edges: DataFrame): DataFrame = {
     import s.implicits._
+    // |V|-row sides broadcast below the small-graph gate (the
+    // louvainMoveBest discipline): the caller's edge frame is cached
+    // and the deg/best frames chain off stats-free plans, so the
+    // static planner would sort-merge the |E|-row candidate stream
+    // against them per attach.
+    val m0 = edges.count()
+    def bc(df: DataFrame): DataFrame =
+      if (m0 < 20000000L) broadcast(df) else df
     val mTot = edges.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
       .withColumnRenamed("src", "node").cache()
     val cand = edges.filter($"src" % 2 === 0)
-      .join(deg.select($"node".as("src"), $"k"), "src")
-      .join(deg.select($"node".as("dst"), $"k".as("kb")), "dst")
+      .join(bc(deg.select($"node".as("src"), $"k")), "src")
+      .join(bc(deg.select($"node".as("dst"), $"k".as("kb"))), "dst")
       .crossJoin(broadcast(mTot))
       .select($"src".as("node"), $"dst".as("b"),
         (lit(2L) * $"m" - lit(2L) * $"k" * $"kb").as("gain"))
@@ -917,11 +925,11 @@ object Graph {
       .withColumn("tr", row_number().over(wt))
       .filter($"tr" === 1)
       .select($"node", $"b").cache()
-    val moved = deg.select($"node").join(best, Seq("node"), "left")
+    val moved = deg.select($"node").join(bc(best), Seq("node"), "left")
       .select($"node", coalesce($"b", $"node").as("label")).cache()
     // the step op's gate integers (singleton base: ib = 0, sb = Σk²)
     val qi = deg.agg(sum($"k" * $"k").as("sb"))
-      .crossJoin(best.join(best.select($"node".as("b2")),
+      .crossJoin(best.join(bc(best.select($"node".as("b2"))),
           $"b" === $"b2", "left_anti")
         .agg((count(lit(1)) * 2).as("im")))
       .crossJoin(moved.join(deg, "node").groupBy($"label")
@@ -950,29 +958,50 @@ object Graph {
   private[graft] def louvainGeneralPhase(s: SparkSession, edges: DataFrame,
       base: DataFrame, moverParity: Int): DataFrame = {
     import s.implicits._
+    // Same small-graph physical gate as louvainMultiLevelRun: below
+    // 20M edges the phase's dozen keyed folds run interpreted with
+    // edge-scaled shuffle partitions, and every |V|-or-smaller side
+    // (labels, degrees, community degrees, d_ic, winners) rides an
+    // explicit broadcast — the base label frame is a stats-free
+    // checkpoint leaf, so the static planner otherwise sort-merged
+    // the |E|-row folds against it (measured: 20.1 s of the step2
+    // warm run sat in those broadcast/shuffle stages). Above the
+    // gate nothing changes.
+    val m0 = edges.count()
+    val nPart = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, m0 / 200000L)).toInt
+    withConf(s, (Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true") ++
+      (if (m0 < 20000000L)
+        Seq("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.shuffle.partitions" -> nPart.toString)
+       else Seq.empty)): _*) {
+    def bc(df: DataFrame): DataFrame =
+      if (m0 < 20000000L) broadcast(df) else df
     val mTot = edges.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
       .withColumnRenamed("src", "node").cache()
     val lbl = base.cache()
-    val cdeg = lbl.join(deg, "node").groupBy($"label")
+    val cdeg = lbl.join(bc(deg), "node").groupBy($"label")
       .agg(sum($"k").as("degc")).cache()
     // only mover-side rows ever feed gains/deltas, so the edge fold
     // and the self-community decoration restrict to the mover parity
     // up front (community degrees still fold over ALL nodes)
     val dic = edges.filter($"src" % 2 === moverParity)
-      .join(lbl.select($"node".as("dst"), $"label".as("c")), "dst")
+      .join(bc(lbl.select($"node".as("dst"), $"label".as("c"))), "dst")
       .groupBy($"src", $"c").agg(count(lit(1)).as("dcount"))
       .withColumnRenamed("src", "node").cache()
-    val selfx = lbl.filter($"node" % 2 === moverParity).join(deg, "node")
-      .join(cdeg.select($"label", $"degc".as("deg_a")), "label")
-      .join(dic.select($"node", $"c".as("label"), $"dcount".as("d_ia")),
+    val selfx = lbl.filter($"node" % 2 === moverParity)
+      .join(bc(deg), "node")
+      .join(bc(cdeg.select($"label", $"degc".as("deg_a"))), "label")
+      .join(bc(dic.select($"node", $"c".as("label"), $"dcount".as("d_ia"))),
         Seq("node", "label"), "left")
       .select($"node", $"label".as("a"), $"k", $"deg_a",
         coalesce($"d_ia", lit(0L)).as("d_ia"))
-    val cand = selfx
-      .join(dic.select($"node", $"c".as("b"), $"dcount"), "node")
+    val cand = dic.select($"node", $"c".as("b"), $"dcount")
+      .join(bc(selfx), "node")
       .filter($"b" =!= $"a")
-      .join(cdeg.select($"label".as("b"), $"degc".as("deg_b")), "b")
+      .join(bc(cdeg.select($"label".as("b"), $"degc".as("deg_b"))), "b")
       .crossJoin(broadcast(mTot))
       .select($"node", $"a", $"b", $"k", $"d_ia", $"dcount",
         (lit(2L) * $"m" * ($"dcount" - $"d_ia") -
@@ -993,8 +1022,10 @@ object Graph {
       .filter($"gain" > 0)
       .cache()
     val disjoint = winners
-      .join(winners.select($"a".as("b")).distinct(), Seq("b"), "left_anti")
-      .join(winners.select($"b".as("a")).distinct(), Seq("a"), "left_anti")
+      .join(bc(winners.select($"a".as("b")).distinct()), Seq("b"),
+        "left_anti")
+      .join(bc(winners.select($"b".as("a")).distinct()), Seq("a"),
+        "left_anti")
     val best = disjoint
       .groupBy($"b")
       .agg(max_by(struct($"node", $"a", $"k", $"d_ia", $"dcount", $"gain"),
@@ -1014,11 +1045,11 @@ object Graph {
     // PROVES the delta maintenance). An earlier draft re-joined the
     // full edge list for the moved side too — 43 s vs ~20 s at sf0.1.
     val binc = edges
-      .join(lbl.select($"node".as("src"), $"label".as("la")), "src")
-      .join(lbl.select($"node".as("dst"), $"label".as("lb")), "dst")
+      .join(bc(lbl.select($"node".as("src"), $"label".as("la"))), "src")
+      .join(bc(lbl.select($"node".as("dst"), $"label".as("lb"))), "dst")
       .filter($"la" === $"lb")
       .groupBy($"la".as("label")).agg(count(lit(1)).as("n_in")).cache()
-    val bstat = lbl.join(deg, "node").groupBy($"label")
+    val bstat = lbl.join(bc(deg), "node").groupBy($"label")
       .agg(count(lit(1)).cast("long").as("n_nodes"),
         sum($"k").as("degree_sum")).cache()
     val dIn = best.select($"b".as("label"), (lit(2L) * $"dcount").as("din"))
@@ -1082,6 +1113,7 @@ object Graph {
         binc, bstat, minc, mstat, edges)
       .foreach(_.unpersist(false))
     out
+    }
   }
 
   /** Second Louvain phase — community refinement CONTINUES past the
