@@ -293,6 +293,21 @@ object Graph {
       init: Option[DataFrame] = None): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
+    // same small-graph physical gate as the cc/louvain loops: the
+    // per-round rank frames are stats-free checkpoint leaves, so
+    // below the gate they ride explicit broadcasts into the keyed
+    // folds and the loop runs with edge-scaled partitions, AQE off
+    // (its per-exchange stage jobs were 12.2 s of the 13.7 s warm
+    // run, 95 broadcast-thread stages for a 16-round loop)
+    val m = edges.count()
+    val nPart = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, m / 200000L)).toInt
+    def bc(df: DataFrame): DataFrame =
+      if (m < 20000000L) broadcast(df) else df
+    withConf(s, (if (m < 20000000L)
+      Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> nPart.toString)
+     else Seq.empty): _*) {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val wired = edges.join(deg, "src")
       .repartition($"src").sortWithinPartitions($"src").cache()
@@ -321,14 +336,14 @@ object Graph {
       // round — one Spark job per superstep, not three (round, probe
       // join, checkpoint); on loop state this small the job floor IS
       // the operator's cost, so halving jobs halves the op.
-      val next = wired.join(ranks, $"src" === $"node")
+      val next = wired.join(bc(ranks), $"src" === $"node")
         .select($"dst", roundHalfUp($"pr" / $"outdeg", 12).as("c"))
         .groupBy($"dst")
         .agg(sum($"c".cast(Dec12)).cast("double").as("s"))
         .select($"dst".as("node"),
           roundHalfUp(lit((1.0 - Damping) / nNodes) + lit(Damping) * $"s", 9)
             .as("pr"))
-        .join(ranks.select($"node", $"pr".as("prev")), "node")
+        .join(bc(ranks.select($"node", $"pr".as("prev"))), "node")
         .localCheckpoint(false)
       dm = {
         // NULL on an empty graph (SUM over zero rows) = converged
@@ -346,6 +361,7 @@ object Graph {
     // cached blocks; the incremental op calls this twice per run)
     wired.unpersist(false)
     (ranks, round)
+    }
   }
 
   /** Oracle: unroll [[PrMaxRounds]] rounds + their delta probes, pick
@@ -673,26 +689,54 @@ object Graph {
   // union-with-previous form reads labels twice per round, which under
   // lazy evaluation doubles the recompute tree every round (2^rounds:
   // measured 72 s at sf0.1 vs ~1 s for this form).
-  private def graphComponents(s: SparkSession, d: String) = {
+  /** [[CcRounds]] rounds of min-label propagation over the closed
+    * (self-edge-augmented) edge list — the shared core of
+    * `graph_components` and `graph_modularity`'s partition.
+    *
+    * Physical shape: the closed list is partitioned by `src` ONCE and
+    * cached, so the per-round groupBy(src) inherits its partitioning
+    * (the broadcast-hash label attach preserves it) — one edge
+    * shuffle total instead of one per superstep, the
+    * partitioning-reuse pattern a 1000-executor Pregel job lives by.
+    * Below the small-graph gate the |V|-row label frame additionally
+    * carries an EXPLICIT broadcast (it is a chained aggregate with no
+    * stats at static-planning time) and the loop runs with
+    * edge-scaled shuffle partitions and AQE off — the per-round
+    * broadcast threads otherwise re-plan and re-submit each tiny
+    * exchange as its own stage-job. Codegen stays ON either way: the
+    * loop is |E|-row passes, where compiled row throughput wins. */
+  private[graft] def ccLabels(s: SparkSession, edges: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    val edges = coOrderEdges(s, d)
+    val m = edges.count()
+    val nPart = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, m / 200000L)).toInt
+    def bc(df: DataFrame): DataFrame =
+      if (m < 20000000L) broadcast(df) else df
+    withConf(s, (if (m < 20000000L)
+      Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> nPart.toString)
+     else Seq.empty): _*) {
     val nodes = edges.select($"src".as("node")).distinct()
-    // Partition + sort by the join key ONCE before caching: the cached
-    // relation then SATISFIES every round's sort-merge requirement, so
-    // the per-round exchanges+sorts of the edge table vanish (plan-
-    // verified) — one edge shuffle total instead of one per superstep,
-    // the partitioning-reuse pattern a 1000-executor Pregel job lives by.
     val closed = edges
       .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
       .repartition($"src").sortWithinPartitions($"src")
       .cache()
     var labels = nodes.select($"node", $"node".as("label"))
     for (_ <- 1 to CcRounds) {
-      labels = closed.join(labels, $"dst" === $"node")
+      labels = closed.join(bc(labels), $"dst" === $"node")
         .groupBy($"src").agg(min($"label").as("label"))
         .withColumnRenamed("src", "node")
     }
-    labels
+    val out = labels.localCheckpoint()
+    closed.unpersist(false)
+    out
+    }
+  }
+
+  private def graphComponents(s: SparkSession, d: String) = {
+    import s.implicits._
+    ccLabels(s, coOrderEdges(s, d))
       .select(
         when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -718,19 +762,15 @@ object Graph {
     * once at the end — one literal formula order, both engines. */
   private def graphModularity(s: SparkSession, d: String) = {
     import s.implicits._
-    val edges = coOrderEdges(s, d)
-    val nodes = edges.select($"src".as("node")).distinct()
-    val closed = edges
-      .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
-      .repartition($"src").sortWithinPartitions($"src")
-      .cache()
-    var labels = nodes.select($"node", $"node".as("label"))
-    for (_ <- 1 to CcRounds) {
-      labels = closed.join(labels, $"dst" === $"node")
-        .groupBy($"src").agg(min($"label").as("label"))
-        .withColumnRenamed("src", "node")
-    }
-    modularityOf(edges, labels)
+    // edges cached (the score folds reference it three times — mTot,
+    // degrees, intra-community count — and each uncached reference
+    // re-derived the orders⋈lineitem distinct); the output is
+    // |communities|-sized, so materializing it inside lets the cache
+    // release before the caller's action.
+    val edges = coOrderEdges(s, d).cache()
+    val out = modularityOf(edges, ccLabels(s, edges)).localCheckpoint()
+    edges.unpersist(false)
+    out
   }
 
   /** Per-community modularity rows from a directed-symmetric edge
@@ -2686,6 +2726,18 @@ object Graph {
   private[graft] def componentsConvergedOf(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // same small-graph physical gate + explicit label broadcast as
+    // [[ccLabels]] — the per-round label frames are stats-free
+    // checkpoint leaves
+    val m = edges.count()
+    val nPart = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, m / 200000L)).toInt
+    def bc(df: DataFrame): DataFrame =
+      if (m < 20000000L) broadcast(df) else df
+    withConf(s, (if (m < 20000000L)
+      Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> nPart.toString)
+     else Seq.empty): _*) {
     val nodes = edges.select($"src".as("node")).distinct()
     val closed = edges
       .unionByName(nodes.select($"node".as("src"), $"node".as("dst")))
@@ -2694,15 +2746,18 @@ object Graph {
     var labels = nodes.select($"node", $"node".as("label")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = closed.join(labels, $"dst" === $"node")
+      val next = closed.join(bc(labels), $"dst" === $"node")
         .groupBy($"src").agg(min($"label").as("label"))
         .withColumnRenamed("src", "node")
         .localCheckpoint()
-      changed = next.join(labels.select($"node", $"label".as("prev")), "node")
+      changed = next
+        .join(bc(labels.select($"node", $"label".as("prev"))), "node")
         .filter($"label" < $"prev").count()
       labels = next
     }
+    closed.unpersist(false)
     labels
+    }
   }
 
   private def componentsConvergedOracle: String =
