@@ -360,7 +360,7 @@ object Graph {
     // (repeated calls in a long-lived session must not accumulate
     // cached blocks; the incremental op calls this twice per run)
     wired.unpersist(false)
-    (ranks, round)
+    (finalCheckpoint(s, ranks), round)
     }
   }
 
@@ -728,7 +728,7 @@ object Graph {
         .groupBy($"src").agg(min($"label").as("label"))
         .withColumnRenamed("src", "node")
     }
-    val out = labels.localCheckpoint()
+    val out = finalCheckpoint(s, labels)
     closed.unpersist(false)
     out
     }
@@ -1346,6 +1346,20 @@ object Graph {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** Materialize a loop's RETURNED frame as a localCheckpoint with
+    * AQE re-enabled for that one terminal query: a checkpoint taken
+    * under a static (AQE-off) plan captures the plan's output
+    * ordering/partitioning attributes, and a consumer that caches the
+    * result and references it twice (a self-join) crashes
+    * InMemoryRelation's output rebinding ("key not found: ..."). An
+    * adaptive capture records no static metadata — the shape every op
+    * returned before the small-graph AQE gate. One extra tiny job on
+    * a |V|-row frame. */
+  private def finalCheckpoint(s: SparkSession, df: DataFrame): DataFrame =
+    withConf(s, "spark.sql.adaptive.enabled" -> "true") {
+      df.localCheckpoint()
+    }
 
   /** Cut the logical lineage WITHOUT running a job:
     * `localCheckpoint(eager = false)` rewrites the frame to a
@@ -2756,7 +2770,7 @@ object Graph {
       labels = next
     }
     closed.unpersist(false)
-    labels
+    finalCheckpoint(s, labels)
     }
   }
 
